@@ -1,0 +1,44 @@
+"""krylov_tpu — a TPU-native Krylov-subspace solver library in JAX.
+
+A from-scratch JAX/Pallas framework with the capability surface of
+JuliaSmoothOptimizers/Krylov.jl (reference layout documented in SURVEY.md):
+the full method basket, preconditioning, warm starts, workspaces,
+per-iteration statistics, real/complex dtypes, and multi-device sharding.
+
+Compute path: jax.numpy + lax.while_loop solver cores (traced once, compiled
+by XLA), Pallas kernels for sparse matvec, jax.sharding for multi-chip.
+"""
+
+from .ops.kops import (
+    kdot,
+    kdotr,
+    knorm,
+    knorm_elliptic,
+    sym_givens,
+    roots_quadratic,
+    to_boundary,
+)
+from .operators import (
+    AbstractLinearOperator,
+    MatrixOperator,
+    CSROperator,
+    FunctionOperator,
+    DiagonalOperator,
+    IdentityOperator,
+    as_operator,
+)
+from .ops.sparse import CSRMatrix, csr_from_dense, csr_from_coo
+from .stats import (
+    SimpleStats,
+    LsmrStats,
+    LanczosStats,
+    LanczosShiftStats,
+    SymmlqStats,
+    AdjointStats,
+    LNLQStats,
+    LSLQStats,
+)
+
+from .solvers.cg import cg
+
+__version__ = "0.1.0"

@@ -1,0 +1,184 @@
+"""Solver-loop runtime shared by all methods.
+
+Design (SURVEY.md §7.2 "dynamic control flow under jit"):
+
+* Every solver is a jitted core ``core(operands..., state_in, iter_cap, ...)``
+  wrapping a single ``lax.while_loop``.  The loop condition is
+  ``status == RUNNING && iter < iter_cap``; every data-dependent exit
+  (convergence, breakdown, nonpositive curvature, user callback) writes a
+  nonzero int32 status code into the state.  Status decoding to the
+  reference's string vocabulary happens on the host after the solve.
+
+* ``timemax`` (wall-clock limit, reference src/cg.jl:265-266) cannot be
+  observed inside a traced loop; ``drive`` runs the core in host-checked
+  chunks of iterations only when a finite timemax is requested.  The
+  default (timemax=∞) pays zero overhead: one while_loop, one device
+  round-trip.
+
+* ``history=True`` preallocates an (itmax+1,) buffer (static length) that
+  the loop writes at index ``iter``; the host trims it to ``niter+1``.
+
+* The zero-allocation contract of the reference (test/test_allocations.jl)
+  maps to: repeated solves with identical static configuration hit the jit
+  cache (no retrace, no recompile) and allocate only the result buffers.
+"""
+
+import math
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import stats as _stats
+from ._dtypes import sqrt_eps
+
+# ---------------------------------------------------------------------------
+# status codes (device-side int32) → reference status strings (host-side)
+# ---------------------------------------------------------------------------
+
+RUNNING = 0
+SOLVED = 1
+ZERO_RESIDUAL = 2
+NPC = 3
+ON_BOUNDARY = 4
+ZERO_CURVATURE = 5
+USER_EXIT = 6
+BREAKDOWN = 7
+INCONSISTENT = 8
+SOLVED_AR = 9          # least-squares solution found (‖Aᴴr‖ criterion)
+SOLVED_X = 10          # minimum-norm solution found
+COND_EXCEEDED = 11
+ERR_BOUND = 12         # forward-error bound small enough (etol-type stops)
+XBIG = 13              # truncated step / solution too large (lslq utol)
+NONPOSDEF = 14         # operator not positive definite (informational exits)
+SOLVED_PRIMAL_DUAL = 15
+BREAKDOWN_BETA = 16    # solver-specific breakdown variants
+BREAKDOWN_RHO = 17
+SOLVED_CG_POINT = 18
+# host-assigned:
+TIRED = 100
+OVERTIMED = 101
+
+BASE_STATUS = {
+    RUNNING: _stats.UNKNOWN,
+    SOLVED: _stats.SOLVED,
+    ZERO_RESIDUAL: _stats.ZERO_RESIDUAL,
+    NPC: _stats.NPC,
+    ON_BOUNDARY: _stats.ON_BOUNDARY,
+    ZERO_CURVATURE: _stats.ZERO_CURVATURE,
+    USER_EXIT: _stats.USER_EXIT,
+    BREAKDOWN: "breakdown",
+    INCONSISTENT: _stats.INCONSISTENT,
+    SOLVED_AR: _stats.SOLVED_AR,
+    SOLVED_X: _stats.SOLVED_X,
+    COND_EXCEEDED: "condition number exceeds tolerance",
+    ERR_BOUND: "error bound small enough",
+    TIRED: _stats.TIRED,
+    OVERTIMED: _stats.OVERTIMED,
+}
+
+
+def decode_status(code, overrides=None):
+    """Map a device status code to the reference's status string."""
+    code = int(code)
+    if overrides and code in overrides:
+        return overrides[code]
+    return BASE_STATUS.get(code, _stats.UNKNOWN)
+
+
+def is_solved_code(code):
+    return int(code) in (
+        SOLVED, ZERO_RESIDUAL, NPC, ON_BOUNDARY, SOLVED_AR, SOLVED_X,
+        ERR_BOUND, SOLVED_PRIMAL_DUAL, SOLVED_CG_POINT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# tolerances & history
+# ---------------------------------------------------------------------------
+
+def default_tol(tol, dtype):
+    """atol/rtol default to √eps(T) of the real dtype (reference kwargs)."""
+    return sqrt_eps(dtype) if tol is None else float(tol)
+
+
+def resolve_itmax(itmax, default):
+    """itmax=0 means the per-solver default (e.g. 2n for CG)."""
+    itmax = int(itmax)
+    return default if itmax == 0 else itmax
+
+
+def hist_init(hist_len, dtype):
+    """Preallocated history buffer (NaN-filled; trimmed on host)."""
+    return jnp.full((max(hist_len, 1),), jnp.nan, dtype=dtype)
+
+
+def hist_write(hist, idx, value, enabled):
+    """Write history[idx] = value when history collection is enabled (static)."""
+    if not enabled:
+        return hist
+    return hist.at[idx].set(value)
+
+
+def hist_trim(hist, niter):
+    """Trim device history buffer to the first niter+1 entries, drop NaNs tail."""
+    h = np.asarray(hist)[: int(niter) + 1]
+    return h
+
+
+# ---------------------------------------------------------------------------
+# the chunked driver
+# ---------------------------------------------------------------------------
+
+def drive(run, itmax, timemax, start_time=None, chunk=64):
+    """Run ``state = run(state_or_none, iter_cap)`` to completion.
+
+    ``run`` must return a state pytree with int32 fields ``status`` and
+    ``iter``.  With timemax=∞ this is a single call with iter_cap=itmax.
+    Otherwise the core re-enters in chunks while wall-clock remains.
+    Returns (state, overtimed: bool).
+    """
+    if start_time is None:
+        start_time = time.perf_counter()
+    if not math.isfinite(timemax):
+        return run(None, itmax), False
+
+    cap = 0
+    state = None
+    while True:
+        cap = min(cap + chunk, itmax)
+        state = run(state, cap)
+        status = int(jax.device_get(state.status))
+        if status != RUNNING or cap >= itmax:
+            return state, False
+        if time.perf_counter() - start_time > timemax:
+            return state, True
+
+
+def final_status_code(state_status, niter, itmax, overtimed):
+    """Host-side: RUNNING after the loop means tired or overtimed."""
+    code = int(state_status)
+    if code == RUNNING:
+        code = OVERTIMED if overtimed else TIRED
+    return code
+
+
+# ---------------------------------------------------------------------------
+# verbose display
+# ---------------------------------------------------------------------------
+
+def kdisplay(iter_, verbose):
+    """Traced analogue of reference kdisplay (print every `verbose` iters)."""
+    return iter_ % verbose == 0
+
+
+def debug_header(verbose, text):
+    if verbose > 0:
+        print(text, flush=True)
+
+
+def debug_row(verbose, iter_, fmt, *values):
+    """Per-iteration display inside the traced loop via jax.debug.print."""
+    if verbose > 0:
+        jax.debug.print(fmt, iter_, *values)

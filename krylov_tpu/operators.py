@@ -1,0 +1,302 @@
+"""L1 operator protocol.
+
+The reference's operator contract is duck-typed: any object with
+``mul!(y, A, x)``, ``size``, ``eltype`` and ``adjoint`` works
+(reference: docs/src/matrix_free.md:33-50).  The JAX analogue is an
+object with ``matvec(x)``/``rmatvec(x)`` (rmatvec = Aᴴx), ``shape`` and
+``dtype``, registered as a pytree so operators flow through jit
+boundaries without retracing per matrix value.
+
+Preconditioners follow the same protocol; when a solver is called with
+``ldiv=True`` the preconditioner's ``solve(x)`` is used instead of
+``matvec`` (reference mulorldiv!: src/krylov_utils.jl:305-307).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from .ops.sparse import CSRMatrix, spmv, spmm
+
+
+class AbstractLinearOperator:
+    """Protocol: matvec, rmatvec, shape, dtype; optionally solve/rsolve."""
+
+    shape = None
+    dtype = None
+
+    def matvec(self, x):
+        raise NotImplementedError
+
+    def rmatvec(self, x):
+        """y = Aᴴ x (the reference's A' apply)."""
+        raise NotImplementedError
+
+    def solve(self, x):
+        """y = A⁻¹ x — preconditioner ldiv-mode apply."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support ldiv-mode application"
+        )
+
+    def rsolve(self, x):
+        """y = A⁻ᴴ x."""
+        raise NotImplementedError
+
+    @property
+    def H(self):
+        return AdjointOperator(self)
+
+    @property
+    def T(self):
+        return self.H
+
+    def __matmul__(self, x):
+        if getattr(x, "ndim", 1) == 2:
+            return self.matmat(x)
+        return self.matvec(x)
+
+    def matmat(self, X):
+        return jnp.stack([self.matvec(X[:, j]) for j in range(X.shape[1])], axis=1)
+
+    def rmatmat(self, X):
+        return jnp.stack([self.rmatvec(X[:, j]) for j in range(X.shape[1])], axis=1)
+
+
+@register_pytree_node_class
+class AdjointOperator(AbstractLinearOperator):
+    def __init__(self, base):
+        self.base = base
+        self.shape = (base.shape[1], base.shape[0])
+        self.dtype = base.dtype
+
+    def matvec(self, x):
+        return self.base.rmatvec(x)
+
+    def rmatvec(self, x):
+        return self.base.matvec(x)
+
+    def matmat(self, X):
+        return self.base.rmatmat(X)
+
+    def rmatmat(self, X):
+        return self.base.matmat(X)
+
+    def solve(self, x):
+        return self.base.rsolve(x)
+
+    @property
+    def H(self):
+        return self.base
+
+    def tree_flatten(self):
+        return (self.base,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+
+@register_pytree_node_class
+class IdentityOperator(AbstractLinearOperator):
+    def __init__(self, n=None, dtype=None):
+        self.shape = (n, n) if n is not None else None
+        self.dtype = dtype
+
+    def matvec(self, x):
+        return x
+
+    rmatvec = matvec
+    solve = matvec
+    rsolve = matvec
+
+    def matmat(self, X):
+        return X
+
+    rmatmat = matmat
+
+    @property
+    def H(self):
+        return self
+
+    def tree_flatten(self):
+        return (), (self.shape, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, dtype = aux
+        return cls(shape[0] if shape else None, dtype)
+
+
+@register_pytree_node_class
+class DiagonalOperator(AbstractLinearOperator):
+    """diag(d) — the Jacobi preconditioner building block."""
+
+    def __init__(self, d):
+        self.d = d
+        self.shape = (d.shape[0], d.shape[0])
+        self.dtype = d.dtype
+
+    def matvec(self, x):
+        return self.d * x
+
+    def rmatvec(self, x):
+        return jnp.conj(self.d) * x
+
+    def solve(self, x):
+        return x / self.d
+
+    def rsolve(self, x):
+        return x / jnp.conj(self.d)
+
+    def matmat(self, X):
+        return self.d[:, None] * X
+
+    def rmatmat(self, X):
+        return jnp.conj(self.d)[:, None] * X
+
+    def tree_flatten(self):
+        return (self.d,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+
+@register_pytree_node_class
+class MatrixOperator(AbstractLinearOperator):
+    """Dense matrix operator — matvecs hit the MXU directly."""
+
+    def __init__(self, A):
+        self.A = A
+        self.shape = A.shape
+        self.dtype = A.dtype
+
+    def matvec(self, x):
+        return self.A @ x
+
+    def rmatvec(self, x):
+        return jnp.conj(self.A.T) @ x
+
+    def matmat(self, X):
+        return self.A @ X
+
+    def rmatmat(self, X):
+        return jnp.conj(self.A.T) @ X
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+
+@register_pytree_node_class
+class CSROperator(AbstractLinearOperator):
+    """CSR sparse operator; Aᴴ storage built lazily host-side when needed."""
+
+    def __init__(self, csr: CSRMatrix, csr_h: CSRMatrix = None):
+        self.csr = csr
+        self.csr_h = csr_h
+        self.shape = csr.shape
+        self.dtype = csr.dtype
+
+    def with_adjoint(self):
+        if self.csr_h is None:
+            return CSROperator(self.csr, self.csr.transpose_conj())
+        return self
+
+    def matvec(self, x):
+        return spmv(self.csr, x)
+
+    def rmatvec(self, x):
+        if self.csr_h is None:
+            raise ValueError(
+                "CSROperator needs adjoint storage: build with .with_adjoint()"
+            )
+        return spmv(self.csr_h, x)
+
+    def matmat(self, X):
+        return spmm(self.csr, X)
+
+    def rmatmat(self, X):
+        if self.csr_h is None:
+            raise ValueError(
+                "CSROperator needs adjoint storage: build with .with_adjoint()"
+            )
+        return spmm(self.csr_h, X)
+
+    def tree_flatten(self):
+        return (self.csr, self.csr_h), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+@register_pytree_node_class
+class FunctionOperator(AbstractLinearOperator):
+    """Matrix-free operator from callables (the matrix-free contract)."""
+
+    def __init__(self, matvec, shape, dtype, rmatvec=None, solve=None, rsolve=None):
+        self._matvec = matvec
+        self._rmatvec = rmatvec
+        self._solve = solve
+        self._rsolve = rsolve
+        self.shape = tuple(shape)
+        self.dtype = jnp.dtype(dtype)
+
+    def matvec(self, x):
+        return self._matvec(x)
+
+    def rmatvec(self, x):
+        if self._rmatvec is None:
+            raise ValueError("FunctionOperator built without rmatvec")
+        return self._rmatvec(x)
+
+    def solve(self, x):
+        if self._solve is None:
+            raise NotImplementedError("FunctionOperator built without solve")
+        return self._solve(x)
+
+    def rsolve(self, x):
+        if self._rsolve is None:
+            raise NotImplementedError("FunctionOperator built without rsolve")
+        return self._rsolve(x)
+
+    def tree_flatten(self):
+        return (), (self._matvec, self._rmatvec, self._solve, self._rsolve,
+                    self.shape, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        mv, rmv, sv, rsv, shape, dtype = aux
+        return cls(mv, shape, dtype, rmv, sv, rsv)
+
+
+def as_operator(A, need_adjoint=False):
+    """Coerce A (operator | dense array | CSRMatrix) to the operator protocol."""
+    if A is None:
+        return None
+    if isinstance(A, AbstractLinearOperator):
+        if need_adjoint and isinstance(A, CSROperator):
+            return A.with_adjoint()
+        return A
+    if isinstance(A, CSRMatrix):
+        op = CSROperator(A)
+        return op.with_adjoint() if need_adjoint else op
+    if isinstance(A, (jnp.ndarray, np.ndarray)) or hasattr(A, "ndim"):
+        if A.ndim != 2:
+            raise ValueError(f"expected a 2-D array, got ndim={A.ndim}")
+        return MatrixOperator(jnp.asarray(A))
+    raise TypeError(
+        f"cannot interpret {type(A).__name__} as a linear operator; "
+        "wrap callables in FunctionOperator(matvec, shape, dtype)"
+    )
+
+
+def precond_apply(M, x, ldiv=False):
+    """Apply preconditioner: identity if M is None (reference mulorldiv!)."""
+    if M is None or isinstance(M, IdentityOperator):
+        return x
+    return M.solve(x) if ldiv else M.matvec(x)
