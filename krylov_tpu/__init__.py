@@ -40,5 +40,8 @@ from .stats import (
 )
 
 from .solvers.cg import cg
+from .solvers.cr import cr, car
+from .solvers.minres import minres
+from .solvers.cg_lanczos import cg_lanczos, cg_lanczos_shift
 
 __version__ = "0.1.0"

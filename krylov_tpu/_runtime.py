@@ -56,6 +56,11 @@ SOLVED_PRIMAL_DUAL = 15
 BREAKDOWN_BETA = 16    # solver-specific breakdown variants
 BREAKDOWN_RHO = 17
 SOLVED_CG_POINT = 18
+SOLVED_LSQ = 20        # "found approximate minimum least-squares solution"
+SOLVED_ZERO = 21       # "found approximate zero-residual solution"
+FWD_ERR = 22           # "truncated forward error small enough"
+ILL_COND_MACH = 23     # "condition number seems too large for this machine"
+MIN_LSQ_X = 24         # "x is a minimum least-squares solution"
 # host-assigned:
 TIRED = 100
 OVERTIMED = 101
@@ -74,6 +79,11 @@ BASE_STATUS = {
     SOLVED_X: _stats.SOLVED_X,
     COND_EXCEEDED: "condition number exceeds tolerance",
     ERR_BOUND: "error bound small enough",
+    SOLVED_LSQ: "found approximate minimum least-squares solution",
+    SOLVED_ZERO: "found approximate zero-residual solution",
+    FWD_ERR: "truncated forward error small enough",
+    ILL_COND_MACH: "condition number seems too large for this machine",
+    MIN_LSQ_X: "x is a minimum least-squares solution",
     TIRED: _stats.TIRED,
     OVERTIMED: _stats.OVERTIMED,
 }
@@ -91,6 +101,7 @@ def is_solved_code(code):
     return int(code) in (
         SOLVED, ZERO_RESIDUAL, NPC, ON_BOUNDARY, SOLVED_AR, SOLVED_X,
         ERR_BOUND, SOLVED_PRIMAL_DUAL, SOLVED_CG_POINT,
+        SOLVED_LSQ, SOLVED_ZERO, FWD_ERR, MIN_LSQ_X,
     )
 
 
