@@ -43,5 +43,7 @@ from .solvers.cg import cg
 from .solvers.cr import cr, car
 from .solvers.minres import minres
 from .solvers.cg_lanczos import cg_lanczos, cg_lanczos_shift
+from .solvers.gmres import gmres, fgmres
+from .solvers.fom import fom, diom, dqgmres
 
 __version__ = "0.1.0"

@@ -1,0 +1,556 @@
+"""FOM, DIOM and DQGMRES for square non-Hermitian Ax = b.
+
+FOM (reference src/fom.jl): full orthogonalization method — Arnoldi with
+an LU factorization of the Hessenberg, restart support, breakdown status
+"inconsistent linear system".
+
+DIOM (reference src/diom.jl): truncated-memory FOM with circular stacks
+of basis vectors V (size mem) and update directions P (size mem-1);
+direct x update xₖ = xₖ₋₁ + ξₖ pₖ.
+
+DQGMRES (reference src/dqgmres.jl): truncated-memory GMRES with circular
+Givens rotations; residual-estimate lag accepted as in the reference.
+
+TPU notes: window dot products are masked ring matmuls; the sequential
+LU/rotation recurrences along the current Hessenberg column run in
+bounded fori_loops (length mem, static).
+"""
+
+import functools
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import _runtime as rt
+from .._dtypes import real_dtype
+from ..operators import as_operator, precond_apply
+from ..ops.kops import knorm, sym_givens
+from ..stats import SimpleStats
+
+INCONS_FOM = 28  # "inconsistent linear system"
+_FOM_STATUS = {INCONS_FOM: "inconsistent linear system"}
+
+
+# ---------------------------------------------------------------------------
+# FOM — shares the pass structure of gmres.py but with LU of H.
+# ---------------------------------------------------------------------------
+
+class FomState(NamedTuple):
+    x: jax.Array
+    V: jax.Array
+    U: jax.Array          # (mem, mem) upper factor, by columns
+    l: jax.Array          # (mem,) subdiagonal multipliers
+    z: jax.Array          # (mem,) forward-substituted rhs
+    inner_k: jax.Array
+    iter: jax.Array
+    npass: jax.Array
+    rNorm: jax.Array
+    eps_lim: jax.Array
+    status: jax.Array
+    inconsistent: jax.Array
+    hist_r: jax.Array
+
+
+def _orthogonalize(V, q, k, mem, extra_pass):
+    mask = jnp.arange(mem) <= k
+    Vm = jnp.where(mask[:, None], V, 0)
+    h = jnp.conj(Vm) @ q
+    q = q - Vm.T @ h
+    h2 = jnp.conj(Vm) @ q
+    q = q - Vm.T @ h2
+    h = h + h2
+    if extra_pass:
+        h3 = jnp.conj(Vm) @ q
+        q = q - Vm.T @ h3
+        h = h + h3
+    return q, h
+
+
+def _fom_back_substitute(U, z, k, mem):
+    FC = U.dtype
+    y0 = jnp.where(jnp.arange(mem) < k, z[:mem], 0)
+
+    def body(idx, y):
+        i = mem - 1 - idx
+        active = i < k
+        jmask = (jnp.arange(mem) > i) & (jnp.arange(mem) < k)
+        acc = y[i] - jnp.sum(jnp.where(jmask, U[i] * y, 0))
+        diag = U[i, i]
+        safe = jnp.where(diag == 0, jnp.ones((), FC), diag)
+        y = y.at[i].set(jnp.where(active, acc / safe, y[i]))
+        return y
+
+    return jax.lax.fori_loop(0, mem, body, y0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mem", "ldiv", "restart", "reorthogonalization", "history",
+        "hist_len", "callback", "verbose", "MisI", "NisI",
+    ),
+)
+def _fom_core(
+    A, M, N, b, x0, state_in, iter_cap, itmax, atol, rtol,
+    *, mem, ldiv, restart, reorthogonalization, history, hist_len,
+    callback, verbose, MisI, NisI,
+):
+    n = b.shape[0]
+    FC = b.dtype
+    T = real_dtype(FC)
+    btol = jnp.asarray(jnp.finfo(T).eps ** 0.75, T)
+
+    def M_apply(u):
+        return precond_apply(M, u, ldiv)
+
+    def N_apply(u):
+        return precond_apply(N, u, ldiv)
+
+    if state_in is None:
+        if restart and x0 is not None:
+            x = x0
+        else:
+            x = jnp.zeros(n, FC)
+        w = b if x0 is None else b - A.matvec(x0)
+        r0 = M_apply(w)
+        beta = knorm(r0)
+        eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * beta
+        status = jnp.where(beta == 0, jnp.int32(rt.ZERO_RESIDUAL),
+                           jnp.where(beta <= eps_lim, jnp.int32(rt.SOLVED),
+                                     jnp.int32(rt.RUNNING)))
+        safe_b = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        V = jnp.zeros((mem, n), FC).at[0].set(r0 / safe_b.astype(FC))
+        z = jnp.zeros((mem,), FC).at[0].set(beta.astype(FC))
+        hist = rt.hist_init(hist_len, T)
+        hist = rt.hist_write(hist, 0, beta, history)
+        state = FomState(
+            x=x, V=V, U=jnp.zeros((mem, mem), FC), l=jnp.zeros((mem,), FC),
+            z=z, inner_k=jnp.int32(0), iter=jnp.int32(0), npass=jnp.int32(1),
+            rNorm=beta, eps_lim=eps_lim, status=status,
+            inconsistent=jnp.zeros((), jnp.bool_), hist_r=hist,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        k = s.inner_k
+        vk = s.V[k]
+        p = N_apply(vk)
+        w = A.matvec(p)
+        q = M_apply(w)
+        q, hcol = _orthogonalize(s.V, q, k, mem, reorthogonalization)
+        Hbis = knorm(q)
+
+        # LU column update: uᵢ.ₖ = hᵢ.ₖ - lᵢ₋₁ uᵢ₋₁.ₖ sequentially
+        # (reference src/fom.jl:274-280).
+        def lu_body(i, col):
+            active = (i >= 1) & (i <= k)
+            new = col[i] - s.l[i - 1] * col[i - 1]
+            return col.at[i].set(jnp.where(active, new, col[i]))
+        ucol = jax.lax.fori_loop(1, mem, lu_body, hcol)
+
+        ukk = ucol[k]
+        safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
+        # ζₖ = -lₖ₋₁ ζₖ₋₁  (z[0] = β set at pass init)
+        z_new = jnp.where(
+            k >= 1,
+            s.z.at[k].set(-s.l[k - 1] * s.z[k - 1]),
+            s.z,
+        )
+        l_new = s.l.at[k].set(Hbis.astype(FC) / safe_u)
+        U_new = s.U.at[:, k].set(
+            jnp.where(jnp.arange(mem) <= k, ucol, s.U[:, k])
+        )
+
+        rNorm = Hbis * jnp.abs(z_new[k] / safe_u)
+        it = s.iter + 1
+        kk = k + 1
+
+        resid_decrease = (rNorm <= s.eps_lim) | ((rNorm + 1.0) <= 1.0)
+        breakdown = Hbis <= btol
+        tired = it >= itmax
+        inner_tired = kk >= mem
+        inner_done = resid_decrease | breakdown | tired | inner_tired
+        glob_done = resid_decrease | breakdown | tired
+
+        cont = ~inner_done
+        safe_H = jnp.where(Hbis == 0, jnp.ones_like(Hbis), Hbis)
+        V_next = s.V.at[(k + 1) % mem].set(
+            jnp.where(cont, q / safe_H.astype(FC), s.V[(k + 1) % mem])
+        )
+
+        mid = s._replace(V=V_next, U=U_new, l=l_new, z=z_new,
+                         inner_k=kk, iter=it, rNorm=rNorm)
+
+        def finalize(ms):
+            y = _fom_back_substitute(ms.U, ms.z, kk, mem)
+            xr = ms.V.T @ y
+            if not NisI:
+                xr = N_apply(xr)
+            x_fin = ms.x + xr
+
+            def reinit(xf):
+                w2 = b - A.matvec(xf)
+                r0 = M_apply(w2)
+                beta = knorm(r0)
+                safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+                Vr = jnp.zeros((mem, n), FC).at[0].set(r0 / safe.astype(FC))
+                zr = jnp.zeros((mem,), FC).at[0].set(beta.astype(FC))
+                return Vr, zr, beta
+
+            def keep(xf):
+                return ms.V, ms.z, ms.rNorm
+
+            Vr, zr, beta_r = jax.lax.cond(~glob_done, reinit, keep, x_fin)
+
+            # Status (reference src/fom.jl:355-359, later wins).
+            code = jnp.int32(rt.TIRED)
+            code = jnp.where(breakdown, jnp.int32(INCONS_FOM), code)
+            code = jnp.where(resid_decrease, jnp.int32(rt.SOLVED), code)
+            code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
+
+            return ms._replace(
+                x=x_fin, V=Vr, z=zr,
+                U=jnp.where(glob_done, ms.U, jnp.zeros_like(ms.U)),
+                l=jnp.where(glob_done, ms.l, jnp.zeros_like(ms.l)),
+                inner_k=jnp.int32(0),
+                npass=jnp.where(glob_done, ms.npass, ms.npass + 1),
+                rNorm=beta_r, status=code,
+                inconsistent=ms.inconsistent
+                | (breakdown & ~resid_decrease),
+            )
+
+        s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
+        s_out = s_out._replace(hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
+        if callback is not None:
+            user_exit = callback(s_out)
+            s_out = s_out._replace(
+                status=jnp.where(user_exit & (s_out.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_out.status)
+            )
+        return s_out
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _fom_solve(
+    A, b, x0=None, *, M=None, N=None, ldiv=False, restart=False,
+    reorthogonalization=False, memory=20, atol=None, rtol=None, itmax=0,
+    timemax=float("inf"), verbose=0, history=False, callback=None,
+    memory_cap=512,
+):
+    start = time.perf_counter()
+    A = as_operator(A)
+    M = as_operator(M)
+    N = as_operator(N)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if A.shape is not None:
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("System must be square")
+        if A.shape[1] != n:
+            raise ValueError("Inconsistent problem size")
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, 2 * n)
+    mem = min(int(memory), itmax) if restart else min(itmax, memory_cap)
+    mem = max(mem, 2)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    eff_restart = bool(restart) or mem < itmax
+
+    def run(state, cap):
+        return _fom_core(
+            A, M, N, b, x0, state, jnp.int32(cap), jnp.int32(itmax),
+            atol, rtol, mem=mem, ldiv=bool(ldiv), restart=eff_restart,
+            reorthogonalization=bool(reorthogonalization),
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose), MisI=M is None, NisI=N is None,
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    if x0 is not None and not eff_restart:
+        x = x + x0
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code),
+        inconsistent=bool(state.inconsistent),
+        residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code, _FOM_STATUS),
+    )
+    return x, stats, state
+
+
+def fom(A, b, x0=None, **kwargs):
+    """x, stats = fom(A, b; memory=20, restart=False, ...)."""
+    x, stats, _ = _fom_solve(A, b, x0, **kwargs)
+    return x, stats
+
+
+# ---------------------------------------------------------------------------
+# DIOM / DQGMRES — truncated-memory methods with circular stacks.
+# ---------------------------------------------------------------------------
+
+class TruncState(NamedTuple):
+    x: jax.Array
+    V: jax.Array          # (mem, n) circular basis
+    P: jax.Array          # (mP, n) circular update directions
+    L: jax.Array          # diom: (mem-1,) pivots; dqgmres: (mem,) cosines
+    Ssin: jax.Array       # dqgmres: (mem,) sines; diom: unused (0,)
+    xi: jax.Array         # diom: ξₖ scalar; dqgmres: γₖ
+    rNorm: jax.Array
+    eps_lim: jax.Array
+    iter: jax.Array
+    status: jax.Array
+    hist_r: jax.Array
+
+
+def _ring_window_dots(V, w, k, mem):
+    """⟨vᵢ, w⟩ for every valid ring slot; returns (h_slots, i_idx, valid)."""
+    j = jnp.arange(mem)
+    pos = jnp.mod(k, mem)
+    i_idx = k - jnp.mod(pos - j, mem)
+    valid = i_idx >= 0
+    Vm = jnp.where(valid[:, None], V, 0)
+    h = jnp.conj(Vm) @ w
+    return h, i_idx, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mem", "ldiv", "variant", "reorthogonalization", "history",
+        "hist_len", "callback", "verbose", "MisI", "NisI",
+    ),
+)
+def _trunc_core(
+    A, M, N, b, x0, state_in, iter_cap, atol, rtol,
+    *, mem, ldiv, variant, reorthogonalization, history, hist_len,
+    callback, verbose, MisI, NisI,
+):
+    """variant: 'diom' or 'dqgmres'."""
+    n = b.shape[0]
+    FC = b.dtype
+    T = real_dtype(FC)
+    diom = variant == "diom"
+    mP = (mem - 1) if diom else mem
+
+    def M_apply(u):
+        return precond_apply(M, u, ldiv)
+
+    def N_apply(u):
+        return precond_apply(N, u, ldiv)
+
+    if state_in is None:
+        x = jnp.zeros(n, FC)
+        w = b if x0 is None else b - A.matvec(x0)
+        r0 = M_apply(w)
+        beta = knorm(r0)
+        eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * beta
+        status = jnp.where(beta == 0, jnp.int32(rt.ZERO_RESIDUAL),
+                           jnp.where(beta <= eps_lim, jnp.int32(rt.SOLVED),
+                                     jnp.int32(rt.RUNNING)))
+        safe_b = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        V = jnp.zeros((mem, n), FC).at[0].set(r0 / safe_b.astype(FC))
+        hist = rt.hist_init(hist_len, T)
+        hist = rt.hist_write(hist, 0, beta, history)
+        state = TruncState(
+            x=x, V=V, P=jnp.zeros((mP, n), FC),
+            L=jnp.zeros((mem,), FC) if diom else jnp.zeros((mem,), T),
+            Ssin=jnp.zeros((0,), FC) if diom else jnp.zeros((mem,), FC),
+            xi=beta.astype(FC), rNorm=beta, eps_lim=eps_lim,
+            iter=jnp.int32(0), status=status, hist_r=hist,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        k = s.iter                      # 0-based column index
+        it1 = k + 1                     # 1-based iteration (reference iter)
+        pos = jnp.mod(k, mem)
+        vk = s.V[pos]
+        z = N_apply(vk)
+        t = A.matvec(z)
+        w = M_apply(t)
+
+        # Window orthogonalization (masked ring dots → CGS over window).
+        h_slots, i_idx, valid = _ring_window_dots(s.V, w, k, mem)
+        w = w - s.V.T @ jnp.where(valid, h_slots, 0)
+        if reorthogonalization:
+            h2, _, _ = _ring_window_dots(s.V, w, k, mem)
+            h_slots = h_slots + jnp.where(valid, h2, 0)
+            w = w - s.V.T @ jnp.where(valid, h2, 0)
+        Haux = knorm(w)
+
+        # Diagonal-indexed column H[diag], diag = k - i + 1 ∈ [1, mem].
+        diag_idx = jnp.where(valid, k - i_idx + 1, 0)
+        H = jnp.zeros((mem + 2,), FC).at[diag_idx].add(
+            jnp.where(valid, h_slots, 0)
+        )
+        H = H.at[0].set(0)
+
+        if diom:
+            # LU column update (reference src/diom.jl:251-266).
+            def lu_body(o, carry):
+                Hc, xi = carry
+                i = jnp.maximum(2, it1 - mem + 2) + o      # 1-based row
+                active = i <= it1
+                lslot = jnp.mod(i - 1, mem - 1)
+                diag = it1 - i + 1
+                newv = Hc[diag] - s.L[lslot] * Hc[diag + 1]
+                Hc = Hc.at[diag].set(jnp.where(active, newv, Hc[diag]))
+                xi = jnp.where(active & (i == it1), -s.L[lslot] * xi, xi)
+                return Hc, xi
+            H, xi = jax.lax.fori_loop(0, mem, lu_body, (H, s.xi))
+            ukk = H[1]
+            safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
+            L_new = s.L.at[jnp.mod(it1, mem - 1)].set(Haux.astype(FC) / safe_u)
+            Ssin_new = s.Ssin
+            gamma_step = xi          # x += ξ·pₖ with pₖ already /u
+            rNorm = Haux * jnp.abs(xi / safe_u)
+            xi_next = xi
+            denom = safe_u
+        else:
+            # Apply previous rotations (reference src/dqgmres.jl:257-266).
+            def rot_body(o, Hc):
+                i = jnp.maximum(1, it1 - mem) + o          # 1-based
+                active = i <= it1 - 1
+                slot = jnp.mod(i - 1, mem)
+                diag = it1 - i
+                ci = s.L[slot]
+                si = s.Ssin[slot]
+                tmp = ci * Hc[diag + 1] + si * Hc[diag]
+                low = jnp.conj(si) * Hc[diag + 1] - ci * Hc[diag]
+                Hc = Hc.at[diag].set(jnp.where(active, low, Hc[diag]))
+                Hc = Hc.at[diag + 1].set(jnp.where(active, tmp, Hc[diag + 1]))
+                return Hc
+            H = jax.lax.fori_loop(0, mem, rot_body, H)
+            ck, sk, rkk = sym_givens(H[1], Haux.astype(FC))
+            H = H.at[1].set(jnp.asarray(rkk, FC))
+            L_new = s.L.at[pos].set(jnp.real(ck))
+            Ssin_new = s.Ssin.at[pos].set(jnp.asarray(sk, FC))
+            gamma_next = jnp.conj(jnp.asarray(sk, FC)) * s.xi
+            gamma_k = jnp.real(ck).astype(FC) * s.xi
+            gamma_step = gamma_k
+            rNorm = jnp.abs(gamma_next)
+            xi_next = gamma_next
+            safe_u = jnp.where(H[1] == 0, jnp.ones((), FC), H[1])
+            denom = safe_u
+
+        # Direction pₖ from the P ring (sum over window, masked).
+        jP = jnp.arange(mP)
+        iP = (k - 1) - jnp.mod((k - 1) - jP, mP)     # index stored in P slot
+        lowP = (k - mem + 1) if diom else (k - mem)
+        validP = (iP >= 0) & (iP >= lowP) & (iP <= k - 1)
+        diagP = k - iP + 1
+        coef = H[jnp.where(validP, diagP, 0)]
+        coef = jnp.where(validP, coef, 0)
+        psum = s.P.T @ coef
+        p_new = (z - psum) / denom
+        ppos = jnp.mod(k, mP)
+        P_new = s.P.at[ppos].set(p_new)
+
+        x_new = s.x + gamma_step * p_new
+
+        # Next basis vector (lucky breakdown keeps the slot).
+        safe_H = jnp.where(Haux == 0, jnp.ones_like(Haux), Haux)
+        next_pos = jnp.mod(k + 1, mem)
+        V_new = s.V.at[next_pos].set(
+            jnp.where(Haux != 0, w / safe_H.astype(FC), s.V[next_pos])
+        )
+
+        it = k + 1
+        solved = (rNorm <= s.eps_lim) | ((rNorm + 1.0) <= 1.0)
+        code = jnp.where(solved, jnp.int32(rt.SOLVED), jnp.int32(rt.RUNNING))
+        hist = rt.hist_write(s.hist_r, it, rNorm, history)
+        s_new = s._replace(
+            x=x_new, V=V_new, P=P_new, L=L_new, Ssin=Ssin_new,
+            xi=xi_next, rNorm=rNorm, iter=it, status=code, hist_r=hist,
+        )
+        if callback is not None:
+            user_exit = callback(s_new)
+            s_new = s_new._replace(
+                status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_new.status)
+            )
+        return s_new
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _trunc_solve(
+    variant, A, b, x0=None, *, M=None, N=None, ldiv=False,
+    reorthogonalization=False, memory=20, atol=None, rtol=None, itmax=0,
+    timemax=float("inf"), verbose=0, history=False, callback=None,
+):
+    start = time.perf_counter()
+    A = as_operator(A)
+    M = as_operator(M)
+    N = as_operator(N)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if A.shape is not None:
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("System must be square")
+        if A.shape[1] != n:
+            raise ValueError("Inconsistent problem size")
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, 2 * n)
+    mem = max(int(memory), 2)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    def run(state, cap):
+        return _trunc_core(
+            A, M, N, b, x0, state, jnp.int32(cap), atol, rtol,
+            mem=mem, ldiv=bool(ldiv), variant=variant,
+            reorthogonalization=bool(reorthogonalization),
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose), MisI=M is None, NisI=N is None,
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    if x0 is not None:
+        x = x + x0
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code),
+        inconsistent=False,
+        residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return x, stats, state
+
+
+def diom(A, b, x0=None, **kwargs):
+    """x, stats = diom(A, b; memory=20, ...) — truncated FOM."""
+    x, stats, _ = _trunc_solve("diom", A, b, x0, **kwargs)
+    return x, stats
+
+
+def dqgmres(A, b, x0=None, **kwargs):
+    """x, stats = dqgmres(A, b; memory=20, ...) — truncated GMRES."""
+    x, stats, _ = _trunc_solve("dqgmres", A, b, x0, **kwargs)
+    return x, stats

@@ -1,0 +1,345 @@
+"""GMRES and FGMRES for square non-Hermitian Ax = b.
+
+Parity with reference src/gmres.jl / src/fgmres.jl: left/right
+preconditioning (M, N), GMRES(k) restarts via Δx accumulation, Givens-QR
+of the Hessenberg, singular-R inconsistency detection, breakdown
+detection (h_{k+1,k} ≤ eps^(3/4)), warm start, history, callback.
+
+TPU-first deviations (documented, SURVEY.md §7.2):
+- Orthogonalization is classical Gram-Schmidt with a mandatory second
+  pass (CGS2) expressed as two masked (mem,n)×(n,) matmuls per iteration,
+  instead of the reference's sequential MGS (src/gmres.jl:259-262) —
+  equivalent stability, MXU-friendly.  ``reorthogonalization=True`` adds
+  a third pass.
+- Without restart, the reference grows its basis dynamically
+  (src/gmres.jl:244-252); jit requires static shapes, so the basis is
+  preallocated at min(itmax, memory_cap) and the solve transparently
+  falls back to restarted passes if that cap is hit.
+- A breakdown exit with neither convergence nor inconsistency reports
+  status "breakdown" (the reference leaves "unknown").
+"""
+
+import functools
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import _runtime as rt
+from .._dtypes import real_dtype
+from ..operators import as_operator, precond_apply
+from ..ops.kops import knorm, sym_givens
+from ..stats import SimpleStats
+
+
+class GmresState(NamedTuple):
+    x: jax.Array          # accumulated solution (origin 0, or x0 for restart)
+    V: jax.Array          # (mem, n) Krylov basis
+    Z: jax.Array          # (mem, n) flexible-precond directions (fgmres) or (0,)
+    R: jax.Array          # (mem, mem) upper-triangular factor (by columns)
+    c: jax.Array          # (mem,) Givens cosines (real)
+    s: jax.Array          # (mem,) Givens sines (FC)
+    z: jax.Array          # (mem+1,) transformed rhs
+    inner_k: jax.Array    # 0-based position in current pass
+    iter: jax.Array       # cumulative iterations
+    npass: jax.Array
+    rNorm: jax.Array
+    eps_lim: jax.Array
+    status: jax.Array
+    inconsistent: jax.Array
+    hist_r: jax.Array
+
+
+def _orthogonalize(V, q, k, mem, extra_pass):
+    """CGS2 (+ optional third pass): project q against V[0..k]."""
+    mask = jnp.arange(mem) <= k
+    Vm = jnp.where(mask[:, None], V, 0)
+    h = jnp.conj(Vm) @ q
+    q = q - Vm.T @ h
+    h2 = jnp.conj(Vm) @ q
+    q = q - Vm.T @ h2
+    h = h + h2
+    if extra_pass:
+        h3 = jnp.conj(Vm) @ q
+        q = q - Vm.T @ h3
+        h = h + h3
+    return q, h
+
+
+def _apply_prev_rotations(hcol, c, s, k, mem):
+    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked)."""
+    def body(i, hcol):
+        active = i < k
+        hi, hi1 = hcol[i], hcol[i + 1]
+        new_i = c[i] * hi + s[i] * hi1
+        new_i1 = jnp.conj(s[i]) * hi - c[i] * hi1
+        hcol = hcol.at[i].set(jnp.where(active, new_i, hi))
+        hcol = hcol.at[i + 1].set(jnp.where(active, new_i1, hi1))
+        return hcol
+    return jax.lax.fori_loop(0, mem, body, hcol)
+
+
+def _back_substitute(R, z, k, mem, btol):
+    """Solve R[0:k,0:k] y = z[0:k]; zero singular pivots
+    (reference src/gmres.jl:330-345).  Returns (y, inconsistent)."""
+    FC = R.dtype
+    y0 = jnp.where(jnp.arange(mem) < k, z[:mem], 0)
+
+    def body(idx, carry):
+        y, inconsistent = carry
+        i = mem - 1 - idx
+        active = i < k
+        jmask = (jnp.arange(mem) > i) & (jnp.arange(mem) < k)
+        acc = y[i] - jnp.sum(jnp.where(jmask, R[i] * y, 0))
+        diag = R[i, i]
+        sing = jnp.abs(diag) <= btol
+        yi = jnp.where(sing, jnp.zeros((), FC),
+                       acc / jnp.where(sing, jnp.ones((), FC), diag))
+        y = y.at[i].set(jnp.where(active, yi, y[i]))
+        inconsistent = inconsistent | (active & sing)
+        return y, inconsistent
+
+    return jax.lax.fori_loop(0, mem, body, (y0, jnp.zeros((), jnp.bool_)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mem", "ldiv", "restart", "flexible", "reorthogonalization",
+        "history", "hist_len", "callback", "verbose", "MisI", "NisI",
+    ),
+)
+def _gmres_core(
+    A, M, N, b, x0, state_in, iter_cap, itmax, atol, rtol,
+    *, mem, ldiv, restart, flexible, reorthogonalization,
+    history, hist_len, callback, verbose, MisI, NisI,
+):
+    n = b.shape[0]
+    FC = b.dtype
+    T = real_dtype(FC)
+    btol = jnp.asarray(jnp.finfo(T).eps ** 0.75, T)
+
+    def M_apply(u):
+        return precond_apply(M, u, ldiv)
+
+    def N_apply(u):
+        return precond_apply(N, u, ldiv)
+
+    z_len = mem + 1
+
+    if state_in is None:
+        if restart and x0 is not None:
+            x = x0
+        else:
+            x = jnp.zeros(n, FC)
+        w = b if x0 is None else b - A.matvec(x0)
+        r0 = M_apply(w)
+        beta = knorm(r0)
+        eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * beta
+        status = jnp.where(beta == 0, jnp.int32(rt.ZERO_RESIDUAL),
+                           jnp.where(beta <= eps_lim, jnp.int32(rt.SOLVED),
+                                     jnp.int32(rt.RUNNING)))
+        safe_b = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        V = jnp.zeros((mem, n), FC).at[0].set(r0 / safe_b.astype(FC))
+        z = jnp.zeros((z_len,), FC).at[0].set(beta.astype(FC))
+        hist = rt.hist_init(hist_len, T)
+        hist = rt.hist_write(hist, 0, beta, history)
+        state = GmresState(
+            x=x, V=V,
+            Z=jnp.zeros((mem, n), FC) if flexible else jnp.zeros((0,), FC),
+            R=jnp.zeros((mem, mem), FC),
+            c=jnp.zeros((mem,), T), s=jnp.zeros((mem,), FC),
+            z=z, inner_k=jnp.int32(0), iter=jnp.int32(0),
+            npass=jnp.int32(1), rNorm=beta, eps_lim=eps_lim,
+            status=status, inconsistent=jnp.zeros((), jnp.bool_),
+            hist_r=hist,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        k = s.inner_k
+        vk = s.V[k]
+        p = N_apply(vk)
+        w = A.matvec(p)
+        q = M_apply(w)
+
+        q, hcol = _orthogonalize(s.V, q, k, mem, reorthogonalization)
+        Hbis = knorm(q)
+
+        hcol_ext = jnp.zeros((mem + 1,), FC).at[:mem].set(hcol)
+        hcol_ext = _apply_prev_rotations(hcol_ext, s.c, s.s, k, mem)
+        ck, sk, rkk = sym_givens(hcol_ext[k], Hbis.astype(FC))
+        c_new = s.c.at[k].set(jnp.real(ck))
+        s_new = s.s.at[k].set(jnp.asarray(sk, FC))
+        Rcol = hcol_ext[:mem].at[k].set(jnp.asarray(rkk, FC))
+        R_new = s.R.at[:, k].set(
+            jnp.where(jnp.arange(mem) <= k, Rcol, s.R[:, k])
+        )
+        zeta_next = jnp.conj(jnp.asarray(sk, FC)) * s.z[k]
+        z_new = s.z.at[k].set(jnp.real(ck).astype(FC) * s.z[k])
+
+        rNorm = jnp.abs(zeta_next)
+        it = s.iter + 1
+        kk = k + 1
+
+        resid_decrease = (rNorm <= s.eps_lim) | ((rNorm + 1.0) <= 1.0)
+        breakdown = Hbis <= btol
+        tired = it >= itmax
+        inner_tired = kk >= mem
+        inner_done = resid_decrease | breakdown | tired | inner_tired
+        glob_done = resid_decrease | breakdown | tired
+
+        Z_new = s.Z.at[k].set(p) if flexible else s.Z
+
+        # Continuing within the pass: write the next basis vector.
+        cont = ~inner_done
+        safe_H = jnp.where(Hbis == 0, jnp.ones_like(Hbis), Hbis)
+        V_next = s.V.at[(k + 1) % mem].set(
+            jnp.where(cont, q / safe_H.astype(FC), s.V[(k + 1) % mem])
+        )
+        z_cont = z_new.at[k + 1].set(jnp.where(cont, zeta_next, z_new[k + 1]))
+
+        mid = s._replace(
+            x=s.x, V=V_next, Z=Z_new, R=R_new, c=c_new, s=s_new, z=z_cont,
+            inner_k=kk, iter=it, rNorm=rNorm,
+        )
+
+        def finalize(ms):
+            y, sing = _back_substitute(ms.R, ms.z, kk, mem, btol)
+            if flexible:
+                xr = ms.Z.T @ y
+            else:
+                xr = ms.V.T @ y
+                if not NisI:
+                    xr = N_apply(xr)
+            x_fin = ms.x + xr
+            inconsistent = ms.inconsistent | sing
+
+            # Restart re-init (pass not globally done).
+            def reinit(xf):
+                w2 = b - A.matvec(xf)
+                r0 = M_apply(w2)
+                beta = knorm(r0)
+                safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+                Vr = jnp.zeros((mem, n), FC).at[0].set(r0 / safe.astype(FC))
+                zr = jnp.zeros((z_len,), FC).at[0].set(beta.astype(FC))
+                return Vr, zr, beta
+
+            def keep(xf):
+                return ms.V, ms.z, ms.rNorm
+
+            Vr, zr, beta_r = jax.lax.cond(~glob_done, reinit, keep, x_fin)
+
+            # Exit-status chain (reference src/gmres.jl:367-371, later wins).
+            code = jnp.int32(rt.BREAKDOWN)
+            code = jnp.where(tired, jnp.int32(rt.TIRED), code)
+            code = jnp.where(resid_decrease, jnp.int32(rt.SOLVED), code)
+            code = jnp.where(inconsistent, jnp.int32(rt.INCONSISTENT), code)
+            code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
+
+            return ms._replace(
+                x=x_fin, V=Vr, z=zr,
+                R=jnp.where(glob_done, ms.R, jnp.zeros_like(ms.R)),
+                c=jnp.where(glob_done, ms.c, jnp.zeros_like(ms.c)),
+                s=jnp.where(glob_done, ms.s, jnp.zeros_like(ms.s)),
+                inner_k=jnp.int32(0),
+                npass=jnp.where(glob_done, ms.npass, ms.npass + 1),
+                rNorm=beta_r, status=code, inconsistent=inconsistent,
+            )
+
+        s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
+        hist = rt.hist_write(s_out.hist_r, it, rNorm, history)
+        s_out = s_out._replace(hist_r=hist)
+
+        if callback is not None:
+            user_exit = callback(s_out)
+            s_out = s_out._replace(
+                status=jnp.where(user_exit & (s_out.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_out.status)
+            )
+        if verbose > 0:
+            jax.debug.print("{:5d}  {:5d}  {:8.1e}  {:8.1e}",
+                            s_out.npass, it, rNorm, Hbis)
+        return s_out
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _gmres_like_solve(
+    flexible, A, b, x0=None, *, M=None, N=None, ldiv=False, restart=False,
+    reorthogonalization=False, memory=20, atol=None, rtol=None, itmax=0,
+    timemax=float("inf"), verbose=0, history=False, callback=None,
+    memory_cap=512,
+):
+    start = time.perf_counter()
+    A = as_operator(A)
+    M = as_operator(M)
+    N = as_operator(N)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if A.shape is not None:
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("System must be square")
+        if A.shape[1] != n:
+            raise ValueError("Inconsistent problem size")
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, 2 * n)
+    if restart:
+        mem = min(int(memory), itmax)
+    else:
+        # Static-shape analogue of dynamic growth: preallocate up to the
+        # cap; beyond it the solve continues as restarted passes.
+        mem = min(itmax, memory_cap)
+    mem = max(mem, 1)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    eff_restart = bool(restart) or mem < itmax
+
+    def run(state, cap):
+        return _gmres_core(
+            A, M, N, b, x0, state, jnp.int32(cap), jnp.int32(itmax),
+            atol, rtol,
+            mem=mem, ldiv=bool(ldiv), restart=eff_restart,
+            flexible=bool(flexible),
+            reorthogonalization=bool(reorthogonalization),
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose), MisI=M is None, NisI=N is None,
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    if x0 is not None and not eff_restart:
+        x = x + x0
+
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code),
+        inconsistent=bool(state.inconsistent),
+        residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return x, stats, state
+
+
+def gmres(A, b, x0=None, **kwargs):
+    """x, stats = gmres(A, b; memory=20, restart=False, ...)."""
+    x, stats, _ = _gmres_like_solve(False, A, b, x0, **kwargs)
+    return x, stats
+
+
+def fgmres(A, b, x0=None, **kwargs):
+    """x, stats = fgmres(A, b; ...) — flexible right preconditioning."""
+    x, stats, _ = _gmres_like_solve(True, A, b, x0, **kwargs)
+    return x, stats
