@@ -45,5 +45,10 @@ from .solvers.minres import minres
 from .solvers.cg_lanczos import cg_lanczos, cg_lanczos_shift
 from .solvers.gmres import gmres, fgmres
 from .solvers.fom import fom, diom, dqgmres
+from .solvers.bicgstab import bicgstab, cgs
+from .solvers.lsqr import lsqr
+from .solvers.lsmr import lsmr
+from .solvers.cgls import cgls, crls, cgls_lanczos_shift
+from .solvers.cgne import cgne, crmr
 
 __version__ = "0.1.0"
