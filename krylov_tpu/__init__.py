@@ -50,5 +50,8 @@ from .solvers.lsqr import lsqr
 from .solvers.lsmr import lsmr
 from .solvers.cgls import cgls, crls, cgls_lanczos_shift
 from .solvers.cgne import cgne, crmr
+from .solvers.symmlq import symmlq
+from .solvers.minres_qlp import minres_qlp
+from .solvers.minares import minares
 
 __version__ = "0.1.0"
