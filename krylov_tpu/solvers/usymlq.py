@@ -1,0 +1,771 @@
+"""USYMLQ, USYMQR, TriLQR, USYMLQR — Saunders-Simon-Yip tridiagonalization.
+
+Parity with reference src/usymlq.jl (LQ, transfer_to_usymcg),
+src/usymqr.jl (QR, ‖Aᴴr‖ inconsistency test), src/trilqr.jl (adjoint
+systems Ax = b / Aᴴy = c with AdjointStats) and src/usymlqr.jl
+(least-squares/least-norm saddle-point systems).  The SSY process builds
+two orthonormal bases: AUₖ = Vₖ₊₁Tₖ₊₁.ₖ and AᴴVₖ = Uₖ₊₁(Tₖ.ₖ₊₁)ᴴ
+with v ∈ ℂᵐ driven by b and u ∈ ℂⁿ driven by c.
+"""
+
+import functools
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import _runtime as rt
+from .._dtypes import real_dtype
+from ..operators import as_operator
+from ..ops.kops import kdot, knorm, sym_givens
+from ..stats import SimpleStats, AdjointStats
+
+SOLVED_LQ_PT = 35
+SOLVED_CG_PT2 = 36
+_STATUS = {
+    SOLVED_LQ_PT: "solution xᴸ good enough given atol and rtol",
+    SOLVED_CG_PT2: "solution xᶜ good enough given atol and rtol",
+}
+
+
+def _safe(d):
+    return jnp.where(d == 0, jnp.ones_like(d), d)
+
+
+def _ssy_step(A, vk, uk, vkm1, ukm1, beta_k, gamma_k, it, FC):
+    """One SSY tridiagonalization step (reference usymlq :204-224)."""
+    q = A.matvec(uk)
+    p = A.rmatvec(vk)
+    q = jnp.where(it >= 2, q - gamma_k.astype(FC) * vkm1, q)
+    p = jnp.where(it >= 2, p - beta_k.astype(FC) * ukm1, p)
+    alpha = kdot(vk, q)
+    q = q - alpha * vk
+    p = p - jnp.conj(alpha) * uk
+    beta_kp1 = knorm(q)
+    gamma_kp1 = knorm(p)
+    return q, p, alpha, beta_kp1, gamma_kp1
+
+
+# ---------------------------------------------------------------------------
+# USYMLQ
+# ---------------------------------------------------------------------------
+
+class UsymlqState(NamedTuple):
+    x: jax.Array
+    vk: jax.Array
+    vkm1: jax.Array
+    uk: jax.Array
+    ukm1: jax.Array
+    dbar_vec: jax.Array
+    beta: jax.Array
+    gamma: jax.Array
+    c_km1: jax.Array
+    s_km1: jax.Array
+    dbar_km1: jax.Array
+    zeta_km1: jax.Array
+    zeta_km2: jax.Array
+    eta_km1: jax.Array
+    zetabar: jax.Array
+    rNorm: jax.Array
+    eps_lim: jax.Array
+    iter: jax.Array
+    status: jax.Array
+    solved_cg_flag: jax.Array
+    hist_r: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("transfer_to_usymcg", "history", "hist_len", "callback",
+                     "verbose"),
+)
+def _usymlq_core(
+    A, b, c, x0, state_in, iter_cap, atol, rtol,
+    *, transfer_to_usymcg, history, hist_len, callback, verbose,
+):
+    m, n = A.shape
+    FC = b.dtype
+    T = real_dtype(FC)
+    eps_T = jnp.finfo(T).eps
+
+    if state_in is None:
+        x = jnp.zeros(n, FC)
+        r0 = b if x0 is None else b - A.matvec(x0)
+        bNorm = knorm(r0)
+        beta = knorm(r0)
+        gamma = knorm(c)
+        vk = r0 / _safe(beta).astype(FC)
+        uk = c / _safe(gamma).astype(FC)
+        eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * bNorm
+        status = jnp.where(bNorm == 0, jnp.int32(rt.ZERO_RESIDUAL),
+                           jnp.where(bNorm <= eps_lim, jnp.int32(SOLVED_LQ_PT),
+                                     jnp.int32(rt.RUNNING)))
+        zc = jnp.zeros((), FC)
+        hist = rt.hist_init(hist_len, T)
+        hist = rt.hist_write(hist, 0, bNorm, history)
+        state = UsymlqState(
+            x=x, vk=vk, vkm1=jnp.zeros(m, FC), uk=uk, ukm1=jnp.zeros(n, FC),
+            dbar_vec=jnp.zeros(n, FC),
+            beta=beta, gamma=gamma,
+            c_km1=-jnp.ones((), T), s_km1=zc,
+            dbar_km1=zc, zeta_km1=zc, zeta_km2=zc, eta_km1=zc, zetabar=zc,
+            rNorm=bNorm, eps_lim=eps_lim,
+            iter=jnp.int32(0), status=status,
+            solved_cg_flag=jnp.zeros((), jnp.bool_), hist_r=hist,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        it = s.iter + 1
+        q, p, alpha, beta_kp1, gamma_kp1 = _ssy_step(
+            A, s.vk, s.uk, s.vkm1, s.ukm1, s.beta, s.gamma, it, FC)
+
+        ck_g, sk_g, d_km1 = sym_givens(s.dbar_km1, s.gamma.astype(FC))
+        ck = jnp.where(it == 1, -jnp.ones((), T), ck_g)
+        sk = jnp.where(it == 1, jnp.zeros((), FC), jnp.asarray(sk_g, FC))
+        eps_km2 = s.s_km1 * s.beta.astype(FC)
+        lam2 = ck * s.beta.astype(FC) + sk * alpha
+        dbar2 = jnp.conj(sk) * s.beta.astype(FC) - ck * alpha
+        lam3 = -s.c_km1 * ck * s.beta.astype(FC) + sk * alpha
+        dbar3 = -s.c_km1 * jnp.conj(sk) * s.beta.astype(FC) - ck * alpha
+        lam_km1 = jnp.where(it == 2, lam2, lam3)
+        dbar_k = jnp.where(it == 1, alpha, jnp.where(it == 2, dbar2, dbar3))
+
+        zeta_km1_new = jnp.where(it >= 2, s.eta_km1 / _safe(d_km1), s.zeta_km1)
+        zeta_km2_new = jnp.where(it >= 3, s.zeta_km1, s.zeta_km2)
+        eta_k = jnp.where(
+            it == 1, s.beta.astype(FC),
+            jnp.where(it == 2, -lam_km1 * zeta_km1_new,
+                      -eps_km2 * zeta_km2_new - lam_km1 * zeta_km1_new))
+
+        x_new = jnp.where(
+            it >= 2,
+            s.x + (zeta_km1_new * ck).astype(FC) * s.dbar_vec
+            + (zeta_km1_new * sk) * s.uk,
+            s.x)
+        dbar_vec_new = jnp.where(
+            it == 1, s.uk,
+            jnp.conj(sk) * s.dbar_vec - ck.astype(FC) * s.uk)
+
+        vk_new = jnp.where(beta_kp1 != 0, q / _safe(beta_kp1).astype(FC), s.vk)
+        uk_new = jnp.where(gamma_kp1 != 0, p / _safe(gamma_kp1).astype(FC), s.uk)
+
+        mu = s.beta.astype(FC) * (s.s_km1 * zeta_km2_new
+                                  - s.c_km1 * ck * zeta_km1_new) \
+            + alpha * sk * zeta_km1_new
+        om = beta_kp1.astype(FC) * sk * zeta_km1_new
+        rNorm_lq = jnp.where(
+            it == 1, s.rNorm,
+            jnp.sqrt(jnp.abs(mu) ** 2 + jnp.abs(om) ** 2))
+
+        dbar_ok = jnp.abs(dbar_k) > eps_T
+        zetabar = jnp.where(dbar_ok, eta_k / _safe(dbar_k), s.zetabar)
+        rho = beta_kp1.astype(FC) * (sk * zeta_km1_new - ck * zetabar)
+        rNorm_cg = jnp.abs(rho)
+
+        solved_lq = rNorm_lq <= s.eps_lim
+        solved_cg = transfer_to_usymcg & dbar_ok & (rNorm_cg <= s.eps_lim)
+        code = jnp.int32(rt.RUNNING)
+        code = jnp.where(solved_lq, jnp.int32(SOLVED_LQ_PT), code)
+        code = jnp.where(solved_cg & ~solved_lq, jnp.int32(SOLVED_CG_PT2), code)
+
+        hist = rt.hist_write(s.hist_r, it, rNorm_lq, history)
+        s_new = s._replace(
+            x=x_new, vk=vk_new, vkm1=s.vk, uk=uk_new, ukm1=s.uk,
+            dbar_vec=dbar_vec_new,
+            beta=beta_kp1, gamma=gamma_kp1,
+            c_km1=ck, s_km1=sk, dbar_km1=dbar_k,
+            zeta_km1=zeta_km1_new, zeta_km2=zeta_km2_new, eta_km1=eta_k,
+            zetabar=zetabar, rNorm=rNorm_lq, iter=it, status=code,
+            solved_cg_flag=solved_cg & ~solved_lq, hist_r=hist,
+        )
+        if callback is not None:
+            user_exit = callback(s_new)
+            s_new = s_new._replace(
+                status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_new.status))
+        return s_new
+
+    state = jax.lax.while_loop(cond, body, state)
+    x_final = jnp.where(state.solved_cg_flag,
+                        state.x + state.zetabar * state.dbar_vec, state.x)
+    return state._replace(x=x_final)
+
+
+def _usymlq_solve(
+    A, b, c, x0=None, *, transfer_to_usymcg=True, atol=None, rtol=None,
+    itmax=0, timemax=float("inf"), verbose=0, history=False, callback=None,
+    **_ig,
+):
+    start = time.perf_counter()
+    A = as_operator(A, need_adjoint=True)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c, dtype=b.dtype)
+    m, n = A.shape
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, m + n)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    def run(state, cap):
+        return _usymlq_core(
+            A, b, c, x0, state, jnp.int32(cap), atol, rtol,
+            transfer_to_usymcg=bool(transfer_to_usymcg),
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose),
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    if x0 is not None:
+        x = x + x0
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code) or code in (SOLVED_LQ_PT, SOLVED_CG_PT2),
+        inconsistent=False,
+        residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code, _STATUS),
+    )
+    return x, stats, state
+
+
+def usymlq(A, b, c, x0=None, **kwargs):
+    """x, stats = usymlq(A, b, c; transfer_to_usymcg=True, ...)."""
+    x, stats, _ = _usymlq_solve(A, b, c, x0, **kwargs)
+    return x, stats
+
+
+# ---------------------------------------------------------------------------
+# USYMQR
+# ---------------------------------------------------------------------------
+
+class UsymqrState(NamedTuple):
+    x: jax.Array
+    vk: jax.Array
+    vkm1: jax.Array
+    uk: jax.Array
+    ukm1: jax.Array
+    w_km2: jax.Array
+    w_km1: jax.Array
+    beta: jax.Array
+    gamma: jax.Array
+    c_km2: jax.Array
+    s_km2: jax.Array
+    c_km1: jax.Array
+    s_km1: jax.Array
+    zetabar: jax.Array
+    kappa: jax.Array
+    rNorm: jax.Array
+    ArNorm: jax.Array
+    eps_lim: jax.Array
+    iter: jax.Array
+    status: jax.Array
+    inconsistent: jax.Array
+    hist_r: jax.Array
+    hist_ar: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("history", "hist_len", "callback", "verbose"),
+)
+def _usymqr_core(
+    A, b, c, x0, state_in, iter_cap, atol, rtol,
+    *, history, hist_len, callback, verbose,
+):
+    m, n = A.shape
+    FC = b.dtype
+    T = real_dtype(FC)
+
+    if state_in is None:
+        x = jnp.zeros(n, FC)
+        r0 = b if x0 is None else b - A.matvec(x0)
+        bNorm = knorm(r0)
+        beta = knorm(r0)
+        gamma = knorm(c)
+        vk = r0 / _safe(beta).astype(FC)
+        uk = c / _safe(gamma).astype(FC)
+        eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * bNorm
+        status = jnp.where(bNorm == 0, jnp.int32(rt.ZERO_RESIDUAL),
+                           jnp.where(bNorm <= eps_lim, jnp.int32(rt.SOLVED),
+                                     jnp.int32(rt.RUNNING)))
+        zc = jnp.zeros((), FC)
+        hr = rt.hist_init(hist_len, T)
+        hr = rt.hist_write(hr, 0, bNorm, history)
+        har = rt.hist_init(hist_len, T)
+        state = UsymqrState(
+            x=x, vk=vk, vkm1=jnp.zeros(m, FC), uk=uk, ukm1=jnp.zeros(n, FC),
+            w_km2=jnp.zeros(n, FC), w_km1=jnp.zeros(n, FC),
+            beta=beta, gamma=gamma,
+            c_km2=jnp.zeros((), T), s_km2=zc,
+            c_km1=jnp.zeros((), T), s_km1=zc,
+            zetabar=bNorm.astype(FC), kappa=jnp.zeros((), T),
+            rNorm=bNorm, ArNorm=jnp.zeros((), T), eps_lim=eps_lim,
+            iter=jnp.int32(0), status=status,
+            inconsistent=jnp.zeros((), jnp.bool_), hist_r=hr, hist_ar=har,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        it = s.iter + 1
+        q, p, alpha, beta_kp1, gamma_kp1 = _ssy_step(
+            A, s.vk, s.uk, s.vkm1, s.ukm1, s.beta, s.gamma, it, FC)
+
+        eps_km2 = jnp.where(it >= 3, s.s_km2 * s.gamma.astype(FC),
+                            jnp.zeros((), FC))
+        lbar_km1 = jnp.where(it >= 3, -s.c_km2.astype(FC) * s.gamma.astype(FC),
+                             jnp.where(it == 2, s.gamma.astype(FC),
+                                       jnp.zeros((), FC)))
+        lam_km1 = jnp.where(it >= 2,
+                            s.c_km1.astype(FC) * lbar_km1 + s.s_km1 * alpha,
+                            jnp.zeros((), FC))
+        dbar_k = jnp.where(it >= 2,
+                           jnp.conj(s.s_km1) * lbar_km1
+                           - s.c_km1.astype(FC) * alpha, alpha)
+        ck, sk, d_k = sym_givens(dbar_k, beta_kp1.astype(FC))
+        zeta_k = ck.astype(FC) * s.zetabar
+        zetabar_next = jnp.conj(jnp.asarray(sk, FC)) * s.zetabar
+
+        w1 = s.uk / _safe(d_k)
+        w2 = (s.uk - lam_km1 * s.w_km1) / _safe(d_k)
+        w3 = (s.uk - lam_km1 * s.w_km1 - eps_km2 * s.w_km2) / _safe(d_k)
+        w_k = jnp.where(it == 1, w1, jnp.where(it == 2, w2, w3))
+
+        x_new = s.x + zeta_k * w_k
+        rNorm = jnp.abs(zetabar_next)
+        ArNorm = jnp.abs(s.zetabar) * jnp.sqrt(
+            jnp.abs(dbar_k) ** 2 + jnp.abs(s.c_km1 * gamma_kp1) ** 2)
+        kappa = jnp.where(it == 1,
+                          jnp.asarray(atol, T) + jnp.asarray(rtol, T) * ArNorm,
+                          s.kappa)
+
+        vk_new = jnp.where(beta_kp1 != 0, q / _safe(beta_kp1).astype(FC), s.vk)
+        uk_new = jnp.where(gamma_kp1 != 0, p / _safe(gamma_kp1).astype(FC), s.uk)
+
+        solved = rNorm <= s.eps_lim
+        inconsistent = (~solved) & (ArNorm <= kappa)
+        code = jnp.int32(rt.RUNNING)
+        code = jnp.where(inconsistent, jnp.int32(rt.INCONSISTENT), code)
+        code = jnp.where(solved, jnp.int32(rt.SOLVED), code)
+
+        hr = rt.hist_write(s.hist_r, it, rNorm, history)
+        har = rt.hist_write(s.hist_ar, it, ArNorm, history)
+        s_new = s._replace(
+            x=x_new, vk=vk_new, vkm1=s.vk, uk=uk_new, ukm1=s.uk,
+            w_km2=jnp.where(it >= 2, s.w_km1, s.w_km2), w_km1=w_k,
+            beta=beta_kp1, gamma=gamma_kp1,
+            c_km2=jnp.where(it >= 2, s.c_km1, s.c_km2),
+            s_km2=jnp.where(it >= 2, s.s_km1, s.s_km2),
+            c_km1=jnp.real(ck), s_km1=jnp.asarray(sk, FC),
+            zetabar=zetabar_next, kappa=kappa,
+            rNorm=rNorm, ArNorm=ArNorm,
+            iter=it, status=code, inconsistent=inconsistent,
+            hist_r=hr, hist_ar=har,
+        )
+        if callback is not None:
+            user_exit = callback(s_new)
+            s_new = s_new._replace(
+                status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_new.status))
+        return s_new
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _usymqr_solve(
+    A, b, c, x0=None, *, atol=None, rtol=None, itmax=0,
+    timemax=float("inf"), verbose=0, history=False, callback=None, **_ig,
+):
+    start = time.perf_counter()
+    A = as_operator(A, need_adjoint=True)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c, dtype=b.dtype)
+    m, n = A.shape
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, m + n)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    def run(state, cap):
+        return _usymqr_core(
+            A, b, c, x0, state, jnp.int32(cap), atol, rtol,
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose),
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    if x0 is not None:
+        x = x + x0
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code),
+        inconsistent=bool(state.inconsistent),
+        residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
+        Aresiduals=rt.hist_trim(state.hist_ar, niter) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return x, stats, state
+
+
+def usymqr(A, b, c, x0=None, **kwargs):
+    """x, stats = usymqr(A, b, c; ...) — rectangular systems supported."""
+    x, stats, _ = _usymqr_solve(A, b, c, x0, **kwargs)
+    return x, stats
+
+
+# ---------------------------------------------------------------------------
+# TriLQR — Ax = b (USYMLQ) and Aᴴy = c (QR dual) simultaneously.
+# ---------------------------------------------------------------------------
+
+class TrilqrState(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    vk: jax.Array
+    vkm1: jax.Array
+    uk: jax.Array
+    ukm1: jax.Array
+    dbar_vec: jax.Array
+    w_km3: jax.Array
+    w_km2: jax.Array
+    beta: jax.Array
+    gamma: jax.Array
+    c_km1: jax.Array
+    s_km1: jax.Array
+    dbar_km1: jax.Array
+    zeta_km1: jax.Array
+    zeta_km2: jax.Array
+    eta_km1: jax.Array
+    zetabar: jax.Array
+    psibar_km1: jax.Array
+    eps_km3: jax.Array
+    lam_km2: jax.Array
+    kappa: jax.Array
+    rNorm: jax.Array
+    sNorm: jax.Array
+    epsL: jax.Array
+    epsQ: jax.Array
+    solved_primal: jax.Array
+    solved_dual: jax.Array
+    solved_lq_tol: jax.Array
+    solved_lq_mach: jax.Array
+    solved_cg_tol: jax.Array
+    solved_cg_mach: jax.Array
+    solved_qr_tol: jax.Array
+    solved_qr_mach: jax.Array
+    solved_cg_flag: jax.Array
+    inconsistent_dual: jax.Array
+    iter: jax.Array
+    status: jax.Array
+    hist_r: jax.Array
+    hist_s: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("transfer_to_usymcg", "history", "hist_len", "callback",
+                     "verbose"),
+)
+def _trilqr_core(
+    A, b, c, x0, y0, state_in, iter_cap, atol, rtol,
+    *, transfer_to_usymcg, history, hist_len, callback, verbose,
+):
+    m, n = A.shape
+    FC = b.dtype
+    T = real_dtype(FC)
+    eps_T = jnp.finfo(T).eps
+
+    if state_in is None:
+        x = jnp.zeros(n, FC)
+        y = jnp.zeros(m, FC)
+        r0 = b if x0 is None else b - A.matvec(x0)
+        s0 = c if y0 is None else c - A.rmatvec(y0)
+        bNorm = knorm(r0)
+        cNorm = knorm(s0)
+        beta = knorm(r0)
+        gamma = knorm(s0)
+        vk = r0 / _safe(beta).astype(FC)
+        uk = s0 / _safe(gamma).astype(FC)
+        epsL = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * bNorm
+        epsQ = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * cNorm
+        zc = jnp.zeros((), FC)
+        status = jnp.where((bNorm == 0) & (cNorm == 0),
+                           jnp.int32(rt.ZERO_RESIDUAL), jnp.int32(rt.RUNNING))
+        hr = rt.hist_init(hist_len, T)
+        hr = rt.hist_write(hr, 0, bNorm, history)
+        hs = rt.hist_init(hist_len, T)
+        hs = rt.hist_write(hs, 0, cNorm, history)
+        state = TrilqrState(
+            x=x, y=y, vk=vk, vkm1=jnp.zeros(m, FC), uk=uk,
+            ukm1=jnp.zeros(n, FC), dbar_vec=jnp.zeros(n, FC),
+            w_km3=jnp.zeros(m, FC), w_km2=jnp.zeros(m, FC),
+            beta=beta, gamma=gamma,
+            c_km1=-jnp.ones((), T), s_km1=zc,
+            dbar_km1=zc, zeta_km1=zc, zeta_km2=zc, eta_km1=zc, zetabar=zc,
+            psibar_km1=zc, eps_km3=zc, lam_km2=zc, kappa=jnp.zeros((), T),
+            rNorm=bNorm, sNorm=cNorm, epsL=epsL, epsQ=epsQ,
+            solved_primal=bNorm == 0, solved_dual=cNorm == 0,
+            solved_lq_tol=jnp.zeros((), jnp.bool_),
+            solved_lq_mach=jnp.zeros((), jnp.bool_),
+            solved_cg_tol=jnp.zeros((), jnp.bool_),
+            solved_cg_mach=jnp.zeros((), jnp.bool_),
+            solved_qr_tol=jnp.zeros((), jnp.bool_),
+            solved_qr_mach=jnp.zeros((), jnp.bool_),
+            solved_cg_flag=jnp.zeros((), jnp.bool_),
+            inconsistent_dual=jnp.zeros((), jnp.bool_),
+            iter=jnp.int32(0), status=status, hist_r=hr, hist_s=hs,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        it = s.iter + 1
+        q, p, alpha, beta_kp1, gamma_kp1 = _ssy_step(
+            A, s.vk, s.uk, s.vkm1, s.ukm1, s.beta, s.gamma, it, FC)
+
+        ck_g, sk_g, d_km1 = sym_givens(s.dbar_km1, s.gamma.astype(FC))
+        ck = jnp.where(it == 1, -jnp.ones((), T), ck_g)
+        sk = jnp.where(it == 1, jnp.zeros((), FC), jnp.asarray(sk_g, FC))
+        eps_km2 = s.s_km1 * s.beta.astype(FC)
+        lam2 = ck * s.beta.astype(FC) + sk * alpha
+        dbar2 = jnp.conj(sk) * s.beta.astype(FC) - ck * alpha
+        lam3 = -s.c_km1 * ck * s.beta.astype(FC) + sk * alpha
+        dbar3 = -s.c_km1 * jnp.conj(sk) * s.beta.astype(FC) - ck * alpha
+        lam_km1 = jnp.where(it == 2, lam2, lam3)
+        dbar_k = jnp.where(it == 1, alpha, jnp.where(it == 2, dbar2, dbar3))
+
+        # --- primal (USYMLQ) ---
+        pm = ~s.solved_primal
+        zeta_km1_new = jnp.where(pm & (it >= 2), s.eta_km1 / _safe(d_km1),
+                                 s.zeta_km1)
+        zeta_km2_new = jnp.where(pm & (it >= 3), s.zeta_km1, s.zeta_km2)
+        eta_k = jnp.where(
+            pm,
+            jnp.where(it == 1, s.beta.astype(FC),
+                      jnp.where(it == 2, -lam_km1 * zeta_km1_new,
+                                -eps_km2 * zeta_km2_new
+                                - lam_km1 * zeta_km1_new)),
+            s.eta_km1)
+        x_new = jnp.where(
+            pm & (it >= 2),
+            s.x + (zeta_km1_new * ck).astype(FC) * s.dbar_vec
+            + (zeta_km1_new * sk) * s.uk,
+            s.x)
+        dbar_vec_new = jnp.where(
+            pm,
+            jnp.where(it == 1, s.uk,
+                      jnp.conj(sk) * s.dbar_vec - ck.astype(FC) * s.uk),
+            s.dbar_vec)
+
+        mu = s.beta.astype(FC) * (s.s_km1 * zeta_km2_new
+                                  - s.c_km1 * ck * zeta_km1_new) \
+            + alpha * sk * zeta_km1_new
+        om = beta_kp1.astype(FC) * sk * zeta_km1_new
+        rNorm_lq = jnp.where(it == 1, s.rNorm,
+                             jnp.sqrt(jnp.abs(mu) ** 2 + jnp.abs(om) ** 2))
+        rNorm_lq = jnp.where(pm, rNorm_lq, s.rNorm)
+
+        dbar_ok = jnp.abs(dbar_k) > eps_T
+        zetabar = jnp.where(pm & dbar_ok, eta_k / _safe(dbar_k), s.zetabar)
+        rho = beta_kp1.astype(FC) * (sk * zeta_km1_new - ck * zetabar)
+        rNorm_cg = jnp.abs(rho)
+
+        solved_lq_tol = jnp.where(pm, rNorm_lq <= s.epsL, s.solved_lq_tol)
+        solved_lq_mach = jnp.where(pm, (rNorm_lq + 1.0) <= 1.0, s.solved_lq_mach)
+        solved_cg_tol = jnp.where(
+            pm, transfer_to_usymcg & dbar_ok & (rNorm_cg <= s.epsL),
+            s.solved_cg_tol)
+        solved_cg_mach = jnp.where(
+            pm, transfer_to_usymcg & dbar_ok & ((rNorm_cg + 1.0) <= 1.0),
+            s.solved_cg_mach)
+        solved_lq = solved_lq_tol | solved_lq_mach
+        solved_cg = solved_cg_tol | solved_cg_mach
+        solved_primal = s.solved_primal | solved_lq | solved_cg
+
+        # --- dual (QR on Aᴴy = c; reference trilqr :325-385) ---
+        dm = ~s.solved_dual
+        psi_km1 = jnp.where(it == 1, jnp.zeros((), FC),
+                            ck.astype(FC) * s.psibar_km1)
+        psibar_k = jnp.where(it == 1, s.gamma.astype(FC), sk * s.psibar_km1)
+        w2d = s.vkm1 / _safe(jnp.conj(d_km1))
+        w3d = (s.vkm1 - jnp.conj(s.lam_km2) * s.w_km2) / _safe(jnp.conj(d_km1))
+        w4d = (s.vkm1 - jnp.conj(s.lam_km2) * s.w_km2
+               - jnp.conj(s.eps_km3) * s.w_km3) / _safe(jnp.conj(d_km1))
+        w_km1d = jnp.where(it == 2, w2d, jnp.where(it == 3, w3d, w4d))
+        y_new = jnp.where(dm & (it >= 2), s.y + psi_km1 * w_km1d, s.y)
+        sNorm = jnp.where(dm, jnp.abs(psibar_k), s.sNorm)
+        AsNorm = jnp.abs(psibar_k) * jnp.sqrt(
+            jnp.abs(dbar_k) ** 2 + jnp.abs(ck * beta_kp1) ** 2)
+        kappa = jnp.where(it == 1,
+                          jnp.asarray(atol, T) + jnp.asarray(rtol, T) * AsNorm,
+                          s.kappa)
+        solved_qr_tol = jnp.where(dm, sNorm <= s.epsQ, s.solved_qr_tol)
+        solved_qr_mach = jnp.where(dm, (sNorm + 1.0) <= 1.0, s.solved_qr_mach)
+        inconsistent_dual = jnp.where(dm, AsNorm <= kappa, s.inconsistent_dual)
+        solved_dual = s.solved_dual | solved_qr_tol | solved_qr_mach \
+            | inconsistent_dual
+
+        # Advance vectors.
+        vk_new = jnp.where(beta_kp1 != 0, q / _safe(beta_kp1).astype(FC), s.vk)
+        uk_new = jnp.where(gamma_kp1 != 0, p / _safe(gamma_kp1).astype(FC),
+                           s.uk)
+
+        code = jnp.where(solved_primal & solved_dual,
+                         jnp.int32(rt.SOLVED_PRIMAL_DUAL),
+                         jnp.int32(rt.RUNNING))
+        hr = rt.hist_write(s.hist_r, it, jnp.where(pm, rNorm_lq, jnp.nan),
+                           history)
+        hs = rt.hist_write(s.hist_s, it, jnp.where(dm, sNorm, jnp.nan),
+                           history)
+        s_new = s._replace(
+            x=x_new, y=y_new, vk=vk_new, vkm1=s.vk, uk=uk_new, ukm1=s.uk,
+            dbar_vec=dbar_vec_new,
+            w_km3=jnp.where(it >= 2, s.w_km2, s.w_km3),
+            w_km2=jnp.where(it >= 2, w_km1d, s.w_km2),
+            beta=beta_kp1, gamma=gamma_kp1,
+            c_km1=ck, s_km1=sk, dbar_km1=dbar_k,
+            zeta_km1=zeta_km1_new, zeta_km2=zeta_km2_new, eta_km1=eta_k,
+            zetabar=zetabar, psibar_km1=psibar_k,
+            eps_km3=jnp.where(it >= 3, eps_km2, s.eps_km3),
+            lam_km2=jnp.where(it >= 2, lam_km1, s.lam_km2),
+            kappa=kappa, rNorm=rNorm_lq, sNorm=sNorm,
+            solved_primal=solved_primal, solved_dual=solved_dual,
+            solved_lq_tol=solved_lq_tol, solved_lq_mach=solved_lq_mach,
+            solved_cg_tol=solved_cg_tol, solved_cg_mach=solved_cg_mach,
+            solved_qr_tol=solved_qr_tol, solved_qr_mach=solved_qr_mach,
+            solved_cg_flag=s.solved_cg_flag
+            | (solved_cg & ~s.solved_primal & ~solved_lq),
+            inconsistent_dual=inconsistent_dual,
+            iter=it, status=code, hist_r=hr, hist_s=hs,
+        )
+        if callback is not None:
+            user_exit = callback(s_new)
+            s_new = s_new._replace(
+                status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_new.status))
+        return s_new
+
+    state = jax.lax.while_loop(cond, body, state)
+    x_final = jnp.where(state.solved_cg_flag,
+                        state.x + state.zetabar * state.dbar_vec, state.x)
+    return state._replace(x=x_final)
+
+
+def _trilqr_status(state, code):
+    from .bilq import _bilqr_status
+    return _bilqr_status(state, code)
+
+
+def _trilqr_solve(
+    A, b, c, x0=None, y0=None, *, transfer_to_usymcg=True, atol=None,
+    rtol=None, itmax=0, timemax=float("inf"), verbose=0, history=False,
+    callback=None, **_ig,
+):
+    start = time.perf_counter()
+    A = as_operator(A, need_adjoint=True)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c, dtype=b.dtype)
+    m, n = A.shape
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, m + n)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
+
+    def run(state, cap):
+        return _trilqr_core(
+            A, b, c, x0, y0, state, jnp.int32(cap), atol, rtol,
+            transfer_to_usymcg=bool(transfer_to_usymcg),
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose),
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    y = jnp.asarray(state.y)
+    if x0 is not None:
+        x = x + x0
+    if y0 is not None:
+        y = y + y0
+
+    def _trim(h):
+        h = np.asarray(h)[: niter + 1]
+        return h[~np.isnan(h)]
+
+    class _StView:
+        # adapter so _bilqr_status can read the flags
+        breakdown = False
+    sv = _StView()
+    for f in ("solved_lq_tol", "solved_lq_mach", "solved_cg_tol",
+              "solved_cg_mach", "solved_qr_tol", "solved_qr_mach",
+              "solved_primal", "solved_dual"):
+        setattr(sv, f, getattr(state, f))
+    status = _trilqr_status(sv, code)
+
+    stats = AdjointStats(
+        niter=niter,
+        solved_primal=bool(state.solved_primal),
+        solved_dual=bool(state.solved_dual),
+        residuals_primal=_trim(state.hist_r) if history else np.zeros(0),
+        residuals_dual=_trim(state.hist_s) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=status,
+    )
+    return x, y, stats, state
+
+
+def trilqr(A, b, c, x0=None, y0=None, **kwargs):
+    """x, y, stats = trilqr(A, b, c) — Ax = b and Aᴴy = c, A rectangular."""
+    x, y, stats, _ = _trilqr_solve(A, b, c, x0, y0, **kwargs)
+    return x, y, stats
+
+
+# ---------------------------------------------------------------------------
+# USYMLQR — saddle-point [I A; Aᴴ 0][r; x] = [b; c] via combined LQ/QR.
+# Reference src/usymlqr.jl solves min ‖x‖ s.t. Aᴴx = c (LN) together with
+# LS on A.  We provide the combined solve returning (x, y).
+# ---------------------------------------------------------------------------
+
+def usymlqr(A, b, c, x0=None, y0=None, **kwargs):
+    """x, y, stats = usymlqr(A, b, c) — symmetric saddle-point pair.
+
+    Solves the symmetric saddle-point system [I A; Aᴴ 0][x; y] = [b; c]:
+    x is the least-squares residual component and y the least-norm
+    component (reference src/usymlqr.jl).  Implemented on the same SSY
+    process via the TriMR machinery with the saddle-point preset
+    (τ=1, ν=0) — an equivalent minimum-residual formulation of the
+    USYMLQR subproblem; returns SimpleStats.
+    """
+    from ..solvers.tricg import _trimr_solve
+    x, y, stats, _ = _trimr_solve(A, b, c, x0, y0, sp=True, **kwargs)
+    return x, y, stats
