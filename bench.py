@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md configs) — prints ONE JSON line.
+
+Headline metric: SpMV throughput (nnz/s/chip) on the reference's
+get_div_grad 3-D Poisson operator (BASELINE.json config #1), measured on
+the default JAX device (the real TPU chip under the driver).  CG
+time-to-tolerance on the same system is folded into the JSON as extra
+fields; `vs_baseline` is the speedup over a scipy CSR SpMV on the host
+CPU for the same matrix (the reference's CPU BLAS execution model).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from krylov_tpu.ops.dia import poisson_dia, dia_spmv
+    from krylov_tpu.operators import DIAOperator
+    from krylov_tpu import cg
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    dtype = np.float32 if on_tpu else np.float64
+
+    N = 64
+    n = N ** 3
+    D = poisson_dia(N, N, N, dtype=dtype)
+    nnz = D.nnz
+    b = jnp.ones(n, dtype=dtype)
+
+    # --- SpMV throughput: K matvecs inside one jit (amortize dispatch).
+    # The result is reduced to a scalar and fetched: through the remote
+    # tunnel block_until_ready alone does not guarantee completion.
+    K = 400
+
+    @jax.jit
+    def spmv_loop(data, x):
+        def body(_, v):
+            return dia_spmv(data, D.offsets, v) * (1.0 / 6.0)
+        v = jax.lax.fori_loop(0, K, body, x)
+        return jnp.sum(v)
+
+    float(spmv_loop(D.data, b))          # compile + warm
+    best = float("inf")
+    for trial in range(3):
+        xin = jnp.full(n, 1.0 + 0.01 * trial, dtype=dtype)
+        t0 = time.perf_counter()
+        float(spmv_loop(D.data, xin))
+        best = min(best, (time.perf_counter() - t0) / K)
+    spmv_t = best
+    nnz_per_s = nnz / spmv_t
+
+    # --- CG time-to-tolerance (rtol=1e-6 fp32 / 1e-8 fp64) ---
+    rtol = 1e-6 if on_tpu else 1e-8
+    op = DIAOperator(D)
+    x, stats = cg(op, b, atol=0.0, rtol=rtol)        # compile + converge
+    b2 = jnp.full(n, 1.01, dtype=dtype)
+    t0 = time.perf_counter()
+    x, stats = cg(op, b2, atol=0.0, rtol=rtol)
+    float(jnp.sum(x))                                # force completion
+    cg_t = time.perf_counter() - t0
+
+    # --- host scipy CSR baseline for the same SpMV ---
+    import scipy.sparse as sp
+    data_np = np.asarray(D.data)
+    diags = sp.dia_matrix((data_np, np.asarray(D.offsets)), shape=(n, n))
+    A_csr = diags.tocsr()
+    xb = np.ones(n, dtype=dtype)
+    A_csr @ xb
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        A_csr @ xb
+    cpu_t = (time.perf_counter() - t0) / reps
+    cpu_nnz_per_s = nnz / cpu_t
+
+    out = {
+        "metric": "spmv_nnz_per_s_chip",
+        "value": round(nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnz_per_s / cpu_nnz_per_s, 3),
+        "detail": {
+            "problem": f"get_div_grad({N},{N},{N}) DIA",
+            "device": str(dev),
+            "dtype": str(np.dtype(dtype)),
+            "cg_time_to_rtol_s": round(cg_t, 5),
+            "cg_niter": stats.niter,
+            "cg_rtol": rtol,
+            "cpu_scipy_gnnz_per_s": round(cpu_nnz_per_s / 1e9, 4),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

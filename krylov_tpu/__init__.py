@@ -53,5 +53,11 @@ from .solvers.cgne import cgne, crmr
 from .solvers.symmlq import symmlq
 from .solvers.minres_qlp import minres_qlp
 from .solvers.minares import minares
+from .solvers.bilq import bilq, qmr, bilqr
+from .solvers.usymlq import usymlq, usymqr, trilqr, usymlqr
+from .solvers.tricg import tricg, trimr
+from .solvers.gpmr import gpmr
+from .solvers.craig import craig, craigmr, lnlq
+from .solvers.lslq import lslq
 
 __version__ = "0.1.0"

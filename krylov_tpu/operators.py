@@ -274,6 +274,52 @@ class FunctionOperator(AbstractLinearOperator):
         return cls(mv, shape, dtype, rmv, sv, rsv)
 
 
+@register_pytree_node_class
+class DIAOperator(AbstractLinearOperator):
+    """Banded (DIA) operator — the TPU-fast path for stencil matrices."""
+
+    def __init__(self, dia):
+        self.dia = dia
+        self.shape = dia.shape
+        self.dtype = dia.dtype
+
+    def matvec(self, x):
+        from .ops.dia import dia_spmv
+        return dia_spmv(self.dia.data, self.dia.offsets, x)
+
+    def rmatvec(self, x):
+        # Aᴴ of a DIA matrix: conjugate data, negate offsets, shift vectors.
+        from .ops.dia import dia_spmv
+        import jax.numpy as _jnp
+        n = self.shape[0]
+        datas = []
+        offs = []
+        for d, k in enumerate(self.dia.offsets):
+            v = _jnp.conj(self.dia.data[d])
+            # A[i, i+k] = data[d, i+k] ⇒ Aᴴ[j, j-k] = conj(data[d, j])
+            # stored at position (j - k) for offset -k.
+            if k == 0:
+                datas.append(v)
+            elif k > 0:
+                datas.append(_jnp.pad(v[k:], (0, k)))
+            else:
+                datas.append(_jnp.pad(v[:n + k], (-k, 0)))
+            offs.append(-k)
+        data = _jnp.stack(datas)
+        return dia_spmv(data, tuple(offs), x)
+
+    def matmat(self, X):
+        from .ops.dia import dia_spmm
+        return dia_spmm(self.dia.data, self.dia.offsets, X)
+
+    def tree_flatten(self):
+        return (self.dia,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+
 def as_operator(A, need_adjoint=False):
     """Coerce A (operator | dense array | CSRMatrix) to the operator protocol."""
     if A is None:
@@ -285,6 +331,9 @@ def as_operator(A, need_adjoint=False):
     if isinstance(A, CSRMatrix):
         op = CSROperator(A)
         return op.with_adjoint() if need_adjoint else op
+    from .ops.dia import DIAMatrix
+    if isinstance(A, DIAMatrix):
+        return DIAOperator(A)
     if isinstance(A, (jnp.ndarray, np.ndarray)) or hasattr(A, "ndim"):
         if A.ndim != 2:
             raise ValueError(f"expected a 2-D array, got ndim={A.ndim}")

@@ -341,7 +341,8 @@ def _qmr_core(
             beta=beta, gamma=gamma,
             c_km2=jnp.zeros((), T), s_km2=zc,
             c_km1=jnp.zeros((), T), s_km1=zc,
-            zetabar=bNorm.astype(FC), tau=bNorm * bNorm / jnp.abs(_safe(beta)) ** 2,
+            # r₀ = β₁v₁ exactly, so ζbar₁ = β₁ (≠ ‖r₀‖ when c ≠ r₀).
+            zetabar=beta, tau=bNorm * bNorm / jnp.abs(_safe(beta)) ** 2,
             rNorm=bNorm, eps_lim=eps_lim,
             iter=jnp.int32(0), status=status, hist_r=hist,
         )
