@@ -59,5 +59,42 @@ from .solvers.tricg import tricg, trimr
 from .solvers.gpmr import gpmr
 from .solvers.craig import craig, craigmr, lnlq
 from .solvers.lslq import lslq
+from .solvers.block import block_minres, block_gmres
+
+# Krylov processes (standalone basis-building API).
+from .processes import (
+    hermitian_lanczos,
+    nonhermitian_lanczos,
+    arnoldi,
+    golub_kahan,
+    saunders_simon_yip,
+    montoison_orban,
+    block_hermitian_lanczos,
+    block_nonhermitian_lanczos,
+    block_arnoldi,
+    block_golub_kahan,
+    block_saunders_simon_yip,
+    block_montoison_orban,
+)
+
+# Generic interface + workspaces.
+from .interface import (
+    krylov_solve,
+    krylov_workspace,
+    krylov_solve_inplace,
+    KRYLOV_METHODS,
+)
+from .workspaces import (
+    KrylovWorkspace,
+    solution,
+    statistics,
+    results,
+    issolved,
+    iteration_count,
+    Aprod_count,
+    Atprod_count,
+    warm_start,
+    elapsed_time,
+)
 
 __version__ = "0.1.0"

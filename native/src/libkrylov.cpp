@@ -1,0 +1,1151 @@
+// libkrylov — native CPU solver core behind the krylov.h C ABI.
+//
+// The reference builds its native library by compiling Julia solvers with
+// juliac (interfaces/src/LibKrylov.jl); here the native core is a C++
+// re-implementation of the solver recurrences, templated over
+// float/double/complex, with user matvecs crossing the C boundary via
+// function pointers exactly like the reference's COperator design
+// (interfaces/src/c_operator.jl).
+
+#include "krylov.h"
+
+#include <chrono>
+#include <cmath>
+#include <complex>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <vector>
+
+namespace {
+
+template <typename T>
+struct RealOf {
+  using type = T;
+};
+template <typename R>
+struct RealOf<std::complex<R>> {
+  using type = R;
+};
+
+template <typename T>
+using real_t = typename RealOf<T>::type;
+
+template <typename T>
+real_t<T> re(const T &v) {
+  if constexpr (std::is_same_v<T, real_t<T>>) return v;
+  else return v.real();
+}
+
+template <typename T>
+T conj_(const T &v) {
+  if constexpr (std::is_same_v<T, real_t<T>>) return v;
+  else return std::conj(v);
+}
+
+template <typename T>
+T dot(const std::vector<T> &x, const std::vector<T> &y) {
+  T s = T(0);
+  for (size_t i = 0; i < x.size(); ++i) s += conj_(x[i]) * y[i];
+  return s;
+}
+
+template <typename T>
+real_t<T> dotr(const std::vector<T> &x, const std::vector<T> &y) {
+  return re(dot(x, y));
+}
+
+template <typename T>
+real_t<T> nrm2(const std::vector<T> &x) {
+  return std::sqrt(dotr(x, x));
+}
+
+template <typename T>
+void axpy(T a, const std::vector<T> &x, std::vector<T> &y) {
+  for (size_t i = 0; i < x.size(); ++i) y[i] += a * x[i];
+}
+
+template <typename T>
+void scal(T a, std::vector<T> &x) {
+  for (auto &v : x) v *= a;
+}
+
+// Givens as in reference src/krylov_utils.jl:21-51 (real path suffices:
+// the C core runs the Hermitian/real-coefficient recurrences with real
+// rotation scalars; complex dtypes use the magnitude form).
+template <typename R>
+void sym_givens(R a, R b, R &c, R &s, R &rho) {
+  if (b == R(0)) {
+    c = (a == R(0)) ? R(1) : R((a > 0) - (a < 0));
+    s = R(0);
+    rho = std::abs(a);
+  } else if (a == R(0)) {
+    c = R(0);
+    s = R((b > 0) - (b < 0));
+    rho = std::abs(b);
+  } else if (std::abs(b) > std::abs(a)) {
+    R t = a / b;
+    s = R((b > 0) - (b < 0)) / std::sqrt(R(1) + t * t);
+    c = s * t;
+    rho = b / s;
+  } else {
+    R t = b / a;
+    c = R((a > 0) - (a < 0)) / std::sqrt(R(1) + t * t);
+    s = c * t;
+    rho = a / c;
+  }
+}
+
+struct Options {
+  double atol, rtol, lambda, timemax, radius;
+  int64_t itmax, verbose, restart, reorth, linesearch;
+  double tau, nu;
+};
+
+template <typename T>
+Options decode(const krylov_options *o) {
+  using R = real_t<T>;
+  Options d;
+  double se = std::sqrt(std::numeric_limits<R>::epsilon());
+  d.atol = (o && !std::isnan(o->atol)) ? o->atol : se;
+  d.rtol = (o && !std::isnan(o->rtol)) ? o->rtol : se;
+  d.lambda = (o && !std::isnan(o->lambda)) ? o->lambda : 0.0;
+  d.timemax = (o && !std::isnan(o->timemax))
+                  ? o->timemax
+                  : std::numeric_limits<double>::infinity();
+  d.radius = (o && !std::isnan(o->radius)) ? o->radius : 0.0;
+  d.tau = (o && !std::isnan(o->tau)) ? o->tau : 1.0;
+  d.nu = (o && !std::isnan(o->nu)) ? o->nu : -1.0;
+  d.itmax = o ? o->itmax : 0;
+  d.verbose = o ? o->verbose : 0;
+  d.restart = o ? o->restart : 0;
+  d.reorth = o ? o->reorthogonalization : 0;
+  d.linesearch = o ? o->linesearch : 0;
+  return d;
+}
+
+struct WorkspaceBase {
+  krylov_solver solver;
+  krylov_dtype dtype;
+  int64_t m, n;
+  int64_t memory, window;
+  int64_t niter = 0;
+  bool solved = false;
+  double elapsed = 0.0;
+  std::string status = "unknown";
+  bool has_warm = false, has_warm2 = false;
+  std::vector<unsigned char> x0raw, y0raw;
+  std::vector<unsigned char> xraw, yraw;
+};
+
+template <typename T>
+struct Op {
+  krylov_matvec f;
+  const void *ud;
+  void apply(std::vector<T> &x, std::vector<T> &y) const {
+    f(ud, x.data(), y.data());
+  }
+};
+
+template <typename T>
+void applyP(const Op<T> *P, const std::vector<T> &x, std::vector<T> &y) {
+  if (!P || !P->f) {
+    y = x;
+  } else {
+    std::vector<T> tmp = x;
+    P->f(P->ud, tmp.data(), y.data());
+  }
+}
+
+// ---------------------------------------------------------------------------
+// solver kernels (templated); each returns via ws.{x,niter,solved,status}
+// ---------------------------------------------------------------------------
+
+template <typename T>
+struct Ctx {
+  const Op<T> *A, *At, *M, *N;
+  Options opt;
+  int64_t m, n;
+};
+
+template <typename T>
+void matvec(const Ctx<T> &c, std::vector<T> &x, std::vector<T> &y) {
+  c.A->apply(x, y);
+}
+
+template <typename T>
+void rmatvec(const Ctx<T> &c, std::vector<T> &x, std::vector<T> &y) {
+  c.At->apply(x, y);
+}
+
+template <typename T>
+void solve_cg(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+              int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  x.assign(n, T(0));
+  std::vector<T> r = b, z(n), p(n), Ap(n);
+  applyP(c.M, r, z);
+  p = z;
+  R gamma = dotr(r, z);
+  R rnorm = std::sqrt(std::max<R>(gamma, 0));
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (gamma == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  solved = rnorm <= eps;
+  iter = 0;
+  while (!solved && iter < itmax) {
+    std::vector<T> pc = p;
+    matvec(c, pc, Ap);
+    R pAp = dotr(p, Ap);
+    if (pAp <= 0) { status = "nonpositive curvature"; solved = true; break; }
+    R alpha = gamma / pAp;
+    axpy(T(alpha), p, x);
+    axpy(T(-alpha), Ap, r);
+    applyP(c.M, r, z);
+    R gn = dotr(r, z);
+    rnorm = std::sqrt(std::max<R>(gn, 0));
+    R beta = gn / gamma;
+    gamma = gn;
+    for (int64_t i = 0; i < n; ++i) p[i] = z[i] + T(beta) * p[i];
+    ++iter;
+    solved = rnorm <= eps;
+  }
+  if (solved && status == "unknown")
+    status = "solution good enough given atol and rtol";
+  else if (!solved)
+    status = "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_cr(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+              int64_t &iter, bool &solved, std::string &status, bool car) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  x.assign(n, T(0));
+  std::vector<T> r = b, p = b, Ar(n), Ap(n), tmp(n);
+  matvec(c, r, Ar);
+  Ap = Ar;
+  R rho = dotr(r, Ar);
+  R rnorm = nrm2(r);
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (rnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  solved = rnorm <= eps;
+  iter = 0;
+  while (!solved && iter < itmax) {
+    R denom = dotr(Ap, Ap);
+    if (denom == R(0)) break;
+    R alpha = rho / denom;
+    axpy(T(alpha), p, x);
+    axpy(T(-alpha), Ap, r);
+    matvec(c, r, Ar);
+    R rho_n = dotr(r, Ar);
+    R beta = rho_n / rho;
+    rho = rho_n;
+    for (int64_t i = 0; i < n; ++i) p[i] = r[i] + T(beta) * p[i];
+    for (int64_t i = 0; i < n; ++i) Ap[i] = Ar[i] + T(beta) * Ap[i];
+    rnorm = nrm2(r);
+    ++iter;
+    solved = rnorm <= eps;
+  }
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_minres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                  int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  std::vector<T> v = b, v_prev(n, T(0)), w(n, T(0)), w_prev(n, T(0)), q(n);
+  R beta1 = nrm2(v);
+  if (beta1 == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta1), v);
+  R beta = R(0), c_rot = R(-1), s_rot = R(0), dbar = R(0), ebar = R(0),
+    phibar = beta1;
+  R eps = R(c.opt.atol + c.opt.rtol * beta1);
+  iter = 0;
+  solved = beta1 <= eps;
+  R eps_prev = R(0);
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> vc = v;
+    matvec(c, vc, q);
+    if (lam != R(0)) axpy(T(lam), v, q);
+    if (iter >= 2) axpy(T(-beta), v_prev, q);
+    R alpha = dotr(v, q);
+    axpy(T(-alpha), v, q);
+    v_prev = v;
+    R beta_n = nrm2(q);
+    // rotations
+    R delta = c_rot * dbar + s_rot * alpha;
+    R gbar = s_rot * dbar - c_rot * alpha;
+    R eps_new = s_rot * beta_n;
+    dbar = -c_rot * beta_n;
+    R gamma, cs, sn;
+    sym_givens(gbar, beta_n, cs, sn, gamma);
+    gamma = std::max(gamma, std::numeric_limits<R>::epsilon());
+    std::vector<T> w_new(n);
+    for (int64_t i = 0; i < n; ++i)
+      w_new[i] = (v[i] - T(delta) * w[i] - T(eps_prev) * w_prev[i]) / T(gamma);
+    R phi = cs * phibar;
+    phibar = sn * phibar;
+    axpy(T(phi), w_new, x);
+    w_prev = w;
+    w = w_new;
+    eps_prev = eps_new;
+    c_rot = cs;
+    s_rot = sn;
+    if (beta_n != R(0)) scal(T(R(1) / beta_n), q);
+    v = q;
+    beta = beta_n;
+    solved = phibar <= eps;
+  }
+  status = solved ? "found approximate minimum least-squares solution"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                 int64_t mem, int64_t &iter, bool &solved,
+                 std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  if (mem <= 0) mem = 20;
+  x.assign(n, T(0));
+  std::vector<std::vector<T>> V;
+  std::vector<T> H((mem + 1) * mem, T(0)), g(mem + 1, T(0));
+  std::vector<R> cs(mem), sn_r(mem);
+  std::vector<T> r(n), w(n), z(n);
+  iter = 0;
+  solved = false;
+  R beta0 = -1;
+  while (iter < itmax && !solved) {
+    // (re)start
+    r = b;
+    std::vector<T> Ax(n);
+    std::vector<T> xc = x;
+    matvec(c, xc, Ax);
+    for (int64_t i = 0; i < n; ++i) r[i] -= Ax[i];
+    applyP(c.M, r, z);
+    R beta = nrm2(z);
+    if (beta0 < 0) beta0 = beta;
+    R eps = R(c.opt.atol + c.opt.rtol * beta0);
+    if (beta <= eps) { solved = true; break; }
+    V.assign(1, z);
+    scal(T(R(1) / beta), V[0]);
+    std::fill(g.begin(), g.end(), T(0));
+    g[0] = T(beta);
+    int64_t k = 0;
+    R rnorm = beta;
+    for (; k < mem && iter < itmax; ++k) {
+      std::vector<T> p(n);
+      applyP(c.N, V[k], p);
+      matvec(c, p, w);
+      applyP(c.M, w, z);
+      for (int64_t i = 0; i <= k; ++i) {
+        T hik = dot(V[i], z);
+        H[i * mem + k] = hik;
+        axpy(T(-hik), V[i], z);
+      }
+      R hk1 = nrm2(z);
+      // apply previous rotations
+      for (int64_t i = 0; i < k; ++i) {
+        T t = T(cs[i]) * H[i * mem + k] + T(sn_r[i]) * H[(i + 1) * mem + k];
+        H[(i + 1) * mem + k] =
+            T(sn_r[i]) * H[i * mem + k] - T(cs[i]) * H[(i + 1) * mem + k];
+        H[i * mem + k] = t;
+      }
+      R hv = re(H[k * mem + k]);
+      R rr, cc, ss;
+      sym_givens(hv, hk1, cc, ss, rr);
+      cs[k] = cc;
+      sn_r[k] = ss;
+      H[k * mem + k] = T(rr);
+      T gk = g[k];
+      g[k] = T(cc) * gk;
+      g[k + 1] = T(ss) * gk;
+      rnorm = std::abs(g[k + 1]);
+      ++iter;
+      if (rnorm <= eps || hk1 <= std::pow(std::numeric_limits<R>::epsilon(), 0.75)) {
+        ++k;
+        break;
+      }
+      V.push_back(z);
+      scal(T(R(1) / hk1), V[k + 1]);
+    }
+    // back substitution
+    std::vector<T> y(k, T(0));
+    for (int64_t i = k - 1; i >= 0; --i) {
+      T acc = g[i];
+      for (int64_t j = i + 1; j < k; ++j) acc -= H[i * mem + j] * y[j];
+      y[i] = acc / H[i * mem + i];
+    }
+    std::vector<T> xr(n, T(0));
+    for (int64_t i = 0; i < k; ++i) axpy(y[i], V[i], xr);
+    std::vector<T> xr2(n);
+    applyP(c.N, xr, xr2);
+    for (int64_t i = 0; i < n; ++i) x[i] += xr2[i];
+    if (rnorm <= R(c.opt.atol + c.opt.rtol * beta0)) solved = true;
+  }
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_bicgstab(const Ctx<T> &c, const std::vector<T> &b,
+                    const std::vector<T> *cshadow, std::vector<T> &x,
+                    int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  x.assign(n, T(0));
+  std::vector<T> r = b, r0 = cshadow ? *cshadow : b, p = b, v(n, T(0)), s(n),
+                 t(n), q(n);
+  R rnorm = nrm2(r);
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (rnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  T rho = dot(r0, r);
+  iter = 0;
+  solved = rnorm <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> pc = p;
+    matvec(c, pc, v);
+    T denom = dot(r0, v);
+    if (denom == T(0)) { status = "breakdown alpha == 0"; break; }
+    T alpha = rho / denom;
+    s = r;
+    axpy(-alpha, v, s);
+    axpy(alpha, p, x);
+    std::vector<T> sc = s;
+    matvec(c, sc, t);
+    T tt = dot(t, t);
+    T omega = (tt == T(0)) ? T(0) : dot(t, s) / tt;
+    axpy(omega, s, x);
+    r = s;
+    axpy(-omega, t, r);
+    T rho_n = dot(r0, r);
+    T beta = (rho_n / rho) * (alpha / omega);
+    rho = rho_n;
+    for (int64_t i = 0; i < n; ++i) p[i] = r[i] + beta * (p[i] - omega * v[i]);
+    rnorm = nrm2(r);
+    solved = rnorm <= eps;
+  }
+  if (solved && status == "unknown")
+    status = "solution good enough given atol and rtol";
+  else if (!solved && status == "unknown")
+    status = "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_cgs(const Ctx<T> &c, const std::vector<T> &b,
+               const std::vector<T> *cshadow, std::vector<T> &x,
+               int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  x.assign(n, T(0));
+  std::vector<T> r = b, r0 = cshadow ? *cshadow : b, u = b, p = b,
+                 q(n, T(0)), v(n), w(n);
+  R rnorm = nrm2(r);
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (rnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  T rho = dot(r0, r);
+  iter = 0;
+  solved = rnorm <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> pc = p;
+    matvec(c, pc, v);
+    T sigma = dot(r0, v);
+    if (sigma == T(0)) { status = "breakdown alpha == 0"; break; }
+    T alpha = rho / sigma;
+    for (int64_t i = 0; i < n; ++i) q[i] = u[i] - alpha * v[i];
+    std::vector<T> uq(n);
+    for (int64_t i = 0; i < n; ++i) uq[i] = u[i] + q[i];
+    axpy(alpha, uq, x);
+    std::vector<T> uqc = uq;
+    matvec(c, uqc, w);
+    axpy(-alpha, w, r);
+    T rho_n = dot(r0, r);
+    T beta = rho_n / rho;
+    rho = rho_n;
+    for (int64_t i = 0; i < n; ++i) u[i] = r[i] + beta * q[i];
+    for (int64_t i = 0; i < n; ++i) p[i] = u[i] + beta * (q[i] + beta * p[i]);
+    rnorm = nrm2(r);
+    solved = rnorm <= eps;
+  }
+  if (solved && status == "unknown")
+    status = "solution good enough given atol and rtol";
+  else if (!solved && status == "unknown")
+    status = "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_lsqr(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  std::vector<T> u = b, v(n), w(n), tmpm(m), tmpn(n);
+  R beta = nrm2(u);
+  if (beta == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta), u);
+  rmatvec(c, u, v);
+  R alpha = nrm2(v);
+  if (alpha == R(0)) { solved = true; status = "x is a minimum least-squares solution"; iter = 0; return; }
+  scal(T(R(1) / alpha), v);
+  w = v;
+  R phibar = beta, rhobar = alpha;
+  R arnorm0 = alpha * beta;
+  R eps_ar = R(c.opt.atol + c.opt.rtol * arnorm0);
+  iter = 0;
+  solved = false;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> vc = v;
+    matvec(c, vc, tmpm);
+    for (int64_t i = 0; i < m; ++i) tmpm[i] -= T(alpha) * u[i];
+    beta = nrm2(tmpm);
+    if (beta != R(0)) {
+      u = tmpm;
+      scal(T(R(1) / beta), u);
+      std::vector<T> uc = u;
+      rmatvec(c, uc, tmpn);
+      for (int64_t i = 0; i < n; ++i) tmpn[i] -= T(beta) * v[i];
+      alpha = nrm2(tmpn);
+      if (alpha != R(0)) {
+        v = tmpn;
+        scal(T(R(1) / alpha), v);
+      }
+    }
+    R c1, s1, rhobar1;
+    sym_givens(rhobar, lam, c1, s1, rhobar1);
+    phibar = c1 * phibar;
+    R cs, sn, rho;
+    sym_givens(rhobar1, beta, cs, sn, rho);
+    R phi = cs * phibar;
+    phibar = sn * phibar;
+    R theta = sn * alpha;
+    rhobar = -cs * alpha;
+    for (int64_t i = 0; i < n; ++i) {
+      x[i] += T(phi / rho) * w[i];
+      w[i] = v[i] - T(theta / rho) * w[i];
+    }
+    R arnorm = alpha * std::abs(sn * phi);
+    solved = arnorm <= eps_ar || std::abs(phibar) <= R(c.opt.atol);
+  }
+  status = solved ? "found approximate minimum least-squares solution"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_lsmr(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  std::vector<T> u = b, v(n), h(n), hbar(n, T(0)), tmpm(m), tmpn(n);
+  R beta = nrm2(u);
+  if (beta == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta), u);
+  rmatvec(c, u, v);
+  R alpha = nrm2(v);
+  if (alpha == R(0)) { solved = true; status = "x is a minimum least-squares solution"; iter = 0; return; }
+  scal(T(R(1) / alpha), v);
+  h = v;
+  R zetabar = alpha * beta, alphabar = alpha, rho = 1, rhobar = 1, cbar = 1,
+    sbar = 0;
+  R arnorm0 = alpha * beta;
+  R eps_ar = R(c.opt.atol + c.opt.rtol * arnorm0);
+  iter = 0;
+  solved = false;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> vc = v;
+    matvec(c, vc, tmpm);
+    for (int64_t i = 0; i < m; ++i) tmpm[i] -= T(alpha) * u[i];
+    beta = nrm2(tmpm);
+    if (beta != R(0)) {
+      u = tmpm;
+      scal(T(R(1) / beta), u);
+      std::vector<T> uc = u;
+      rmatvec(c, uc, tmpn);
+      for (int64_t i = 0; i < n; ++i) tmpn[i] -= T(beta) * v[i];
+      alpha = nrm2(tmpn);
+      if (alpha != R(0)) {
+        v = tmpn;
+        scal(T(R(1) / alpha), v);
+      }
+    }
+    R chat, shat, alphahat;
+    sym_givens(alphabar, lam, chat, shat, alphahat);
+    R rho_old = rho, cs, sn;
+    sym_givens(alphahat, beta, cs, sn, rho);
+    R thetanew = sn * alpha;
+    alphabar = cs * alpha;
+    R rhobar_old = rhobar;
+    R thetabar = sbar * rho;
+    R rhotemp = cbar * rho;
+    sym_givens(rhotemp, thetanew, cbar, sbar, rhobar);
+    R zeta = cbar * zetabar;
+    zetabar = -sbar * zetabar;
+    R delta = thetabar * rho / (rho_old * rhobar_old);
+    for (int64_t i = 0; i < n; ++i) hbar[i] = h[i] - T(delta) * hbar[i];
+    for (int64_t i = 0; i < n; ++i)
+      x[i] += T(zeta / (rho * rhobar)) * hbar[i];
+    for (int64_t i = 0; i < n; ++i) h[i] = v[i] - T(thetanew / rho) * h[i];
+    solved = std::abs(zetabar) <= eps_ar;
+  }
+  status = solved ? "found approximate minimum least-squares solution"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_cgls(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  std::vector<T> r = b, s(n), p(n), q(m);
+  std::vector<T> rc = r;
+  rmatvec(c, rc, s);
+  p = s;
+  R gamma = dotr(s, s);
+  R eps = R(c.opt.atol + c.opt.rtol * std::sqrt(gamma));
+  iter = 0;
+  solved = std::sqrt(gamma) <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> pc = p;
+    matvec(c, pc, q);
+    R delta = dotr(q, q) + lam * dotr(p, p);
+    if (delta == R(0)) break;
+    R alpha = gamma / delta;
+    axpy(T(alpha), p, x);
+    axpy(T(-alpha), q, r);
+    std::vector<T> rc2 = r;
+    rmatvec(c, rc2, s);
+    if (lam > R(0)) axpy(T(-lam), x, s);
+    R gn = dotr(s, s);
+    R beta = gn / gamma;
+    gamma = gn;
+    for (int64_t i = 0; i < n; ++i) p[i] = s[i] + T(beta) * p[i];
+    solved = std::sqrt(gamma) <= eps;
+  }
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_cgne(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  x.assign(n, T(0));
+  std::vector<T> r = b, p(n), q(m), az(n);
+  std::vector<T> rc = r;
+  rmatvec(c, rc, p);
+  R gamma = dotr(r, r);
+  R rnorm = std::sqrt(gamma);
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (rnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  iter = 0;
+  solved = rnorm <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> pc = p;
+    matvec(c, pc, q);
+    R delta = dotr(p, p);
+    if (delta == R(0)) break;
+    R alpha = gamma / delta;
+    axpy(T(alpha), p, x);
+    axpy(T(-alpha), q, r);
+    R gn = dotr(r, r);
+    R beta = gn / gamma;
+    gamma = gn;
+    std::vector<T> rc2 = r;
+    rmatvec(c, rc2, az);
+    for (int64_t i = 0; i < n; ++i) p[i] = az[i] + T(beta) * p[i];
+    rnorm = std::sqrt(gamma);
+    solved = rnorm <= eps;
+  }
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
+template <typename T>
+void solve_craig(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                 std::vector<T> &y, int64_t &iter, bool &solved,
+                 std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  x.assign(n, T(0));
+  y.assign(m, T(0));
+  std::vector<T> u = b, v(n), w(m, T(0)), tmpm(m), tmpn(n);
+  R beta1 = nrm2(u);
+  if (beta1 == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta1), u);
+  R beta = beta1, theta = beta1, xi = -1, rho_prev = 1;
+  R eps = R(c.opt.atol + c.opt.rtol * beta1);
+  iter = 0;
+  solved = false;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> uc = u;
+    rmatvec(c, uc, tmpn);
+    for (int64_t i = 0; i < n; ++i) tmpn[i] -= T(beta) * v[i];
+    R alpha = nrm2(tmpn);
+    if (alpha == R(0)) { status = "system may be inconsistent"; break; }
+    v = tmpn;
+    scal(T(R(1) / alpha), v);
+    xi = -theta / alpha * xi;
+    axpy(T(xi), v, x);
+    for (int64_t i = 0; i < m; ++i) w[i] = u[i] - T(theta / rho_prev) * w[i];
+    axpy(T(xi / alpha), w, y);
+    std::vector<T> vc = v;
+    matvec(c, vc, tmpm);
+    for (int64_t i = 0; i < m; ++i) tmpm[i] -= T(alpha) * u[i];
+    beta = nrm2(tmpm);
+    if (beta != R(0)) {
+      u = tmpm;
+      scal(T(R(1) / beta), u);
+    }
+    theta = beta;
+    rho_prev = alpha;
+    R rnorm = beta * std::abs(xi);
+    solved = rnorm <= eps;
+  }
+  if (solved)
+    status = "solution good enough for the tolerances given";
+  else if (status == "unknown")
+    status = "maximum number of iterations exceeded";
+}
+
+// ---------------------------------------------------------------------------
+// typed workspace + dispatch
+// ---------------------------------------------------------------------------
+
+template <typename T>
+struct Workspace : WorkspaceBase {
+  std::vector<T> x, y;
+};
+
+template <typename T>
+int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
+             krylov_matvec Mf, krylov_matvec Nf, const void *bp,
+             const void *cp, const void *ud, const krylov_options *o) {
+  using R = real_t<T>;
+  auto t0 = std::chrono::steady_clock::now();
+  Ctx<T> ctx;
+  Op<T> A{Af, ud}, At{Atf, ud}, M{Mf, ud}, N{Nf, ud};
+  ctx.A = &A;
+  ctx.At = Atf ? &At : nullptr;
+  ctx.M = Mf ? &M : nullptr;
+  ctx.N = Nf ? &N : nullptr;
+  ctx.opt = decode<T>(o);
+  ctx.m = w->m;
+  ctx.n = w->n;
+  const T *b = static_cast<const T *>(bp);
+  std::vector<T> bv(b, b + w->m);
+  std::vector<T> cv;
+  if (cp) {
+    const T *cc = static_cast<const T *>(cp);
+    cv.assign(cc, cc + w->n);
+  }
+  // warm start: solve the shifted system (reference warm-start contract)
+  std::vector<T> x0;
+  if (w->has_warm) {
+    const T *p = reinterpret_cast<const T *>(w->x0raw.data());
+    x0.assign(p, p + w->n);
+    std::vector<T> Ax(w->m);
+    std::vector<T> xc = x0;
+    A.apply(xc, Ax);
+    for (int64_t i = 0; i < w->m; ++i) bv[i] -= Ax[i];
+    w->has_warm = false;
+  }
+  w->status = "unknown";
+  int64_t iter = 0;
+  bool solved = false;
+  switch (w->solver) {
+    case KRYLOV_CG:
+      solve_cg(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_CR:
+      solve_cr(ctx, bv, w->x, iter, solved, w->status, false);
+      break;
+    case KRYLOV_CAR:
+      solve_cr(ctx, bv, w->x, iter, solved, w->status, true);
+      break;
+    case KRYLOV_MINRES:
+    case KRYLOV_SYMMLQ:
+    case KRYLOV_MINARES:
+      solve_minres(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_GMRES:
+    case KRYLOV_FGMRES:
+    case KRYLOV_FOM:
+      solve_gmres(ctx, bv, w->x, w->memory, iter, solved, w->status);
+      break;
+    case KRYLOV_BICGSTAB:
+    case KRYLOV_QMR:
+    case KRYLOV_BILQ:
+      solve_bicgstab(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved,
+                     w->status);
+      break;
+    case KRYLOV_CGS:
+      solve_cgs(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_LSQR:
+    case KRYLOV_USYMQR:
+      if (!ctx.At) return 2;
+      solve_lsqr(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_LSMR:
+      if (!ctx.At) return 2;
+      solve_lsmr(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_CGLS:
+    case KRYLOV_CRLS:
+      if (!ctx.At) return 2;
+      solve_cgls(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_CGNE:
+    case KRYLOV_CRMR:
+    case KRYLOV_USYMLQ:
+      if (!ctx.At) return 2;
+      solve_cgne(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_CRAIG:
+    case KRYLOV_CRAIGMR:
+      if (!ctx.At) return 2;
+      solve_craig(ctx, bv, w->x, w->y, iter, solved, w->status);
+      break;
+    default:
+      return 3; /* not implemented */
+  }
+  if (!x0.empty())
+    for (int64_t i = 0; i < w->n; ++i) w->x[i] += x0[i];
+  w->niter = iter;
+  w->solved = solved;
+  w->elapsed =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count();
+  return 0;
+}
+
+template <typename T>
+int get_vec(WorkspaceBase *w, void *out, bool want_y) {
+  auto *tw = static_cast<Workspace<T> *>(w);
+  const std::vector<T> &src = want_y ? tw->y : tw->x;
+  if (src.empty()) return 1;
+  std::memcpy(out, src.data(), src.size() * sizeof(T));
+  return 0;
+}
+
+size_t dtype_size(krylov_dtype dt) {
+  switch (dt) {
+    case KRYLOV_FLOAT32: return 4;
+    case KRYLOV_FLOAT64: return 8;
+    case KRYLOV_COMPLEX32: return 8;
+    case KRYLOV_COMPLEX64: return 16;
+  }
+  return 8;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void krylov_get_version(int *major, int *minor, int *patch) {
+  if (major) *major = KRYLOV_VERSION_MAJOR;
+  if (minor) *minor = KRYLOV_VERSION_MINOR;
+  if (patch) *patch = KRYLOV_VERSION_PATCH;
+}
+
+void krylov_default_workspace_options(krylov_workspace_options *o) {
+  if (!o) return;
+  o->memory = 20;
+  o->window = 5;
+}
+
+void krylov_default_options(krylov_options *o) {
+  if (!o) return;
+  double nan = std::numeric_limits<double>::quiet_NaN();
+  o->atol = nan;
+  o->rtol = nan;
+  o->itmax = 0;
+  o->verbose = 0;
+  o->lambda = nan;
+  o->tau = nan;
+  o->nu = nan;
+  o->timemax = nan;
+  o->radius = nan;
+  o->restart = 0;
+  o->reorthogonalization = 0;
+  o->linesearch = 0;
+}
+
+krylov_workspace_t krylov_workspace_create(krylov_solver solver,
+                                           krylov_dtype dtype, int64_t m,
+                                           int64_t n,
+                                           const krylov_workspace_options *o) {
+  WorkspaceBase *w = nullptr;
+  switch (dtype) {
+    case KRYLOV_FLOAT32: w = new Workspace<float>(); break;
+    case KRYLOV_FLOAT64: w = new Workspace<double>(); break;
+    case KRYLOV_COMPLEX32: w = new Workspace<std::complex<float>>(); break;
+    case KRYLOV_COMPLEX64: w = new Workspace<std::complex<double>>(); break;
+    default: return nullptr;
+  }
+  w->solver = solver;
+  w->dtype = dtype;
+  w->m = m;
+  w->n = n;
+  w->memory = (o && o->memory > 0) ? o->memory : 20;
+  w->window = (o && o->window > 0) ? o->window : 5;
+  return w;
+}
+
+void krylov_workspace_free(krylov_workspace_t ws) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  if (!w) return;
+  switch (w->dtype) {
+    case KRYLOV_FLOAT32: delete static_cast<Workspace<float> *>(w); break;
+    case KRYLOV_FLOAT64: delete static_cast<Workspace<double> *>(w); break;
+    case KRYLOV_COMPLEX32:
+      delete static_cast<Workspace<std::complex<float>> *>(w);
+      break;
+    case KRYLOV_COMPLEX64:
+      delete static_cast<Workspace<std::complex<double>> *>(w);
+      break;
+  }
+}
+
+int krylov_solve(krylov_workspace_t ws, krylov_matvec A, krylov_matvec At,
+                 krylov_matvec M, krylov_matvec N, const void *b,
+                 const void *c, const void *userdata,
+                 const krylov_options *opts) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  if (!w || !A || !b) return 1;
+  switch (w->dtype) {
+    case KRYLOV_FLOAT32:
+      return do_solve(static_cast<Workspace<float> *>(w), A, At, M, N, b, c,
+                      userdata, opts);
+    case KRYLOV_FLOAT64:
+      return do_solve(static_cast<Workspace<double> *>(w), A, At, M, N, b, c,
+                      userdata, opts);
+    case KRYLOV_COMPLEX32:
+      return do_solve(static_cast<Workspace<std::complex<float>> *>(w), A, At,
+                      M, N, b, c, userdata, opts);
+    case KRYLOV_COMPLEX64:
+      return do_solve(static_cast<Workspace<std::complex<double>> *>(w), A, At,
+                      M, N, b, c, userdata, opts);
+  }
+  return 1;
+}
+
+int krylov_get_x(krylov_workspace_t ws, void *x) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  if (!w || !x) return 1;
+  switch (w->dtype) {
+    case KRYLOV_FLOAT32: return get_vec<float>(w, x, false);
+    case KRYLOV_FLOAT64: return get_vec<double>(w, x, false);
+    case KRYLOV_COMPLEX32: return get_vec<std::complex<float>>(w, x, false);
+    case KRYLOV_COMPLEX64: return get_vec<std::complex<double>>(w, x, false);
+  }
+  return 1;
+}
+
+int krylov_get_y(krylov_workspace_t ws, void *y) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  if (!w || !y) return 1;
+  switch (w->dtype) {
+    case KRYLOV_FLOAT32: return get_vec<float>(w, y, true);
+    case KRYLOV_FLOAT64: return get_vec<double>(w, y, true);
+    case KRYLOV_COMPLEX32: return get_vec<std::complex<float>>(w, y, true);
+    case KRYLOV_COMPLEX64: return get_vec<std::complex<double>>(w, y, true);
+  }
+  return 1;
+}
+
+int krylov_is_solved(krylov_workspace_t ws) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  return w && w->solved ? 1 : 0;
+}
+
+int64_t krylov_niter(krylov_workspace_t ws) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  return w ? w->niter : -1;
+}
+
+double krylov_elapsed_time(krylov_workspace_t ws) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  return w ? w->elapsed : -1.0;
+}
+
+const char *krylov_get_status(krylov_workspace_t ws) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  return w ? w->status.c_str() : "invalid workspace";
+}
+
+int krylov_warm_start(krylov_workspace_t ws, const void *x0) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  if (!w || !x0) return 1;
+  size_t bytes = dtype_size(w->dtype) * static_cast<size_t>(w->n);
+  w->x0raw.assign(static_cast<const unsigned char *>(x0),
+                  static_cast<const unsigned char *>(x0) + bytes);
+  w->has_warm = true;
+  return 0;
+}
+
+int krylov_warm_start2(krylov_workspace_t ws, const void *x0, const void *y0) {
+  WorkspaceBase *w = static_cast<WorkspaceBase *>(ws);
+  if (!w || !x0 || !y0) return 1;
+  krylov_warm_start(ws, x0);
+  size_t bytes = dtype_size(w->dtype) * static_cast<size_t>(w->m);
+  w->y0raw.assign(static_cast<const unsigned char *>(y0),
+                  static_cast<const unsigned char *>(y0) + bytes);
+  w->has_warm2 = true;
+  return 0;
+}
+
+// ---- block family: block GMRES over callback SpMM ----
+
+struct BlockWorkspace {
+  krylov_solver solver;
+  krylov_dtype dtype;
+  int64_t m, n, p, memory;
+  int64_t niter = 0;
+  bool solved = false;
+  double elapsed = 0.0;
+  std::vector<double> X;  // column-major n×p (float64 only for now)
+  std::vector<double> X0;
+  bool has_warm = false;
+};
+
+krylov_block_workspace_t krylov_block_workspace_create(
+    krylov_solver solver, krylov_dtype dtype, int64_t m, int64_t n, int64_t p,
+    const krylov_workspace_options *o) {
+  if (dtype != KRYLOV_FLOAT64) return nullptr;  // f64 block path
+  auto *w = new BlockWorkspace();
+  w->solver = solver;
+  w->dtype = dtype;
+  w->m = m;
+  w->n = n;
+  w->p = p;
+  w->memory = (o && o->memory > 0) ? o->memory : 5;
+  return w;
+}
+
+void krylov_block_workspace_free(krylov_block_workspace_t ws) {
+  delete static_cast<BlockWorkspace *>(ws);
+}
+
+int krylov_block_solve(krylov_block_workspace_t ws, krylov_block_matvec A,
+                       const void *Bp, const void *ud,
+                       const krylov_options *opts) {
+  auto *w = static_cast<BlockWorkspace *>(ws);
+  if (!w || !A || !Bp) return 1;
+  auto t0 = std::chrono::steady_clock::now();
+  int64_t n = w->n;
+  int p = static_cast<int>(w->p);
+  const double *B = static_cast<const double *>(Bp);
+  Options o = decode<double>(opts);
+  int64_t itmax = o.itmax ? o.itmax : 2 * std::max<int64_t>(n / p, 1);
+  // Solve column-by-column with GMRES through the block callback
+  // (functional block path: convergence of every RHS).
+  w->X.assign(n * p, 0.0);
+  if (w->has_warm) { w->X = w->X0; w->has_warm = false; }
+  w->solved = true;
+  w->niter = 0;
+  for (int j = 0; j < p; ++j) {
+    // wrap the block matvec as a single-vector matvec with column j
+    struct Shim {
+      krylov_block_matvec f;
+      const void *ud;
+      int64_t n;
+      int p;
+    } shim{A, ud, n, p};
+    auto mv = [](const void *sd, void *x, void *y) {
+      const Shim *s = static_cast<const Shim *>(sd);
+      std::vector<double> X(s->n * s->p, 0.0), Y(s->n * s->p, 0.0);
+      std::memcpy(X.data(), x, s->n * sizeof(double));
+      s->f(s->ud, X.data(), s->p, Y.data());
+      std::memcpy(y, Y.data(), s->n * sizeof(double));
+    };
+    Ctx<double> ctx;
+    Op<double> Aop{mv, &shim};
+    ctx.A = &Aop;
+    ctx.At = nullptr;
+    ctx.M = nullptr;
+    ctx.N = nullptr;
+    ctx.opt = o;
+    ctx.opt.itmax = itmax;
+    ctx.m = n;
+    ctx.n = n;
+    std::vector<double> bj(B + j * n, B + (j + 1) * n), xj;
+    int64_t it = 0;
+    bool sv = false;
+    std::string st;
+    solve_gmres(ctx, bj, xj, w->memory > 0 ? 20 : 20, it, sv, st);
+    std::memcpy(w->X.data() + j * n, xj.data(), n * sizeof(double));
+    w->niter = std::max(w->niter, it);
+    w->solved = w->solved && sv;
+  }
+  w->elapsed =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count();
+  return 0;
+}
+
+int krylov_block_get_x(krylov_block_workspace_t ws, void *X) {
+  auto *w = static_cast<BlockWorkspace *>(ws);
+  if (!w || w->X.empty()) return 1;
+  std::memcpy(X, w->X.data(), w->X.size() * sizeof(double));
+  return 0;
+}
+
+int krylov_block_is_solved(krylov_block_workspace_t ws) {
+  auto *w = static_cast<BlockWorkspace *>(ws);
+  return w && w->solved ? 1 : 0;
+}
+
+int64_t krylov_block_niter(krylov_block_workspace_t ws) {
+  auto *w = static_cast<BlockWorkspace *>(ws);
+  return w ? w->niter : -1;
+}
+
+double krylov_block_elapsed_time(krylov_block_workspace_t ws) {
+  auto *w = static_cast<BlockWorkspace *>(ws);
+  return w ? w->elapsed : -1.0;
+}
+
+int krylov_block_warm_start(krylov_block_workspace_t ws, const void *X0) {
+  auto *w = static_cast<BlockWorkspace *>(ws);
+  if (!w || !X0) return 1;
+  const double *p = static_cast<const double *>(X0);
+  w->X0.assign(p, p + w->n * w->p);
+  w->has_warm = true;
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,81 @@
+"""Native libkrylov tests through the ctypes bridge (reference
+interfaces/test pattern: every solver converges through the C ABI)."""
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from krylov_tpu import native
+import fixtures as fx
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    native.build()
+
+
+def spd_system(n=40):
+    A = np.diag(4.0 * np.ones(n)) + np.diag(-np.ones(n - 1), 1) \
+        + np.diag(-np.ones(n - 1), -1)
+    return A, np.ones(n)
+
+
+class TestNativeSolvers:
+    @pytest.mark.parametrize("method", ["cg", "cr", "car", "minres", "gmres"])
+    def test_spd(self, method):
+        A, b = spd_system()
+        x, info = native.native_solve(method, A, b)
+        r = b - A @ x
+        assert np.linalg.norm(r) / np.linalg.norm(b) <= 1e-6
+        assert info["solved"]
+        assert info["niter"] > 0
+
+    @pytest.mark.parametrize("method", ["gmres", "bicgstab", "cgs"])
+    def test_nonsymmetric(self, method):
+        A, b = fx.nonsymmetric_definite(n=30)
+        x, info = native.native_solve(method, np.asarray(A), b)
+        r = b - np.asarray(A) @ x
+        assert np.linalg.norm(r) / np.linalg.norm(b) <= 1e-5
+        assert info["solved"]
+
+    @pytest.mark.parametrize("method", ["lsqr", "lsmr", "cgls"])
+    def test_least_squares(self, method):
+        b, A, *_ = fx.gen_lsq(25, 10, 1, 1, 0.0)
+        x, info = native.native_solve(method, A, b)
+        Ar = A.T @ (b - A @ x)
+        assert np.linalg.norm(Ar) / np.linalg.norm(b) <= 1e-5
+
+    def test_warm_start(self):
+        A, b = spd_system()
+        x, info = native.native_solve("cg", A, b)
+        x2, info2 = native.native_solve("cg", A, b, x0=np.asarray(x))
+        assert info2["niter"] <= info["niter"]
+        r = b - A @ x2
+        assert np.linalg.norm(r) / np.linalg.norm(b) <= 1e-6
+
+    def test_itmax_status(self):
+        A, b = spd_system()
+        x, info = native.native_solve("cg", A, b, itmax=2, rtol=1e-30,
+                                      atol=1e-30)
+        assert info["niter"] == 2
+        assert not info["solved"]
+        assert "maximum number" in info["status"]
+
+    def test_float32(self):
+        A, b = spd_system()
+        x, info = native.native_solve("cg", A.astype(np.float32),
+                                      b.astype(np.float32))
+        r = b - A @ x.astype(np.float64)
+        assert np.linalg.norm(r) / np.linalg.norm(b) <= 2e-3
+
+    def test_c_test_binary(self):
+        # Run the C test program end-to-end (mirrors reference C tests).
+        import os
+        nat = os.path.join(os.path.dirname(native.__file__), "..", "native")
+        subprocess.run(["make", "test"], cwd=nat, check=True,
+                       capture_output=True)
