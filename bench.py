@@ -18,6 +18,12 @@ import numpy as np
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from krylov_tpu.ops.dia import poisson_dia, dia_spmv
     from krylov_tpu.operators import DIAOperator

