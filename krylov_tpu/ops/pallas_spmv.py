@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for sparse matvec (BASELINE north star).
+
+Two TPU-native unstructured-sparsity formats:
+
+* **BELL** (block-ELL): square dense blocks of size ``bs`` (ideally 128
+  to feed the MXU), padded to a fixed number of blocks per block-row.
+  The Pallas kernel runs one grid step per block-row, scalar-prefetches
+  the block-column indices, keeps x resident in VMEM, and accumulates
+  ``data[j] @ x[col*bs : col*bs+bs]`` per block — dense MXU work with no
+  gathers.  This is the TPU analogue of the reference's vendor BSR
+  SpMV (docs/src/gpu.md sparse formats).
+
+* **ELL** (padded rows): scalar-sparse fallback via vectorized
+  `jnp.take` + row reduction — XLA's gather path, used when the matrix
+  has no block structure.
+
+Both are exact (padding contributes zeros).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+# ---------------------------------------------------------------------------
+# ELL: padded scalar rows
+# ---------------------------------------------------------------------------
+
+@register_pytree_node_class
+class ELLMatrix:
+    """Padded-row sparse matrix: data/indices of shape (m, K)."""
+
+    def __init__(self, data, indices, shape):
+        self.data = data
+        self.indices = indices
+        self.shape = tuple(shape)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def tree_flatten(self):
+        return (self.data, self.indices), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, leaves):
+        return cls(*leaves, shape)
+
+    def __matmul__(self, x):
+        return ell_spmv(self.data, self.indices, x)
+
+
+def ell_from_csr(csr):
+    """Convert a CSRMatrix to padded ELL (host-side)."""
+    indptr = np.asarray(csr.indptr)
+    cols = np.asarray(csr.indices)
+    vals = np.asarray(csr.data)
+    m, n = csr.shape
+    K = int(np.max(np.diff(indptr))) if m else 0
+    data = np.zeros((m, max(K, 1)), dtype=vals.dtype)
+    idx = np.zeros((m, max(K, 1)), dtype=np.int32)
+    for i in range(m):
+        s, e = indptr[i], indptr[i + 1]
+        data[i, : e - s] = vals[s:e]
+        idx[i, : e - s] = cols[s:e]
+    return ELLMatrix(jnp.asarray(data), jnp.asarray(idx), (m, n))
+
+
+@jax.jit
+def ell_spmv(data, indices, x):
+    return jnp.sum(data * jnp.take(x, indices, axis=0), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# BELL: block-ELL with a Pallas MXU kernel
+# ---------------------------------------------------------------------------
+
+@register_pytree_node_class
+class BELLMatrix:
+    """Block-ELL: data (nbr, mbpr, bs, bs), block col indices (nbr, mbpr)."""
+
+    def __init__(self, data, indices, shape, bs):
+        self.data = data
+        self.indices = indices
+        self.shape = tuple(shape)
+        self.bs = int(bs)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def tree_flatten(self):
+        return (self.data, self.indices), (self.shape, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, bs = aux
+        return cls(*leaves, shape, bs)
+
+    def __matmul__(self, x):
+        return bell_spmv(self, x)
+
+
+def bell_from_dense_blocks(A, bs=128, tol=0.0):
+    """Build BELL from a dense matrix by detecting nonzero bs×bs blocks."""
+    A = np.asarray(A)
+    m, n = A.shape
+    mp = -(-m // bs) * bs
+    np_ = -(-n // bs) * bs
+    Ap = np.zeros((mp, np_), dtype=A.dtype)
+    Ap[:m, :n] = A
+    nbr, nbc = mp // bs, np_ // bs
+    rows = []
+    for i in range(nbr):
+        blocks = []
+        for j in range(nbc):
+            blk = Ap[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs]
+            if np.any(np.abs(blk) > tol):
+                blocks.append((j, blk))
+        rows.append(blocks)
+    mbpr = max(1, max(len(r) for r in rows))
+    data = np.zeros((nbr, mbpr, bs, bs), dtype=A.dtype)
+    idx = np.zeros((nbr, mbpr), dtype=np.int32)
+    for i, blocks in enumerate(rows):
+        for k, (j, blk) in enumerate(blocks):
+            data[i, k] = blk
+            idx[i, k] = j
+    return BELLMatrix(jnp.asarray(data), jnp.asarray(idx), (m, n), bs)
+
+
+def bell_spmv(A: "BELLMatrix", x, interpret=None):
+    """y = A x with the Pallas BELL kernel (interpret-mode on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nbr, mbpr, bs, _ = A.data.shape
+    npad = A.data.shape[0] * bs
+    ncols_pad = (max(int(np.max(np.asarray(A.indices))) + 1, 1)) * bs \
+        if A.indices.size else bs
+    ncols_pad = max(ncols_pad, -(-A.shape[1] // bs) * bs)
+    xp = jnp.zeros((ncols_pad,), dtype=x.dtype).at[: A.shape[1]].set(x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr,),
+        in_specs=[
+            # x stays fully resident (VMEM) — dynamic block loads by index.
+            pl.BlockSpec((ncols_pad,), lambda i, idx: (0,)),
+            # one block-row of dense bs×bs blocks per grid step.
+            pl.BlockSpec((1, mbpr, bs, bs), lambda i, idx: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs), lambda i, idx: (i, 0)),
+    )
+
+    # accumulate in f32 for low-precision inputs, else in the input dtype
+    accdt = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16,
+                                       jnp.float32) else x.dtype
+
+    def kernel(idx_ref, x_ref, data_ref, out_ref):
+        mb = data_ref.shape[1]
+        bsz = data_ref.shape[2]
+        i = pl.program_id(0)
+        acc = jnp.zeros((bsz,), dtype=accdt)
+
+        def body(j, acc):
+            col = idx_ref[i, j]
+            seg = x_ref[pl.ds(col * bsz, bsz)]
+            blk = data_ref[0, j]
+            return acc + jnp.dot(blk, seg, preferred_element_type=accdt)
+
+        acc = jax.lax.fori_loop(0, mb, body, acc)
+        out_ref[0, :] = acc.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr, bs), x.dtype),
+        interpret=interpret,
+    )(A.indices, xp, A.data)
+    return out.reshape(-1)[: A.shape[0]]

@@ -1,0 +1,73 @@
+"""ELL / BELL (Pallas) sparse kernels — correctness on the CPU interpreter."""
+
+import numpy as np
+import pytest
+
+from krylov_tpu.ops.pallas_spmv import (
+    ell_from_csr, ell_spmv, bell_from_dense_blocks, bell_spmv, ELLMatrix,
+)
+from krylov_tpu.ops.sparse import csr_from_dense
+import fixtures as fx
+
+
+class TestELL:
+    def test_matches_dense(self):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((30, 25))
+        A[np.abs(A) < 1.2] = 0.0
+        ell = ell_from_csr(csr_from_dense(A))
+        x = rng.standard_normal(25)
+        y = np.asarray(ell_spmv(ell.data, ell.indices, x))
+        assert np.allclose(y, A @ x)
+
+    def test_laplacian(self):
+        A = fx.get_div_grad(6, 6, 6)
+        from krylov_tpu.ops.sparse import csr_from_coo
+        Ac = A.tocoo()
+        csr = csr_from_coo(Ac.row, Ac.col, Ac.data, Ac.shape)
+        ell = ell_from_csr(csr)
+        x = np.random.default_rng(1).standard_normal(216)
+        y = np.asarray(ell @ x)
+        assert np.allclose(y, A @ x)
+
+
+class TestBELL:
+    def test_block_structure(self):
+        rng = np.random.default_rng(2)
+        n = 64
+        A = np.zeros((n, n))
+        for i in range(0, n, 8):
+            A[i:i + 8, i:i + 8] = rng.standard_normal((8, 8))
+        A[0:8, 32:40] = rng.standard_normal((8, 8))
+        A[56:64, 0:8] = rng.standard_normal((8, 8))
+        B = bell_from_dense_blocks(A, bs=8)
+        x = rng.standard_normal(n)
+        y = np.asarray(bell_spmv(B, x))
+        assert np.allclose(y, A @ x, atol=1e-10)
+
+    def test_nonsquare_padding(self):
+        rng = np.random.default_rng(3)
+        A = np.zeros((20, 12))
+        A[0:8, 0:8] = rng.standard_normal((8, 8))
+        A[8:16, 4:12] = rng.standard_normal((8, 8))
+        B = bell_from_dense_blocks(A, bs=8)
+        x = rng.standard_normal(12)
+        y = np.asarray(bell_spmv(B, x))
+        assert np.allclose(y, A @ x, atol=1e-10)
+
+    def test_in_solver(self):
+        # BELL as the operator inside CG via FunctionOperator.
+        from krylov_tpu.operators import FunctionOperator
+        from krylov_tpu import cg
+        rng = np.random.default_rng(4)
+        n = 32
+        A = np.zeros((n, n))
+        for i in range(0, n, 8):
+            A[i:i + 8, i:i + 8] = np.eye(8) * 4 + rng.standard_normal((8, 8)) * 0.1
+        A = (A + A.T) / 2 + 4 * np.eye(n)
+        B = bell_from_dense_blocks(A, bs=8)
+        op = FunctionOperator(lambda v: bell_spmv(B, v), (n, n), B.dtype)
+        b = A @ np.ones(n)
+        x, stats = cg(op, b)
+        assert stats.solved
+        assert np.allclose(np.asarray(x), np.ones(n), atol=1e-6)
