@@ -42,7 +42,13 @@ def main():
     # --- SpMV throughput: K matvecs inside one jit (amortize dispatch).
     # The result is reduced to a scalar and fetched: through the remote
     # tunnel block_until_ready alone does not guarantee completion.
-    K = 400
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    log(f"bench: device={dev} dtype={np.dtype(dtype)} n={n}")
+    K = 200
 
     @jax.jit
     def spmv_loop(data, x):
@@ -51,7 +57,9 @@ def main():
         v = jax.lax.fori_loop(0, K, body, x)
         return jnp.sum(v)
 
+    log("bench: compiling spmv loop...")
     float(spmv_loop(D.data, b))          # compile + warm
+    log("bench: spmv compiled")
     best = float("inf")
     for trial in range(3):
         xin = jnp.full(n, 1.0 + 0.01 * trial, dtype=dtype)
@@ -64,7 +72,9 @@ def main():
     # --- CG time-to-tolerance (rtol=1e-6 fp32 / 1e-8 fp64) ---
     rtol = 1e-6 if on_tpu else 1e-8
     op = DIAOperator(D)
+    log("bench: compiling cg...")
     x, stats = cg(op, b, atol=0.0, rtol=rtol)        # compile + converge
+    log("bench: cg compiled")
     b2 = jnp.full(n, 1.01, dtype=dtype)
     t0 = time.perf_counter()
     x, stats = cg(op, b2, atol=0.0, rtol=rtol)

@@ -413,3 +413,101 @@ def check_min_norm(A, b, x, atol=1e-12):
     return np.linalg.norm(np.asarray(x) - xmin) <= atol * max(
         1.0, np.linalg.norm(xmin)
     )
+
+
+# --- ODE / PDE adjoint generators (reference test/get_div_grad.jl:28-240) --
+
+def ODE(n, f, g, ode_coefs, dim_x=(0.0, 1.0)):
+    xl, xr = dim_x
+    dx = (xr - xl) / (n + 1)
+    grid = np.array([i * dx for i in range(1, n + 1)])
+    c1, c2, c3 = ode_coefs
+    A = np.zeros((n, n))
+    for i in range(n):
+        if i != 0:
+            A[i, i - 1] = c1 / (dx * dx) - c2 / (2 * dx)
+        A[i, i] = -2 * c1 / (dx * dx) + c3
+        if i != n - 1:
+            A[i, i + 1] = c1 / (dx * dx) + c2 / (2 * dx)
+    return A, f(grid), g(grid)
+
+
+def PDE(n, m, f, g, pde_coefs, dim_x=(0.0, 1.0), dim_y=(0.0, 1.0)):
+    xl, xr = dim_x
+    yl, yr = dim_y
+    dx = (xr - xl) / (n + 1)
+    dy = (yr - yl) / (m + 1)
+    x = np.array([xl + i * dx for i in range(1, n + 1)])
+    y = np.array([yl + j * dy for j in range(1, m + 1)])
+    a, bb, c, d, e = pde_coefs
+    A = sp.lil_matrix((n * m, n * m))
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            k = (i - 1) + n * (j - 1)
+            A[k, k] = -2 * a / dx**2 - 2 * bb / dy**2 + e
+            if i >= 2:
+                A[k, k - 1] = a / dx**2 - c / (2 * dx)
+            if i <= n - 1:
+                A[k, k + 1] = a / dx**2 + c / (2 * dx)
+            if j >= 2:
+                A[k, k - n] = bb / dy**2 - d / (2 * dy)
+            if j <= m - 1:
+                A[k, k + n] = bb / dy**2 + d / (2 * dy)
+    bvec = np.array([f(x[i], y[j]) for j in range(m) for i in range(n)])
+    cvec = np.array([g(x[i], y[j]) for j in range(m) for i in range(n)])
+    return A.tocsr(), bvec, cvec
+
+
+def adjoint_ode(n=50, FC=np.float64):
+    c1 = c2 = c3 = 1.0
+    f = lambda x: (-c1 * np.pi**2 + c3) * np.sin(np.pi * x) \
+        + c2 * np.pi * np.cos(np.pi * x)
+    g = lambda x: np.exp(x)
+    A, b, c = ODE(n, f, g, [c1, c2, c3])
+    return A.astype(FC), b.astype(FC), c.astype(FC)
+
+
+def adjoint_pde(n=50, m=50, FC=np.float64):
+    k1, k2, k3 = 5.0, 20.0, 0.0
+    f = lambda x, y: ((-2 * k1 * np.pi**2 + k3) * np.sin(np.pi * x)
+                      * np.sin(np.pi * y)
+                      + k2 * np.pi * np.cos(np.pi * x) * np.sin(np.pi * y)
+                      + k2 * np.pi * np.sin(np.pi * x) * np.cos(np.pi * y))
+    g = lambda x, y: np.exp(x + y)
+    A, b, c = PDE(n, m, f, g, [k1, k1, k2, k2, k3])
+    return A.toarray().astype(FC), b.astype(FC), c.astype(FC)
+
+
+def polar_poisson(n=50, m=50, FC=np.float64, R=1.0):
+    fr = lambda r, t: -3.0 * np.cos(t)
+    gr = lambda r, t: 0.0
+    dr = 2 * R / (2 * n + 1)
+    r = np.array([(i - 0.5) * dr for i in range(1, n + 2)])
+    dth = 2 * np.pi / m
+    th = np.array([(j - 1) * dth for j in range(1, m + 2)])
+    lam = np.array([1.0 / (2 * (k - 0.5)) for k in range(1, n + 1)])
+    beta = np.array([1.0 / ((k - 0.5) ** 2 * dth**2) for k in range(1, n + 1)])
+    D = sp.diags(beta)
+    T = sp.diags([1.0 - lam[1:n], -2.0 * np.ones(n), 1.0 + lam[:n - 1]],
+                 [-1, 0, 1])
+    A = sp.lil_matrix((n * m, n * m))
+    for k in range(m):
+        A[k * n:(k + 1) * n, k * n:(k + 1) * n] = (T - 2 * D).toarray()
+        if k <= m - 2:
+            A[(k + 1) * n:(k + 2) * n, k * n:(k + 1) * n] = D.toarray()
+            A[k * n:(k + 1) * n, (k + 1) * n:(k + 2) * n] = D.toarray()
+    A[(m - 1) * n:m * n, 0:n] = D.toarray()
+    A[0:n, (m - 1) * n:m * n] = D.toarray()
+    b = np.zeros(n * m)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            b[i - 1 + n * (j - 1)] = dr * dr * fr(r[i - 1], th[j - 1])
+            if i == n:
+                b[i - 1 + n * (j - 1)] -= (1.0 + lam[n - 1]) * gr(R, th[j - 1])
+    return to_csr(A.tocsr(), dtype=FC), b.astype(FC)
+
+
+def cartesian_poisson(n=50, m=50, FC=np.float64):
+    f = lambda x, y: -2.0 * np.pi**2 * np.sin(np.pi * x) * np.sin(np.pi * y)
+    A, b, c = PDE(n, m, f, lambda x, y: 0.0, [1.0, 1.0, 0.0, 0.0, 0.0])
+    return to_csr(A, dtype=FC), b.astype(FC)
