@@ -12,7 +12,9 @@ by XLA), Pallas kernels for sparse matvec, jax.sharding for multi-chip.
 from .ops.kops import (
     kdot,
     kdotr,
+    kdotr2,
     knorm,
+    knorm2,
     knorm_elliptic,
     sym_givens,
     roots_quadratic,

@@ -46,6 +46,73 @@ def knorm_elliptic(x, mx):
 
 
 # ---------------------------------------------------------------------------
+# compensated (double-word) reductions — fp64-grade dot products from fp32
+# hardware (SURVEY.md §7.2 "fp64 on TPU").  Ogita-Rump-Oishi Dot2: the
+# product error terms from TwoProd and the running-sum error terms from
+# TwoSum are accumulated separately and folded back in, giving results as
+# if computed in twice the working precision.
+# ---------------------------------------------------------------------------
+
+def _dekker_split(a):
+    """Split a into hi + lo with hi carrying the top half of the mantissa."""
+    # 2^ceil(p/2)+1 with p the mantissa bits of the dtype.
+    bits = {jnp.dtype(jnp.float32): 4097.0, jnp.dtype(jnp.float64): 134217729.0,
+            jnp.dtype(jnp.bfloat16): 17.0}[jnp.dtype(a.dtype)]
+    c = jnp.asarray(bits, a.dtype) * a
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def _two_prod_vec(a, b):
+    """Vectorized TwoProd via Dekker splitting (no FMA required)."""
+    p = a * b
+    ah, al = _dekker_split(a)
+    bh, bl = _dekker_split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _comp_pairwise_sum(v):
+    """Compensated pairwise summation: a TwoSum reduction tree (fully
+    vectorized, log2(n) levels) whose per-level error terms are folded
+    back in — Sum2-grade accuracy with VPU-friendly shapes."""
+    err = jnp.zeros((), v.dtype)
+    while v.shape[0] > 1:
+        n = v.shape[0]
+        if n % 2:
+            v = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        a, b = v[0::2], v[1::2]
+        s = a + b
+        bp = s - a
+        e = (a - (s - bp)) + (b - bp)
+        err = err + jnp.sum(e)
+        v = s
+    return v[0] + err
+
+
+def kdotr2(x, y):
+    """Compensated Re⟨x, y⟩ (Ogita-Rump-Oishi Dot2, vectorized):
+    fp32 inputs with close-to-fp64 result accuracy — the kernel that
+    recovers fp64-grade iteration counts from fp32 TPU arithmetic."""
+    if jnp.iscomplexobj(x) or jnp.iscomplexobj(y):
+        xr, xi = jnp.real(x), jnp.imag(x)
+        yr, yi = jnp.real(y), jnp.imag(y)
+        return kdotr2(xr, yr) + kdotr2(xi, yi)
+    p, err = _two_prod_vec(x, y)
+    return _comp_pairwise_sum(p) + _comp_pairwise_sum(err)
+
+
+def knorm2(x):
+    """Compensated Euclidean norm."""
+    if jnp.iscomplexobj(x):
+        return jnp.sqrt(jnp.maximum(
+            kdotr2(jnp.real(x), jnp.real(x))
+            + kdotr2(jnp.imag(x), jnp.imag(x)), 0))
+    return jnp.sqrt(jnp.maximum(kdotr2(x, x), 0))
+
+
+# ---------------------------------------------------------------------------
 # Givens reflections
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,48 @@ class TestToBoundary:
         s1, s2 = to_boundary(x, d, 3.0)
         for s in (float(s1), float(s2)):
             assert np.isclose(np.linalg.norm(np.asarray(x + s * d)), 3.0, rtol=1e-8)
+
+
+class TestCompensatedDot:
+    """Dot2 kernels: fp64-grade accuracy from fp32 arithmetic."""
+
+    def test_random_accuracy(self):
+        import jax.numpy as jnp
+        from krylov_tpu.ops.kops import kdotr2
+        rng = np.random.default_rng(0)
+        n = 50000
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        exact = float(np.dot(np.asarray(x, np.float64),
+                             np.asarray(y, np.float64)))
+        naive = float(jnp.dot(x, y))
+        comp = float(kdotr2(x, y))
+        # compensated must sit at the f32 representation floor,
+        # at least 10x better than the naive accumulation
+        assert abs(comp - exact) <= max(abs(naive - exact) / 10,
+                                        2e-7 * abs(exact))
+
+    def test_cancellation(self):
+        import jax.numpy as jnp
+        from krylov_tpu.ops.kops import kdotr2
+        rng = np.random.default_rng(1)
+        big = jnp.asarray(np.r_[1e8 * np.ones(512),
+                                rng.standard_normal(512)], jnp.float32)
+        w = jnp.asarray(np.r_[np.ones(512),
+                              rng.standard_normal(512)], jnp.float32)
+        x = jnp.concatenate([big, -big])
+        y = jnp.concatenate([w, w])
+        exact = float(np.dot(np.asarray(x, np.float64),
+                             np.asarray(y, np.float64)))
+        comp = float(kdotr2(x, y))
+        naive = float(jnp.dot(x, y))
+        assert abs(comp - exact) < 1.0       # eps^2-grade absolute error
+        assert abs(naive - exact) > 100.0    # naive is catastrophically off
+
+    def test_knorm2(self):
+        import jax.numpy as jnp
+        from krylov_tpu.ops.kops import knorm2
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(10000),
+                        jnp.float32)
+        exact = np.linalg.norm(np.asarray(x, np.float64))
+        assert abs(float(knorm2(x)) - exact) <= 2e-7 * exact
