@@ -17,8 +17,6 @@ Two TPU-native unstructured-sparsity formats:
 Both are exact (padding contributes zeros).
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

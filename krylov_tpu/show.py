@@ -8,7 +8,6 @@ architecture detection (src/krylov_show.jl:66-83).
 """
 
 import numpy as np
-import jax
 
 
 def _fmt_val(v):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .. import _runtime as rt
 from .._dtypes import real_dtype
-from ..operators import as_operator, precond_apply
+from ..operators import as_operator
 from ..stats import SimpleStats
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import _runtime as rt
 from .._dtypes import real_dtype
 from ..operators import as_operator, precond_apply
-from ..ops.kops import kdotr, knorm
+from ..ops.kops import kdotr
 from ..stats import LanczosStats, LanczosShiftStats
 
 NEG_CURV = 27  # "negative curvature"

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import _runtime as rt
 from .._dtypes import real_dtype
 from ..operators import as_operator, precond_apply
-from ..ops.kops import kdotr, knorm, sym_givens, to_boundary
+from ..ops.kops import kdotr, sym_givens, to_boundary
 from ..stats import SimpleStats
 
 

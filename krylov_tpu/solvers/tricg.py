@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import _runtime as rt
 from .._dtypes import real_dtype
 from ..operators import as_operator, precond_apply
-from ..ops.kops import kdot, knorm, sym_givens
+from ..ops.kops import kdot, sym_givens
 from ..stats import SimpleStats
 
 INCONS_TRI = 28  # "inconsistent linear system" (shared with fom)

@@ -13,7 +13,7 @@ src/cg.jl:272-278, src/gmres.jl:367-371) so downstream code matching on
 """
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

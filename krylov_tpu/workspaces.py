@@ -20,7 +20,6 @@ The per-method (nsol, nA, nAt, warm) table is the reference's
 (src/workspace_accessors.jl:101-139).
 """
 
-import numpy as np
 import jax
 
 
@@ -69,10 +68,6 @@ METHOD_TABLE = {
 
 
 def _resolve(method):
-    from . import solvers as _s  # noqa: F401
-    from .solvers import (cg, cr, minres, symmlq, cg_lanczos, minres_qlp,
-                          minares, gmres, fom, bicgstab, bilq, usymlq,
-                          lsqr, lsmr, lslq, cgls, cgne, craig, tricg, gpmr)
     import importlib
     mapping = {
         "cg": ("krylov_tpu.solvers.cg", "_cg_solve"),
