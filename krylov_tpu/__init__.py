@@ -86,8 +86,10 @@ from .interface import (
     krylov_solve_inplace,
     KRYLOV_METHODS,
 )
+from .show import show_stats, show_workspace
 from .workspaces import (
     KrylovWorkspace,
+    METHOD_TABLE,
     solution,
     statistics,
     results,
@@ -98,5 +100,15 @@ from .workspaces import (
     warm_start,
     elapsed_time,
 )
+
+# Re-export the generated per-method workspace classes (CgWorkspace,
+# MinresWorkspace, ...) to mirror the reference's exported workspace types
+# (reference src/krylov_workspaces.jl).
+from . import workspaces as _workspaces
+
+for _method in METHOD_TABLE:
+    _cname = "".join(_w.capitalize() for _w in _method.split("_")) + "Workspace"
+    globals()[_cname] = getattr(_workspaces, _cname)
+del _method, _cname
 
 __version__ = "0.1.0"
