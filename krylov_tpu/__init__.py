@@ -88,6 +88,7 @@ from .interface import (
 )
 from .show import show_stats, show_workspace
 from .workspaces import (
+    KrylovConstructor,
     KrylovWorkspace,
     METHOD_TABLE,
     solution,

@@ -141,47 +141,60 @@ def bell_spmv(A: "BELLMatrix", x, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nbr, mbpr, bs, _ = A.data.shape
-    npad = A.data.shape[0] * bs
-    ncols_pad = (max(int(np.max(np.asarray(A.indices))) + 1, 1)) * bs \
-        if A.indices.size else bs
-    ncols_pad = max(ncols_pad, -(-A.shape[1] // bs) * bs)
+    # Static shape math only (this function must trace under jit):
+    # bell_from_dense_blocks pads to bs multiples, so block column
+    # indices never exceed ceil(n/bs)-1.
+    ncols_pad = max(-(-A.shape[1] // bs), 1) * bs
     xp = jnp.zeros((ncols_pad,), dtype=x.dtype).at[: A.shape[1]].set(x)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nbr,),
-        in_specs=[
-            # x stays fully resident (VMEM) — dynamic block loads by index.
-            pl.BlockSpec((ncols_pad,), lambda i, idx: (0,)),
-            # one block-row of dense bs×bs blocks per grid step.
-            pl.BlockSpec((1, mbpr, bs, bs), lambda i, idx: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bs), lambda i, idx: (i, 0)),
-    )
 
     # accumulate in f32 for low-precision inputs, else in the input dtype
     accdt = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16,
                                        jnp.float32) else x.dtype
 
-    def kernel(idx_ref, x_ref, data_ref, out_ref):
-        mb = data_ref.shape[1]
-        bsz = data_ref.shape[2]
-        i = pl.program_id(0)
-        acc = jnp.zeros((bsz,), dtype=accdt)
+    # 2-D grid (block-row, block-slot).  The scalar-prefetched block
+    # column indices feed x's BlockSpec index_map, so the pipeline DMAs
+    # exactly the x segment each bs×bs block needs — the gather happens
+    # in the prologue, not with in-kernel dynamic slices (which Mosaic
+    # cannot prove aligned).  x never needs to be fully VMEM-resident.
+    # x and y travel as (len, 1) column matrices: a (bs, 1) tile keeps
+    # the sublane dim a multiple of 8 and the lane dim equal to the full
+    # array dim, which 1-D (bs,) blocks cannot (XLA lays out 1-D f32
+    # arrays in 1024-element tiles that clash with 128-element blocks).
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr, mbpr),
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i, j, idx: (idx[i, j], 0)),
+            pl.BlockSpec((1, 1, bs, bs), lambda i, j, idx: (i, j, 0, 0)),
+        ],
+        # The same output tile is revisited across j, with a VMEM
+        # scratch accumulator flushed on the last slot.
+        out_specs=pl.BlockSpec((bs, 1), lambda i, j, idx: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, 1), accdt)],
+    )
 
-        def body(j, acc):
-            col = idx_ref[i, j]
-            seg = x_ref[pl.ds(col * bsz, bsz)]
-            blk = data_ref[0, j]
-            return acc + jnp.dot(blk, seg, preferred_element_type=accdt)
+    def kernel(idx_ref, x_ref, data_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
 
-        acc = jax.lax.fori_loop(0, mb, body, acc)
-        out_ref[0, :] = acc.astype(out_ref.dtype)
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # precision=HIGHEST: without it the MXU runs f32 matmuls as
+        # bf16×bf16 passes (observed max err 0.16 on a 2048² banded
+        # f32 SpMV); full-precision f32 keeps SpMV at fp32 accuracy.
+        acc_ref[:] += jnp.dot(data_ref[0, 0], x_ref[:],
+                              preferred_element_type=accdt,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _flush():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbr, bs), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr * bs, 1), x.dtype),
         interpret=interpret,
-    )(A.indices, xp, A.data)
+    )(A.indices, xp.reshape(-1, 1), A.data)
     return out.reshape(-1)[: A.shape[0]]

@@ -641,8 +641,3 @@ def trimr(A, b, c, x0=None, y0=None, **kwargs):
     x, y, stats, _ = _trimr_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats
 
-
-def _usymlqr_ws(A, b, c, x0=None, y0=None, **kwargs):
-    """Workspace-layer adapter: USYMLQR via the saddle-point preset."""
-    kwargs.pop("sp", None)
-    return _trimr_solve(A, b, c, x0, y0, sp=True, **kwargs)

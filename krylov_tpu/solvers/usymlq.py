@@ -751,21 +751,316 @@ def trilqr(A, b, c, x0=None, y0=None, **kwargs):
 
 
 # ---------------------------------------------------------------------------
-# USYMLQR — saddle-point [I A; Aᴴ 0][r; x] = [b; c] via combined LQ/QR.
-# Reference src/usymlqr.jl solves min ‖x‖ s.t. Aᴴx = c (LN) together with
-# LS on A.  We provide the combined solve returning (x, y).
+# USYMLQR — symmetric saddle-point [I A; Aᴴ 0][x; y] = [b; c].
+# Reference src/usymlqr.jl (Buttari, Orban, Ruiz, Titley-Peloquin 2019):
+# one Saunders-Simon-Yip tridiagonalization drives a USYMQR-style
+# least-squares solve of [I A; Aᴴ 0][r; s] = [b; 0] (when ls=true) and a
+# USYMLQ-style least-norm solve of [I A; Aᴴ 0][w; z] = [0; c] (when
+# ln=true); the saddle-point solution is the sum of the two parts.
 # ---------------------------------------------------------------------------
 
-def usymlqr(A, b, c, x0=None, y0=None, **kwargs):
-    """x, y, stats = usymlqr(A, b, c) — symmetric saddle-point pair.
+class UsymlqrState(NamedTuple):
+    x: jax.Array          # LN primal accumulator xᴸ (length m)
+    r: jax.Array          # LS residual vector rₖ (length m)
+    y: jax.Array          # LS solution accumulator yₖ = Wₖfₖ (length n)
+    z: jax.Array          # LN accumulator zᴸ (length n)
+    vk: jax.Array
+    vkm1: jax.Array
+    uk: jax.Array
+    ukm1: jax.Array
+    w_km1: jax.Array      # column k-1 of Wₖ = Uₖ Rₖ⁻¹ (length n)
+    w_km2: jax.Array
+    dbar_vec: jax.Array   # last column of D̄ₖ = Vₖ Qₖ₋₁ᴴ (length m)
+    beta: jax.Array
+    gamma: jax.Array
+    c_km2: jax.Array
+    s_km2: jax.Array
+    c_km1: jax.Array
+    s_km1: jax.Array
+    phibar: jax.Array     # last component of f̄ₖ = Qₖᴴ β₁e₁
+    zeta_km1: jax.Array   # trailing components of h̄ₖ = R̄ₖ⁻ᴴ γ₁e₁
+    zeta_km2: jax.Array
+    eta_km1: jax.Array
+    delta_km1: jax.Array
+    kappa: jax.Array
+    rNorm_ls: jax.Array
+    rNorm_ln: jax.Array
+    AHrNorm: jax.Array
+    eps_ls: jax.Array
+    eps_ln: jax.Array
+    solved_ls: jax.Array
+    solved_ln: jax.Array
+    inconsistent: jax.Array
+    iter: jax.Array
+    status: jax.Array
+    hist_r: jax.Array
+    hist_ar: jax.Array
 
-    Solves the symmetric saddle-point system [I A; Aᴴ 0][x; y] = [b; c]:
-    x is the least-squares residual component and y the least-norm
-    component (reference src/usymlqr.jl).  Implemented on the same SSY
-    process via the TriMR machinery with the saddle-point preset
-    (τ=1, ν=0) — an equivalent minimum-residual formulation of the
-    USYMLQR subproblem; returns SimpleStats.
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ls", "ln", "history", "hist_len", "callback",
+                     "verbose"),
+)
+def _usymlqr_core(
+    A, b, c, x0, y0, state_in, iter_cap, atol, rtol,
+    *, ls, ln, history, hist_len, callback, verbose,
+):
+    m, n = A.shape
+    FC = b.dtype
+    T = real_dtype(FC)
+
+    if state_in is None:
+        # Warm start folds the guess into the right-hand sides:
+        # b₀ = b - Δx - AΔy, c₀ = c - AᴴΔx (reference usymlqr.jl:178-185).
+        b0 = b
+        c0 = c
+        if y0 is not None:
+            b0 = b0 - A.matvec(y0)
+        if x0 is not None:
+            b0 = b0 - x0
+            c0 = c0 - A.rmatvec(x0)
+        beta = knorm(b0)
+        gamma = knorm(c0)
+        vk = jnp.where(beta != 0, b0 / _safe(beta).astype(FC),
+                       jnp.zeros(m, FC))
+        uk = jnp.where(gamma != 0, c0 / _safe(gamma).astype(FC),
+                       jnp.zeros(n, FC))
+        eps_ls = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * beta
+        eps_ln = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * gamma
+        solved_ls = (not ls) | (beta <= eps_ls)
+        solved_ln = (not ln) | (gamma <= eps_ln)
+        zc = jnp.zeros((), FC)
+        status = jnp.where(solved_ls & solved_ln, jnp.int32(rt.SOLVED),
+                           jnp.int32(rt.RUNNING))
+        hr = rt.hist_init(hist_len, T)
+        hr = rt.hist_write(hr, 0, beta if ls else gamma, history)
+        har = rt.hist_init(hist_len, T)
+        state = UsymlqrState(
+            x=jnp.zeros(m, FC),
+            r=b0 if ls else jnp.zeros(m, FC),
+            y=jnp.zeros(n, FC), z=jnp.zeros(n, FC),
+            vk=vk, vkm1=jnp.zeros(m, FC), uk=uk, ukm1=jnp.zeros(n, FC),
+            w_km1=jnp.zeros(n, FC), w_km2=jnp.zeros(n, FC),
+            dbar_vec=jnp.zeros(m, FC),
+            beta=beta, gamma=gamma,
+            c_km2=-jnp.ones((), T), s_km2=zc,
+            c_km1=-jnp.ones((), T), s_km1=zc,
+            phibar=beta.astype(FC), zeta_km1=zc, zeta_km2=zc,
+            eta_km1=zc, delta_km1=zc,
+            kappa=jnp.zeros((), T), rNorm_ls=beta, rNorm_ln=gamma,
+            AHrNorm=jnp.asarray(jnp.inf, T),
+            eps_ls=eps_ls, eps_ln=eps_ln,
+            solved_ls=solved_ls, solved_ln=solved_ln,
+            inconsistent=jnp.zeros((), jnp.bool_),
+            iter=jnp.int32(0), status=status, hist_r=hr, hist_ar=har,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        it = s.iter + 1
+        q, p, alpha, beta_kp1, gamma_kp1 = _ssy_step(
+            A, s.vk, s.uk, s.vkm1, s.ukm1, s.beta, s.gamma, it, FC)
+
+        # QR of the SSY tridiagonal Tₖ₊₁.ₖ, two previous reflections then
+        # a new one (reference usymlqr.jl:286-313).  With the (-1, 0)
+        # initial cosines/sines the k=1,2 special cases are branchless:
+        # ϵₖ₋₂ = 0 and λ̄ₖ₋₁ = γₖ fall out of the same formulas.
+        gam = s.gamma.astype(FC)
+        eps_km2 = s.s_km2 * gam
+        lambdabar = -s.c_km2.astype(FC) * gam
+        lam_km1 = s.c_km1.astype(FC) * lambdabar + s.s_km1 * alpha
+        deltabar = jnp.conj(s.s_km1) * lambdabar - s.c_km1.astype(FC) * alpha
+        ck, sk, delta = sym_givens(deltabar, beta_kp1.astype(FC))
+
+        # wₖ = (uₖ - λₖ₋₁wₖ₋₁ - ϵₖ₋₂wₖ₋₂) / δₖ; the k<3 terms vanish
+        # because w₋₁ = w₀ = 0 and ϵ₋₁ = 0.
+        w_new = (s.uk - lam_km1 * s.w_km1 - eps_km2 * s.w_km2) \
+            / _safe(delta).astype(FC)
+
+        # --- least-squares part (reference usymlqr.jl:334-367) ---
+        als = ls & ~s.solved_ls
+        phi = ck.astype(FC) * s.phibar
+        phibar_next = jnp.conj(sk) * s.phibar
+        y_new = jnp.where(als, s.y + phi * w_new, s.y)
+        rfac = jnp.where(beta_kp1 != 0,
+                         -ck.astype(FC) * phibar_next
+                         / _safe(beta_kp1).astype(FC),
+                         jnp.zeros((), FC))
+        r_new = jnp.where(als, jnp.abs(sk) ** 2 * s.r + rfac * q, s.r)
+        rNorm_ls = jnp.where(als, jnp.abs(phibar_next), s.rNorm_ls)
+        AHrNorm = jnp.where(
+            als,
+            jnp.abs(s.phibar) * jnp.sqrt(
+                jnp.abs(deltabar) ** 2
+                + jnp.abs(s.c_km1 * gamma_kp1) ** 2),
+            s.AHrNorm)
+        kappa = jnp.where(
+            ls & (it == 1),
+            jnp.asarray(atol, T) + jnp.asarray(rtol, T) * AHrNorm, s.kappa)
+        solved_ls_new = s.solved_ls | (als & (rNorm_ls <= s.eps_ls))
+        inconsistent = jnp.where(
+            als, ~(rNorm_ls <= s.eps_ls) & (AHrNorm <= kappa),
+            s.inconsistent)
+        phibar_new = jnp.where(als, phibar_next, s.phibar)
+
+        # --- least-norm part (reference usymlqr.jl:370-436) ---
+        aln = ln & ~s.solved_ln
+        zeta_km1_new = jnp.where(aln & (it >= 2),
+                                 s.eta_km1 / jnp.conj(_safe(s.delta_km1)),
+                                 s.zeta_km1)
+        zeta_km2_new = jnp.where(aln & (it >= 3), s.zeta_km1, s.zeta_km2)
+        eta = jnp.where(
+            aln,
+            jnp.where(it == 1, gam,
+                      -jnp.conj(eps_km2) * zeta_km2_new
+                      - jnp.conj(lam_km1) * zeta_km1_new),
+            s.eta_km1)
+        x_new = jnp.where(
+            aln & (it >= 2),
+            s.x + zeta_km1_new * s.c_km1.astype(FC) * s.dbar_vec
+            + zeta_km1_new * jnp.conj(s.s_km1) * s.vk,
+            s.x)
+        z_new = jnp.where(aln & (it >= 2), s.z - zeta_km1_new * s.w_km1,
+                          s.z)
+        dbar_vec_new = jnp.where(
+            aln,
+            jnp.where(it == 1, s.vk,
+                      s.s_km1 * s.dbar_vec - s.c_km1.astype(FC) * s.vk),
+            s.dbar_vec)
+        mu = gam * (jnp.conj(s.s_km2) * zeta_km2_new
+                    - s.c_km2.astype(FC) * s.c_km1.astype(FC) * zeta_km1_new) \
+            + jnp.conj(alpha * s.s_km1) * zeta_km1_new
+        om = gamma_kp1.astype(FC) * jnp.conj(s.s_km1) * zeta_km1_new
+        rNorm_ln = jnp.where(
+            aln & (it >= 2),
+            jnp.sqrt(jnp.abs(mu) ** 2 + jnp.abs(om) ** 2), s.rNorm_ln)
+        solved_ln_new = s.solved_ln | (aln & (rNorm_ln <= s.eps_ln))
+        eta_km1_new = jnp.where(aln, eta, s.eta_km1)
+
+        # Advance the SSY basis; zero on breakdown keeps orthogonality
+        # (reference usymlqr.jl:440-455).
+        vk_new = jnp.where(beta_kp1 != 0, q / _safe(beta_kp1).astype(FC),
+                           jnp.zeros(m, FC))
+        uk_new = jnp.where(gamma_kp1 != 0, p / _safe(gamma_kp1).astype(FC),
+                           jnp.zeros(n, FC))
+
+        solved = solved_ls_new & solved_ln_new
+        code = jnp.where(
+            solved, jnp.int32(rt.SOLVED),
+            jnp.where(inconsistent, jnp.int32(rt.INCONSISTENT),
+                      jnp.int32(rt.RUNNING)))
+        hr = rt.hist_write(
+            s.hist_r, it, rNorm_ls if ls else rNorm_ln, history)
+        har = rt.hist_write(s.hist_ar, it,
+                            jnp.where(ls, AHrNorm, jnp.nan), history)
+        s_new = s._replace(
+            x=x_new, r=r_new, y=y_new, z=z_new,
+            vk=vk_new, vkm1=s.vk, uk=uk_new, ukm1=s.uk,
+            w_km1=w_new, w_km2=s.w_km1, dbar_vec=dbar_vec_new,
+            beta=beta_kp1, gamma=gamma_kp1,
+            c_km2=s.c_km1, s_km2=s.s_km1, c_km1=ck,
+            s_km1=jnp.asarray(sk, FC),
+            phibar=phibar_new, zeta_km1=zeta_km1_new,
+            zeta_km2=zeta_km2_new, eta_km1=eta_km1_new, delta_km1=delta,
+            kappa=kappa, rNorm_ls=rNorm_ls, rNorm_ln=rNorm_ln,
+            AHrNorm=AHrNorm,
+            solved_ls=solved_ls_new, solved_ln=solved_ln_new,
+            inconsistent=inconsistent,
+            iter=it, status=code, hist_r=hr, hist_ar=har,
+        )
+        if callback is not None:
+            user_exit = callback(s_new)
+            s_new = s_new._replace(
+                status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_new.status))
+        return s_new
+
+    state = jax.lax.while_loop(cond, body, state)
+    # Saddle-point composition x ← xᴸ + r, y ← yₖ + zᴸ
+    # (reference usymlqr.jl:494-497).
+    return state._replace(x=state.x + state.r, y=state.y + state.z)
+
+
+def _usymlqr_solve(
+    A, b, c, x0=None, y0=None, *, ls=True, ln=True, atol=None, rtol=None,
+    itmax=0, timemax=float("inf"), verbose=0, history=False, callback=None,
+    **_ig,
+):
+    """Core USYMLQR driver (reference src/usymlqr.jl:136-510).
+
+    Solves [I A; Aᴴ 0][x; y] = [b; c] with x ∈ ℂᵐ, y ∈ ℂⁿ.  `ls`/`ln`
+    select the least-squares and least-norm subproblems; the returned
+    pair is the sum of the selected parts.  Deviations from the
+    reference: on an inconsistent least-squares exit we report
+    "system probably inconsistent" and set stats.inconsistent (the
+    reference leaves status "unknown" there); history interleaving is
+    replaced by residuals ← LS norms (LN norms when ls=false) and
+    Aresiduals ← ‖Aᴴr‖ estimates.
     """
-    from ..solvers.tricg import _trimr_solve
-    x, y, stats, _ = _trimr_solve(A, b, c, x0, y0, sp=True, **kwargs)
+    start = time.perf_counter()
+    if not (ls or ln):
+        raise ValueError(
+            "The keyword arguments `ls` and `ln` can't be both `false`.")
+    A = as_operator(A, need_adjoint=True)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c, dtype=b.dtype)
+    m, n = A.shape
+    if b.shape[0] != m or c.shape[0] != n:
+        raise ValueError("Inconsistent problem size")
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, m + n)
+    hist_len = itmax + 1 if history else 0
+    x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
+
+    def run(state, cap):
+        return _usymlqr_core(
+            A, b, c, x0, y0, state, jnp.int32(cap), atol, rtol,
+            ls=bool(ls), ln=bool(ln), history=bool(history),
+            hist_len=hist_len, callback=callback, verbose=int(verbose),
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = jax.device_get(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    x = jnp.asarray(state.x)
+    y = jnp.asarray(state.y)
+    if x0 is not None:
+        x = x + x0
+    if y0 is not None:
+        y = y + y0
+
+    def _trim(h):
+        h = np.asarray(h)[: niter + 1]
+        return h[~np.isnan(h)]
+
+    stats = SimpleStats(
+        niter=niter, solved=rt.is_solved_code(code),
+        inconsistent=code == rt.INCONSISTENT,
+        residuals=_trim(state.hist_r) if history else np.zeros(0),
+        Aresiduals=_trim(state.hist_ar) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code, {}),
+    )
+    return x, y, stats, state
+
+
+def usymlqr(A, b, c, x0=None, y0=None, **kwargs):
+    """x, y, stats = usymlqr(A, b, c; ls, ln) — saddle-point pair.
+
+    Solves the symmetric saddle-point system [I A; Aᴴ 0][x; y] = [b; c]
+    via the Saunders-Simon-Yip tridiagonalization: a USYMQR-style
+    least-squares sweep and a USYMLQ-style least-norm sweep share one
+    SSY process (reference src/usymlqr.jl).  Warm starts accept
+    (x0, y0); returns SimpleStats.
+    """
+    x, y, stats, _ = _usymlqr_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats

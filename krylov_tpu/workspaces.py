@@ -21,6 +21,7 @@ The per-method (nsol, nA, nAt, warm) table is the reference's
 """
 
 import jax
+import jax.numpy as jnp
 
 
 # method -> (nsol, nA, nAt, warm_start_allowed, needs_c, two_operators)
@@ -104,7 +105,7 @@ def _resolve(method):
         "craigmr": ("krylov_tpu.solvers.craig", "_craigmr_solve"),
         "usymlq": ("krylov_tpu.solvers.usymlq", "_usymlq_solve"),
         "usymqr": ("krylov_tpu.solvers.usymlq", "_usymqr_solve"),
-        "usymlqr": ("krylov_tpu.solvers.tricg", "_usymlqr_ws"),
+        "usymlqr": ("krylov_tpu.solvers.usymlq", "_usymlqr_solve"),
         "trilqr": ("krylov_tpu.solvers.usymlq", "_trilqr_solve"),
         "tricg": ("krylov_tpu.solvers.tricg", "_tricg_solve"),
         "trimr": ("krylov_tpu.solvers.tricg", "_trimr_solve"),
@@ -130,10 +131,44 @@ def _resolve(method):
     return getattr(mod, fname)
 
 
+class KrylovConstructor:
+    """Prototype-vector workspace allocator (reference krylov_workspaces.jl:36-54).
+
+    Holds prototype vectors `vm` (length m, the b-side) and `vn`
+    (length n, the c-side; defaults to `vm`) from which workspaces
+    derive their problem dimensions and dtype.  In JAX the prototypes
+    only contribute shape/dtype — sharding and storage follow the
+    operands of the actual solve.
+    """
+
+    def __init__(self, vm, vn=None):
+        self.vm = jnp.asarray(vm)
+        self.vn = self.vm if vn is None else jnp.asarray(vn)
+
+    @property
+    def m(self):
+        return self.vm.shape[0]
+
+    @property
+    def n(self):
+        return self.vn.shape[0]
+
+    @property
+    def dtype(self):
+        return self.vm.dtype
+
+
 class KrylovWorkspace:
     """Reusable solve context for one method (reference XyzWorkspace)."""
 
     def __init__(self, method, m=None, n=None, dtype=None, **config):
+        if isinstance(method, KrylovConstructor):
+            raise ValueError(
+                "pass the method name first: "
+                "KrylovWorkspace('cg', KrylovConstructor(...))")
+        if isinstance(m, KrylovConstructor):
+            kc = m
+            m, n, dtype = kc.m, kc.n, kc.dtype
         if method not in METHOD_TABLE:
             raise ValueError(f"unknown Krylov method: {method!r}")
         self.method = method
@@ -197,8 +232,15 @@ def _make_ws_class(method):
 
     def __init__(self, *shape_args, **config):
         m = n = dtype = None
-        if len(shape_args) == 2 and all(isinstance(a, int) for a in shape_args):
-            m, n = shape_args
+        if len(shape_args) >= 1 and isinstance(shape_args[0],
+                                               KrylovConstructor):
+            kc = shape_args[0]
+            m, n, dtype = kc.m, kc.n, kc.dtype
+        elif len(shape_args) >= 2 and all(isinstance(a, int)
+                                          for a in shape_args[:2]):
+            m, n = shape_args[:2]
+            if len(shape_args) >= 3:
+                dtype = shape_args[2]
         elif len(shape_args) >= 1:
             A = shape_args[0]
             if hasattr(A, "shape") and A.shape is not None:

@@ -137,3 +137,29 @@ class TestBlockSolvers:
         X, stats = kt.block_minres(A, B, X0)
         R = B - A @ np.asarray(X)
         assert np.linalg.norm(R) / np.linalg.norm(B) <= 1e-6
+
+
+class TestKrylovConstructor:
+    # reference src/krylov_workspaces.jl:36-54 and test usage
+    # UsymlqrWorkspace(KrylovConstructor(b, d))
+    def test_prototype_allocation(self):
+        import jax.numpy as jnp
+        b = jnp.ones(7, jnp.float64)
+        c = jnp.ones(4, jnp.float64)
+        kc = kt.KrylovConstructor(b, c)
+        assert (kc.m, kc.n) == (7, 4)
+        assert kc.dtype == jnp.float64
+        ws = kt.CgWorkspace(kt.KrylovConstructor(b))
+        assert (ws.m, ws.n) == (7, 7)
+        rng = np.random.default_rng(0)
+        Ad = rng.standard_normal((7, 7))
+        A = Ad @ Ad.T + 7 * np.eye(7)
+        ws.solve(jnp.asarray(A), b)
+        assert kt.issolved(ws)
+
+    def test_rectangular_prototypes(self):
+        import jax.numpy as jnp
+        b = jnp.ones(6, jnp.float64)
+        c = jnp.ones(4, jnp.float64)
+        ws = kt.UsymlqrWorkspace(kt.KrylovConstructor(b, c))
+        assert (ws.m, ws.n) == (6, 4)

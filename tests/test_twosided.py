@@ -150,6 +150,48 @@ class TestSaddlePoint:
         r = np.concatenate([b, c]) - K @ np.concatenate(
             [np.asarray(x), np.asarray(y)])
         assert np.linalg.norm(r) <= 1e-5
+        assert stats.solved
+
+    def test_usymlqr_ls_ln_modes(self, FC):
+        # reference test/test_usymlqr.jl "Small complex SP" block
+        rng = np.random.default_rng(7)
+        m = n = 4
+        def rnd(*s):
+            a = rng.random(s)
+            return a + 1j * rng.random(s) if FC == np.complex128 else a
+        A = rnd(m, n).astype(FC)
+        b = rnd(m).astype(FC)
+        c = rnd(n).astype(FC)
+        K = np.block([[np.eye(m), A], [A.conj().T, np.zeros((n, n))]])
+        for kw, d in ((dict(), np.concatenate([b, c])),
+                      (dict(ln=False), np.concatenate([b, 0 * c])),
+                      (dict(ls=False), np.concatenate([0 * b, c]))):
+            x, y, stats = usymlqr(A, b, c, **kw)
+            r = d - K @ np.concatenate([np.asarray(x), np.asarray(y)])
+            assert np.linalg.norm(r) <= 1e-6
+            assert stats.solved
+
+    def test_usymlqr_warm_start(self):
+        rng = np.random.default_rng(11)
+        m = n = 6
+        A = rng.random((m, n))
+        b = rng.random(m)
+        c = rng.random(n)
+        K = np.block([[np.eye(m), A], [A.conj().T, np.zeros((n, n))]])
+        sol = np.linalg.solve(K, np.concatenate([b, c]))
+        x0 = sol[:m] + 1e-3 * rng.random(m)
+        y0 = sol[m:] + 1e-3 * rng.random(n)
+        x, y, stats = usymlqr(A, b, c, x0, y0)
+        r = np.concatenate([b, c]) - K @ np.concatenate(
+            [np.asarray(x), np.asarray(y)])
+        assert np.linalg.norm(r) <= 1e-6
+        assert stats.solved
+
+    def test_usymlqr_both_false(self):
+        A = np.eye(3)
+        b = np.ones(3)
+        with pytest.raises(ValueError, match="ls.*ln|ln.*ls"):
+            usymlqr(A, b, b, ls=False, ln=False)
 
     def test_tricg_presets(self):
         A, b, M, N = fx.sqd()
