@@ -13,6 +13,7 @@ Preconditioners follow the same protocol; when a solver is called with
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
@@ -276,14 +277,31 @@ class FunctionOperator(AbstractLinearOperator):
 
 @register_pytree_node_class
 class DIAOperator(AbstractLinearOperator):
-    """Banded (DIA) operator — the TPU-fast path for stencil matrices."""
+    """Banded (DIA) operator — the TPU-fast path for stencil matrices.
 
-    def __init__(self, dia):
+    ``use_pallas=True`` (the default on TPU backends) routes matvecs
+    through the single-pass Pallas stencil kernel (ops/pallas_dia.py)
+    using output-aligned diagonals computed once at construction; any
+    other backend, or ``use_pallas=False``, uses the XLA shift-and-add
+    lowering (which is also the sharded/halo-exchange path).
+    """
+
+    def __init__(self, dia, use_pallas=None, _pd=None):
         self.dia = dia
         self.shape = dia.shape
         self.dtype = dia.dtype
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = bool(use_pallas)
+        if self.use_pallas and _pd is None:
+            from .ops.pallas_dia import dia_align
+            _pd = dia_align(dia.data, dia.offsets, dia.shape[0])
+        self._pd = _pd
 
     def matvec(self, x):
+        if self.use_pallas:
+            from .ops.pallas_dia import dia_spmv_pallas
+            return dia_spmv_pallas(self._pd, self.dia.offsets, x)
         from .ops.dia import dia_spmv
         return dia_spmv(self.dia.data, self.dia.offsets, x)
 
@@ -313,11 +331,11 @@ class DIAOperator(AbstractLinearOperator):
         return dia_spmm(self.dia.data, self.dia.offsets, X)
 
     def tree_flatten(self):
-        return (self.dia,), None
+        return (self.dia, self._pd), self.use_pallas
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(leaves[0])
+        return cls(leaves[0], use_pallas=aux, _pd=leaves[1])
 
 
 def as_operator(A, need_adjoint=False):

@@ -1,0 +1,113 @@
+"""Single-pass Pallas DIA SpMV — the speed-of-light stencil kernel.
+
+The XLA lowering of `dia_spmv` (ops/dia.py) materializes one padded
+intermediate per diagonal, reading/writing each ~8-byte-per-nnz stream
+several times (~110 GB/s observed on a v5e for the 7-point Poisson
+stencil).  This kernel makes one pass: each grid step produces one row
+tile of y from the aligned diagonal block and a 3-tile window of x, so
+HBM traffic is data once + x once (+2 halo tiles) + y once.
+
+Index scheme: vectors are viewed as (rows, 128) lane matrices.  The row
+tile TR is chosen so every diagonal offset k satisfies |k| ≤ TR·128,
+which makes each shifted read a *static* row slice of the 3-tile x
+window combined with a lane rotation (`pltpu.roll`) — no dynamic
+slices, so Mosaic needs no alignment proofs.  Diagonals are pre-shifted
+once (`dia_align`) to be output-aligned: y[i] = Σ_d pd[d,i]·x[i+k_d]
+(reference SpMV semantics: Krylov.jl uses SparseArrays CSC mul!,
+src/krylov_utils.jl BLAS trampolines; the DIA formulation is ours).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_SUBLANES = 8
+
+
+def dia_align(data, offsets, n):
+    """Output-aligned diagonals: pd[d, i] = data[d, i+k_d] (0 outside).
+
+    One-time O(nnz) device op; cache the result next to the matrix.
+    """
+    data = jnp.asarray(data)
+    pd = []
+    for d, k in enumerate(offsets):
+        row = data[d]
+        if k == 0:
+            pd.append(row)
+        elif k > 0:
+            pd.append(jnp.pad(row[k:], (0, k)))
+        else:
+            pd.append(jnp.pad(row[: n + k], (-k, 0)))
+    return jnp.stack(pd)
+
+
+def _tile_rows(offsets):
+    """Rows per tile: cover max |offset| and stay sublane-aligned."""
+    m = max((abs(k) for k in offsets), default=1)
+    tr = -(-m // LANES)
+    return max(-(-tr // _SUBLANES) * _SUBLANES, _SUBLANES)
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def dia_spmv_pallas(pd, offsets, x, interpret=None):
+    """y = A x from output-aligned diagonals `pd` (see dia_align)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = x.shape[0]
+    nd = pd.shape[0]
+    tr = _tile_rows(offsets)
+    tile = tr * LANES
+    npad = -(-n // tile) * tile
+    rows = npad // LANES
+    ntiles = rows // tr
+
+    xp = jnp.zeros((npad + 2 * tile,), x.dtype).at[tile: tile + n].set(x)
+    xw = xp.reshape(-1, LANES)
+    pdp = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd)
+    pdw = pdp.reshape(nd, rows, LANES)
+
+    shifts = []
+    for k in offsets:
+        q, r = divmod(k, LANES)
+        shifts.append((int(q), int(r)))
+    shifts = tuple(shifts)
+
+    def kernel(xprev_ref, xcur_ref, xnext_ref, pd_ref, y_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
+        xwin = jnp.concatenate(
+            [xprev_ref[:], xcur_ref[:], xnext_ref[:]], axis=0)
+        acc = jnp.zeros((tr, LANES), jnp.float32 if x.dtype in (
+            jnp.bfloat16, jnp.float16, jnp.float32) else x.dtype)
+        for d, (q, r) in enumerate(shifts):
+            w = pd_ref[d]
+            if r == 0:
+                sx = xwin[tr + q: 2 * tr + q]
+            else:
+                rolled = pltpu.roll(xwin, LANES - r, 1)
+                a = rolled[tr + q: 2 * tr + q]
+                b = rolled[tr + q + 1: 2 * tr + q + 1]
+                sx = jnp.where(lane < LANES - r, a, b)
+            acc = acc + (w * sx).astype(acc.dtype)
+        y_ref[:] = acc.astype(y_ref.dtype)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            # the same padded x three times: tiles t, t+1, t+2 of xw
+            pl.BlockSpec((tr, LANES), lambda t: (t, 0)),
+            pl.BlockSpec((tr, LANES), lambda t: (t + 1, 0)),
+            pl.BlockSpec((tr, LANES), lambda t: (t + 2, 0)),
+            pl.BlockSpec((nd, tr, LANES), lambda t: (0, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((tr, LANES), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+        interpret=interpret,
+    )(xw, xw, xw, pdw, )
+    return y.reshape(-1)[:n]

@@ -277,9 +277,45 @@ def montoison_orban(A, B, b, c, k, allow_breakdown=False,
 # jnp.linalg.qr normalization in place of LAPACK Householder.
 # ---------------------------------------------------------------------------
 
-def _block_qr(W):
-    Q, R = jnp.linalg.qr(W)
-    return Q, R
+def _block_qr(W, algo="householder"):
+    """Reduced QR of a tall n×p block (reference block_krylov_utils.jl:125-160).
+
+    ``algo``: "householder" (default, XLA's blocked Householder — also
+    used for "givens", which is numerically equivalent and has no TPU
+    advantage over Householder), "gs" (classical Gram-Schmidt) or
+    "mgs" (modified Gram-Schmidt).  The GS variants loop over the p
+    columns (p is small); each column update is a fused matvec.
+    """
+    if algo in ("householder", "givens"):
+        Q, R = jnp.linalg.qr(W)
+        return Q, R
+    if algo not in ("gs", "mgs"):
+        raise ValueError(f"unknown block QR algo: {algo!r}")
+    n, p = W.shape
+    FC = W.dtype
+    cols = []
+    rows = []
+    for j in range(p):
+        v = W[:, j]
+        rj = jnp.zeros(p, FC)
+        if j > 0:
+            Qj = jnp.stack(cols, axis=1)          # n×j
+            if algo == "gs":
+                coef = jnp.conj(Qj.T) @ v
+                v = v - Qj @ coef
+            else:                                  # mgs: sequential
+                coefs = []
+                for i in range(j):
+                    ci = jnp.vdot(cols[i], v)
+                    v = v - ci * cols[i]
+                    coefs.append(ci)
+                coef = jnp.stack(coefs)
+            rj = rj.at[:j].set(coef)
+        nrm = jnp.linalg.norm(v)
+        rj = rj.at[j].set(nrm.astype(FC))
+        cols.append(v / jnp.where(nrm == 0, 1, nrm).astype(FC))
+        rows.append(rj)
+    return jnp.stack(cols, axis=1), jnp.stack(rows, axis=0).T
 
 
 def block_hermitian_lanczos(A, B, k, algo="householder"):
@@ -289,7 +325,7 @@ def block_hermitian_lanczos(A, B, k, algo="householder"):
     n, p = B.shape
     FC = B.dtype
     T = np.zeros(((k + 1) * p, k * p), dtype=np.dtype(FC))
-    V1, Psi1 = _block_qr(B)
+    V1, Psi1 = _block_qr(B, algo)
     Vs = [V1]
     Psi_prev = None
     for i in range(k):
@@ -298,7 +334,7 @@ def block_hermitian_lanczos(A, B, k, algo="householder"):
             Q = Q - Vs[i - 1] @ jnp.conj(Psi_prev.T)
         Omega = jnp.conj(Vs[i].T) @ Q
         Q = Q - Vs[i] @ Omega
-        Vn, Psi = _block_qr(Q)
+        Vn, Psi = _block_qr(Q, algo)
         T[i * p:(i + 1) * p, i * p:(i + 1) * p] = np.asarray(Omega)
         T[(i + 1) * p:(i + 2) * p, i * p:(i + 1) * p] = np.asarray(Psi)
         if i + 1 < k:
@@ -315,7 +351,7 @@ def block_arnoldi(A, B, k, algo="householder", reorthogonalization=False):
     B = jnp.asarray(B)
     n, p = B.shape
     H = np.zeros(((k + 1) * p, k * p), dtype=np.dtype(B.dtype))
-    V1, Gamma = _block_qr(B)
+    V1, Gamma = _block_qr(B, algo)
     Vs = [V1]
     for j in range(k):
         Q = A.matmat(Vs[j])
@@ -328,7 +364,7 @@ def block_arnoldi(A, B, k, algo="householder", reorthogonalization=False):
                 Htmp = jnp.conj(Vs[i].T) @ Q
                 H[i * p:(i + 1) * p, j * p:(j + 1) * p] += np.asarray(Htmp)
                 Q = Q - Vs[i] @ Htmp
-        Vn, Hj = _block_qr(Q)
+        Vn, Hj = _block_qr(Q, algo)
         H[(j + 1) * p:(j + 2) * p, j * p:(j + 1) * p] = np.asarray(Hj)
         Vs.append(Vn)
     return jnp.concatenate(Vs, axis=1), Gamma, jnp.asarray(H)
@@ -341,7 +377,7 @@ def block_golub_kahan(A, B, k, algo="householder"):
     m, p = B.shape
     FC = B.dtype
     L = np.zeros(((k + 1) * p, (k + 1) * p), dtype=np.dtype(FC))
-    U1, Psi1 = _block_qr(B)
+    U1, Psi1 = _block_qr(B, algo)
     Us = [U1]
     Vs = []
     Psi = Psi1
@@ -349,19 +385,19 @@ def block_golub_kahan(A, B, k, algo="householder"):
         P = A.rmatmat(Us[i])
         if i >= 1:
             P = P - Vs[i - 1] @ jnp.conj(TT.T)
-        Vn, Omega = _block_qr(P)
+        Vn, Omega = _block_qr(P, algo)
         L[i * p:(i + 1) * p, i * p:(i + 1) * p] = np.asarray(jnp.conj(Omega.T))
         Vs.append(Vn)
         if i < k:
             Q = A.matmat(Vn) - Us[i] @ jnp.conj(Omega.T)
-            Un, TT = _block_qr(Q)
+            Un, TT = _block_qr(Q, algo)
             L[(i + 1) * p:(i + 2) * p, i * p:(i + 1) * p] = np.asarray(TT)
             Us.append(Un)
     return (jnp.concatenate(Vs, axis=1), jnp.concatenate(Us, axis=1),
             Psi1, jnp.asarray(L))
 
 
-def block_nonhermitian_lanczos(A, B, C, k):
+def block_nonhermitian_lanczos(A, B, C, k, algo="householder"):
     """Block bi-Lanczos (reference :118-248).
 
     Normalization: V blocks orthonormal (QR), U blocks scaled so
@@ -376,7 +412,7 @@ def block_nonhermitian_lanczos(A, B, C, k):
     FC = B.dtype
     T = np.zeros(((k + 1) * p, k * p), dtype=np.dtype(FC))
     Th = np.zeros(((k + 1) * p, k * p), dtype=np.dtype(FC))
-    V1, Psi1 = _block_qr(B)
+    V1, Psi1 = _block_qr(B, algo)
     D1 = jnp.conj(C.T) @ V1          # = Γ₁ᴴΨ... pairing
     U1 = C @ jnp.linalg.inv(jnp.conj(D1.T))
     Vs, Us = [V1], [U1]
@@ -396,7 +432,7 @@ def block_nonhermitian_lanczos(A, B, C, k):
         P = P - Us[i] @ OmegaH
         T[i * p:(i + 1) * p, i * p:(i + 1) * p] = np.asarray(Omega)
         Th[i * p:(i + 1) * p, i * p:(i + 1) * p] = np.asarray(OmegaH)
-        Vn, beta_n = _block_qr(Q)
+        Vn, beta_n = _block_qr(Q, algo)
         Dn = jnp.conj(P.T) @ Vn
         Un = P @ jnp.linalg.inv(jnp.conj(Dn.T))
         T[(i + 1) * p:(i + 2) * p, i * p:(i + 1) * p] = np.asarray(beta_n)
@@ -417,8 +453,8 @@ def block_saunders_simon_yip(A, B, C, k, algo="householder"):
     FC = B.dtype
     T = np.zeros(((k + 1) * p, k * p), dtype=np.dtype(FC))
     Th = np.zeros(((k + 1) * p, k * p), dtype=np.dtype(FC))
-    V1, Psi1 = _block_qr(B)
-    U1, Phi1 = _block_qr(C)
+    V1, Psi1 = _block_qr(B, algo)
+    U1, Phi1 = _block_qr(C, algo)
     Vs, Us = [V1], [U1]
     beta_prev = gamma_prev = None
     for i in range(k):
@@ -430,8 +466,8 @@ def block_saunders_simon_yip(A, B, C, k, algo="householder"):
         Omega = jnp.conj(Vs[i].T) @ Q
         Q = Q - Vs[i] @ Omega
         P = P - Us[i] @ jnp.conj(Omega.T)
-        Vn, beta_n = _block_qr(Q)
-        Un, gamma_n = _block_qr(P)
+        Vn, beta_n = _block_qr(Q, algo)
+        Un, gamma_n = _block_qr(P, algo)
         T[i * p:(i + 1) * p, i * p:(i + 1) * p] = np.asarray(Omega)
         Th[i * p:(i + 1) * p, i * p:(i + 1) * p] = np.asarray(jnp.conj(Omega.T))
         T[(i + 1) * p:(i + 2) * p, i * p:(i + 1) * p] = np.asarray(beta_n)
@@ -462,8 +498,8 @@ def block_montoison_orban(A, B, D, C, k, algo="householder",
     H = np.zeros(((k + 1) * D.shape[1], k * D.shape[1]), dtype=np.dtype(D.dtype))
     F = np.zeros_like(H)
     p = D.shape[1]
-    V1, Gamma = _block_qr(D)
-    U1, Lambda = _block_qr(C)
+    V1, Gamma = _block_qr(D, algo)
+    U1, Lambda = _block_qr(C, algo)
     Vs, Us = [V1], [U1]
     for j in range(k):
         Q = A.matmat(Us[j])
@@ -475,8 +511,8 @@ def block_montoison_orban(A, B, D, C, k, algo="householder",
             F[i * p:(i + 1) * p, j * p:(j + 1) * p] = np.asarray(Fij)
             Q = Q - Vs[i] @ Hij
             P = P - Us[i] @ Fij
-        Vn, Hj = _block_qr(Q)
-        Un, Fj = _block_qr(P)
+        Vn, Hj = _block_qr(Q, algo)
+        Un, Fj = _block_qr(P, algo)
         H[(j + 1) * p:(j + 2) * p, j * p:(j + 1) * p] = np.asarray(Hj)
         F[(j + 1) * p:(j + 2) * p, j * p:(j + 1) * p] = np.asarray(Fj)
         Vs.append(Vn)

@@ -3,9 +3,11 @@
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 import fixtures as fx
 from krylov_tpu import processes as pr
+from krylov_tpu.processes import block_hermitian_lanczos
 
 
 @pytest.fixture(params=[np.float64, np.complex128], ids=["f64", "c128"])
@@ -189,3 +191,35 @@ class TestBlockProcesses:
         G = U.conj().T @ V
         assert np.linalg.norm(G - np.eye(G.shape[0])) <= 1e-6
         assert np.linalg.norm(A @ V[:, :k * 2] - V @ T) <= 1e-6
+
+
+class TestBlockQrAlgos:
+    # reference block_krylov_utils.jl:125-160 algo selector
+    def test_gs_mgs_match_householder(self):
+        rng = np.random.default_rng(0)
+        for FC in (np.float64, np.complex128):
+            W = rng.standard_normal((20, 4)).astype(FC)
+            if FC == np.complex128:
+                W = W + 1j * rng.standard_normal((20, 4))
+            from krylov_tpu.processes import _block_qr
+            Qh, Rh = _block_qr(jnp.asarray(W), "householder")
+            for algo in ("gs", "mgs", "givens"):
+                Q, R = _block_qr(jnp.asarray(W), algo)
+                assert np.allclose(np.asarray(Q) @ np.asarray(R), W, atol=1e-12)
+                assert np.allclose(
+                    np.asarray(jnp.conj(Q.T) @ Q), np.eye(4), atol=1e-12)
+
+    def test_block_process_algo_kwarg(self):
+        rng = np.random.default_rng(1)
+        A = rng.standard_normal((12, 12))
+        B = rng.standard_normal((12, 3))
+        for algo in ("gs", "mgs", "householder"):
+            V, Psi1, T = block_hermitian_lanczos(
+                0.5 * (A + A.T), B, 3, algo=algo)
+            assert np.allclose(
+                np.asarray(jnp.conj(V.T) @ V), np.eye(V.shape[1]), atol=1e-10)
+
+    def test_bad_algo(self):
+        from krylov_tpu.processes import _block_qr
+        with pytest.raises(ValueError, match="unknown block QR algo"):
+            _block_qr(jnp.ones((4, 2)), "qr_magic")
