@@ -78,6 +78,7 @@ def main():
     op = DIAOperator(D)
     log("bench: compiling cg...")
     x, stats = cg(op, b, atol=0.0, rtol=rtol)        # compile + converge
+    float(jnp.sum(x))                                # warm the fetch path too
     log("bench: cg compiled")
     b2 = jnp.full(n, 1.01, dtype=dtype)
     t0 = time.perf_counter()

@@ -47,11 +47,15 @@ def dia_align(data, offsets, n):
     return jnp.stack(pd)
 
 
-def _tile_rows(offsets):
-    """Rows per tile: cover max |offset| and stay sublane-aligned."""
+def _tile_rows(offsets, n):
+    """Rows per tile: cover max |offset|, stay sublane-aligned, and
+    grow toward 128 KiB f32 tiles (but never past the vector length) so
+    small stencils aren't grid-overhead-bound."""
     m = max((abs(k) for k in offsets), default=1)
     tr = -(-m // LANES)
-    return max(-(-tr // _SUBLANES) * _SUBLANES, _SUBLANES)
+    tr = max(-(-tr // _SUBLANES) * _SUBLANES, _SUBLANES)
+    rows_needed = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
+    return max(tr, min(256, rows_needed))
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
@@ -61,7 +65,7 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         interpret = jax.default_backend() == "cpu"
     n = x.shape[0]
     nd = pd.shape[0]
-    tr = _tile_rows(offsets)
+    tr = _tile_rows(offsets, n)
     tile = tr * LANES
     npad = -(-n // tile) * tile
     rows = npad // LANES
@@ -89,10 +93,11 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
             if r == 0:
                 sx = xwin[tr + q: 2 * tr + q]
             else:
-                rolled = pltpu.roll(xwin, LANES - r, 1)
-                a = rolled[tr + q: 2 * tr + q]
-                b = rolled[tr + q + 1: 2 * tr + q + 1]
-                sx = jnp.where(lane < LANES - r, a, b)
+                # roll only the tr+1 rows the output needs, not the
+                # whole 3-tile window (VPU work, not bandwidth).
+                seg = xwin[tr + q: 2 * tr + q + 1]
+                rolled = pltpu.roll(seg, LANES - r, 1)
+                sx = jnp.where(lane < LANES - r, rolled[:tr], rolled[1:])
             acc = acc + (w * sx).astype(acc.dtype)
         y_ref[:] = acc.astype(y_ref.dtype)
 

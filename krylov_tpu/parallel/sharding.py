@@ -44,9 +44,88 @@ def shard_dia(dia, mesh, axis="rows"):
 
 
 def sharded_dia_operator(dia, mesh, axis="rows"):
-    """DIAOperator with sharded storage: drop-in A for any solver."""
+    """DIAOperator with sharded storage: drop-in A for any solver.
+
+    Uses the XLA shift-and-add lowering (not the single-device Pallas
+    kernel) so the SPMD partitioner can insert collective-permute halo
+    exchanges for the shifts.
+    """
     from ..operators import DIAOperator
-    return DIAOperator(shard_dia(dia, mesh, axis))
+    return DIAOperator(shard_dia(dia, mesh, axis), use_pallas=False)
+
+
+def shard_csr_rows(csr, mesh, axis="rows"):
+    """Row-partition a CSRMatrix: per-device contiguous row blocks.
+
+    Returns (local_parts, row_starts) where local_parts[i] is the CSR
+    block for device i (host-side split; CSR row pointers are
+    irregular, so the split happens before device placement).
+    """
+    import numpy as _np
+    indptr = _np.asarray(csr.indptr)
+    data = _np.asarray(csr.data)
+    indices = _np.asarray(csr.indices)
+    m = csr.shape[0]
+    nd = mesh.devices.size
+    if m % nd:
+        raise ValueError(f"rows ({m}) must divide evenly over {nd} devices")
+    rows_loc = m // nd
+    parts = []
+    for d in range(nd):
+        lo, hi = d * rows_loc, (d + 1) * rows_loc
+        s, e = indptr[lo], indptr[hi]
+        parts.append((data[s:e], indices[s:e], indptr[lo:hi + 1] - s))
+    return parts, rows_loc
+
+
+def sharded_csr_matvec(csr, mesh, axis="rows"):
+    """Build y = A x for a row-partitioned CSR over the mesh.
+
+    Returns a jittable closure: each device computes its row block with
+    a local segment-sum SpMV against an `all_gather`ed x (SURVEY.md §2.5
+    row-partition plan; the all-gather rides ICI).  Local blocks are
+    padded to a common nnz so the shard_map body is shape-uniform.
+    """
+    from jax.experimental.shard_map import shard_map
+    parts, rows_loc = shard_csr_rows(csr, mesh, axis)
+    nnz_max = max(len(p[0]) for p in parts)
+    m = csr.shape[0]
+
+    def pad(p):
+        data, idx, ptr = p
+        k = nnz_max - len(data)
+        # padded entries: weight 0 against column 0, attributed to the
+        # last local row so segment ids stay sorted.
+        return (np.pad(data, (0, k)),
+                np.pad(idx, (0, k)),
+                np.concatenate([ptr[:-1], [nnz_max]]))
+
+    padded = [pad(p) for p in parts]
+    data = jnp.asarray(np.stack([p[0] for p in padded]))
+    idx = jnp.asarray(np.stack([p[1] for p in padded]))
+    ptr = jnp.asarray(np.stack([p[2] for p in padded]))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    data = jax.device_put(data, sh2)
+    idx = jax.device_put(idx, sh2)
+    ptr = jax.device_put(ptr, sh2)
+
+    def body(data_blk, idx_blk, ptr_blk, x_blk):
+        xg = jax.lax.all_gather(x_blk, axis).reshape(-1)
+        d, ix, pt = data_blk[0], idx_blk[0], ptr_blk[0]
+        seg = jnp.searchsorted(pt[1:], jnp.arange(d.shape[0]), side="right")
+        y = jax.ops.segment_sum(d * xg[ix], seg, num_segments=rows_loc,
+                                indices_are_sorted=True)
+        return y
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis))
+
+    def matvec(x):
+        return fn(data, idx, ptr, x)
+
+    return matvec
 
 
 def halo_dia_spmv(data, offsets, x, mesh, axis="rows"):

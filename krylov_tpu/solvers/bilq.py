@@ -255,7 +255,7 @@ def _bilq_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)
@@ -439,7 +439,7 @@ def _qmr_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)
@@ -779,7 +779,7 @@ def _bilqr_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)

@@ -241,7 +241,7 @@ def _cg_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     if bool(state.posdef_violation):
         raise ValueError(
             "The linear operator `A` or the preconditioner `M` is not "

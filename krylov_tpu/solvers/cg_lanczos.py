@@ -198,7 +198,7 @@ def _cg_lanczos_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)
@@ -393,7 +393,7 @@ def _cg_lanczos_shift_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)

@@ -161,7 +161,7 @@ def _cgls_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     stats = SimpleStats(
@@ -352,7 +352,7 @@ def _crls_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     stats = SimpleStats(
@@ -525,7 +525,7 @@ def _cgls_lanczos_shift_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     residuals = []

@@ -395,7 +395,7 @@ def _cr_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     if bool(state.indef_error):
         raise ValueError("Indefinite system and no trust region")
 
@@ -564,7 +564,7 @@ def _car_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)

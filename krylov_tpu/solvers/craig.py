@@ -267,7 +267,7 @@ def _craig_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     stats = SimpleStats(
@@ -517,7 +517,7 @@ def _craigmr_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     stats = SimpleStats(
@@ -790,7 +790,7 @@ def _lnlq_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     stats = LNLQStats(

@@ -337,7 +337,7 @@ def _symmlq_solve(
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
-    state = jax.device_get(state)
+    state = rt.host_state(state)
     if bool(state.precond_violation):
         raise ValueError("Preconditioner is not positive definite")
     niter = int(state.iter)

@@ -73,3 +73,50 @@ class TestShardedSolvers:
         bs = shard_vector(b, mesh)
         x, stats = gmres(op, bs, memory=30, restart=True)
         assert stats.solved
+
+
+class TestShardedCSR:
+    # SURVEY §2.5 row-partitioned CSR plan: local segment-sum SpMV
+    # against an all-gathered x over the mesh axis.
+    def test_sharded_csr_matvec_matches_dense(self):
+        import scipy.sparse as sp
+        from krylov_tpu.parallel.sharding import (
+            make_mesh, shard_vector, sharded_csr_matvec)
+        from krylov_tpu.ops.sparse import csr_from_dense
+        rng = np.random.default_rng(0)
+        n = 64
+        Ad = (sp.random(n, n, density=0.15, random_state=1)
+              + sp.eye(n)).toarray()
+        csr = csr_from_dense(jnp.asarray(Ad))
+        mesh = make_mesh(8)
+        mv = sharded_csr_matvec(csr, mesh)
+        x = shard_vector(jnp.asarray(rng.standard_normal(n)), mesh)
+        y = jax.jit(mv)(x)
+        assert np.allclose(np.asarray(y), Ad @ np.asarray(x), atol=1e-12)
+        assert "rows" in str(y.sharding)
+
+    def test_sharded_csr_cg(self):
+        import scipy.sparse as sp
+        from krylov_tpu.parallel.sharding import (
+            make_mesh, shard_vector, sharded_csr_matvec)
+        from krylov_tpu.ops.sparse import csr_from_dense
+        from krylov_tpu.operators import FunctionOperator
+        from krylov_tpu import cg
+        rng = np.random.default_rng(1)
+        n = 64
+        Ad = rng.standard_normal((n, n))
+        S = Ad @ Ad.T + n * np.eye(n)
+        mesh = make_mesh(8)
+        mv = sharded_csr_matvec(csr_from_dense(jnp.asarray(S)), mesh)
+        op = FunctionOperator(mv, (n, n), jnp.float64)
+        b = shard_vector(jnp.ones(n), mesh)
+        x, stats = cg(op, b, rtol=1e-10)
+        assert stats.solved
+        assert np.linalg.norm(S @ np.asarray(x) - 1) <= 1e-6
+
+    def test_uneven_rows_raise(self):
+        from krylov_tpu.parallel.sharding import make_mesh, sharded_csr_matvec
+        from krylov_tpu.ops.sparse import csr_from_dense
+        A = jnp.eye(10)
+        with pytest.raises(ValueError, match="divide evenly"):
+            sharded_csr_matvec(csr_from_dense(A), make_mesh(8))
