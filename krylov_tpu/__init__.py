@@ -27,6 +27,8 @@ from .operators import (
     FunctionOperator,
     DiagonalOperator,
     IdentityOperator,
+    DIAOperator,
+    BELLOperator,
     as_operator,
 )
 from .ops.sparse import CSRMatrix, csr_from_dense, csr_from_coo

@@ -338,6 +338,39 @@ class DIAOperator(AbstractLinearOperator):
         return cls(leaves[0], use_pallas=aux, _pd=leaves[1])
 
 
+@register_pytree_node_class
+class BELLOperator(AbstractLinearOperator):
+    """Block-ELL operator backed by the Pallas MXU kernel
+    (ops/pallas_spmv.py bell_spmv).  For Hermitian systems matvec is
+    all the solvers need; build the adjoint storage explicitly with
+    ``BELLOperator(bell, bell_h)`` for unsymmetric methods.
+    """
+
+    def __init__(self, bell, bell_h=None):
+        self.bell = bell
+        self.bell_h = bell_h
+        self.shape = bell.shape
+        self.dtype = bell.dtype
+
+    def matvec(self, x):
+        from .ops.pallas_spmv import bell_spmv
+        return bell_spmv(self.bell, x)
+
+    def rmatvec(self, x):
+        if self.bell_h is None:
+            raise ValueError(
+                "BELLOperator needs adjoint storage: pass bell_h")
+        from .ops.pallas_spmv import bell_spmv
+        return bell_spmv(self.bell_h, x)
+
+    def tree_flatten(self):
+        return (self.bell, self.bell_h), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
 def as_operator(A, need_adjoint=False):
     """Coerce A (operator | dense array | CSRMatrix) to the operator protocol."""
     if A is None:

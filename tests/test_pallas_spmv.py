@@ -105,3 +105,24 @@ class TestPallasDia:
         from krylov_tpu.operators import DIAOperator
         D = poisson_dia(4, 4, 4, dtype=np.float64)
         assert DIAOperator(D).use_pallas is False  # tests run on cpu
+
+
+class TestBellOperator:
+    def test_cg_through_bell_operator(self):
+        import krylov_tpu as kt
+        from krylov_tpu.ops.pallas_spmv import bell_from_dense_blocks
+        rng = np.random.default_rng(0)
+        n = 64
+        Ad = rng.standard_normal((n, n))
+        S = Ad @ Ad.T + n * np.eye(n)
+        op = kt.BELLOperator(bell_from_dense_blocks(jnp.asarray(S), bs=8))
+        x, stats = kt.cg(op, jnp.ones(n), rtol=1e-10)
+        assert stats.solved
+        assert np.linalg.norm(S @ np.asarray(x) - 1) <= 1e-6
+
+    def test_rmatvec_requires_adjoint_storage(self):
+        import krylov_tpu as kt
+        from krylov_tpu.ops.pallas_spmv import bell_from_dense_blocks
+        bell = bell_from_dense_blocks(jnp.eye(16), bs=8)
+        with pytest.raises(ValueError, match="adjoint storage"):
+            kt.BELLOperator(bell).rmatvec(jnp.ones(16))
