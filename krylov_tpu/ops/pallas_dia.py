@@ -96,9 +96,13 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
                 # roll only the tr+1 rows the output needs, not the
                 # whole 3-tile window (VPU work, not bandwidth).
                 seg = xwin[tr + q: 2 * tr + q + 1]
+                # Mosaic's rotate only handles 32-bit lanes: upcast
+                # sub-32-bit inputs in-register (HBM loads stay narrow).
+                if seg.dtype.itemsize < 4:
+                    seg = seg.astype(acc.dtype)
                 rolled = pltpu.roll(seg, LANES - r, 1)
                 sx = jnp.where(lane < LANES - r, rolled[:tr], rolled[1:])
-            acc = acc + (w * sx).astype(acc.dtype)
+            acc = acc + (w.astype(acc.dtype) * sx.astype(acc.dtype))
         y_ref[:] = acc.astype(y_ref.dtype)
 
     y = pl.pallas_call(

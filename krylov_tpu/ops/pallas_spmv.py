@@ -136,6 +136,39 @@ def bell_from_dense_blocks(A, bs=128, tol=0.0):
     return BELLMatrix(jnp.asarray(data), jnp.asarray(idx), (m, n), bs)
 
 
+def bell_from_csr(csr, bs=128):
+    """Build BELL from a CSRMatrix without densifying (host-side O(nnz)).
+
+    Block occupancy comes from the CSR pattern (indices // bs); only
+    occupied bs×bs blocks are materialized.
+    """
+    indptr = np.asarray(csr.indptr)
+    cols = np.asarray(csr.indices)
+    vals = np.asarray(csr.data)
+    m, n = csr.shape
+    nbr = -(-m // bs)
+    block_cols = [set() for _ in range(nbr)]
+    for i in range(m):
+        bi = i // bs
+        for p in range(indptr[i], indptr[i + 1]):
+            block_cols[bi].add(int(cols[p]) // bs)
+    mbpr = max(1, max((len(s) for s in block_cols), default=1))
+    data = np.zeros((nbr, mbpr, bs, bs), dtype=vals.dtype)
+    idx = np.zeros((nbr, mbpr), dtype=np.int32)
+    slot = {}
+    for bi, s in enumerate(block_cols):
+        for k, bj in enumerate(sorted(s)):
+            idx[bi, k] = bj
+            slot[(bi, bj)] = k
+    for i in range(m):
+        bi = i // bs
+        for p in range(indptr[i], indptr[i + 1]):
+            j = int(cols[p])
+            k = slot[(bi, j // bs)]
+            data[bi, k, i % bs, j % bs] = vals[p]
+    return BELLMatrix(jnp.asarray(data), jnp.asarray(idx), (m, n), bs)
+
+
 def bell_spmv(A: "BELLMatrix", x, interpret=None):
     """y = A x with the Pallas BELL kernel (interpret-mode on CPU)."""
     if interpret is None:

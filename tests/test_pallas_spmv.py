@@ -126,3 +126,21 @@ class TestBellOperator:
         bell = bell_from_dense_blocks(jnp.eye(16), bs=8)
         with pytest.raises(ValueError, match="adjoint storage"):
             kt.BELLOperator(bell).rmatvec(jnp.ones(16))
+
+
+class TestBellFromCsr:
+    def test_matches_dense_builder(self):
+        from krylov_tpu.ops.sparse import csr_from_dense
+        from krylov_tpu.ops.pallas_spmv import (
+            bell_from_csr, bell_from_dense_blocks, bell_spmv)
+        rng = np.random.default_rng(2)
+        S = np.where(rng.random((48, 48)) < 0.2,
+                     rng.standard_normal((48, 48)), 0.0)
+        csr = csr_from_dense(jnp.asarray(S))
+        b1 = bell_from_csr(csr, bs=8)
+        v = jnp.asarray(rng.standard_normal(48))
+        y1 = bell_spmv(b1, v, interpret=True)
+        assert np.allclose(np.asarray(y1), S @ np.asarray(v), atol=1e-12)
+        # occupied-block count never exceeds the dense builder's
+        b2 = bell_from_dense_blocks(jnp.asarray(S), bs=8)
+        assert b1.data.shape[1] <= b2.data.shape[1]
