@@ -73,6 +73,30 @@ def main():
     spmv_t = best
     nnz_per_s = nnz / spmv_t
 
+    # --- bf16 storage variant (f32 accumulate inside the kernel) ---
+    bf16_nnz_per_s = None
+    if on_tpu:
+        pd16 = pd.astype(jnp.bfloat16)
+
+        @jax.jit
+        def spmv_loop16(pd_, x):
+            def body(_, v):
+                y = dia_spmv_pallas(pd_, D.offsets, v)
+                return (y * jnp.asarray(1.0 / 6.0, y.dtype)).astype(x.dtype)
+            v = jax.lax.fori_loop(0, K, body, x)
+            return jnp.sum(v.astype(jnp.float32))
+
+        log("bench: compiling bf16 spmv loop...")
+        b16 = b.astype(jnp.bfloat16)
+        float(spmv_loop16(pd16, b16))
+        best16 = float("inf")
+        for trial in range(3):
+            xin = jnp.full(n, 1.0 + 0.01 * trial, jnp.bfloat16)
+            t0 = time.perf_counter()
+            float(spmv_loop16(pd16, xin))
+            best16 = min(best16, (time.perf_counter() - t0) / K)
+        bf16_nnz_per_s = nnz / best16
+
     # --- CG time-to-tolerance (rtol=1e-6 fp32 / 1e-8 fp64) ---
     rtol = 1e-6 if on_tpu else 1e-8
     op = DIAOperator(D)
@@ -113,6 +137,8 @@ def main():
             "cg_niter": stats.niter,
             "cg_rtol": rtol,
             "cpu_scipy_gnnz_per_s": round(cpu_nnz_per_s / 1e9, 4),
+            "spmv_bf16_gnnz_per_s": (round(bf16_nnz_per_s / 1e9, 4)
+                                     if bf16_nnz_per_s else None),
         },
     }
     print(json.dumps(out))

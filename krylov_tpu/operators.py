@@ -201,6 +201,14 @@ class CSROperator(AbstractLinearOperator):
         self.csr_h = csr_h
         self.shape = csr.shape
         self.dtype = csr.dtype
+        if jax.default_backend() not in ("cpu",):
+            import warnings
+            warnings.warn(
+                "CSR gather SpMV on TPU measured ~1000x slower than the "
+                "DIA/BELL Pallas kernels; convert with ops.dia."
+                "dia_from_scipy (banded) or ops.pallas_spmv.bell_from_csr "
+                "(block-sparse) for production solves.",
+                stacklevel=3)
 
     def with_adjoint(self):
         if self.csr_h is None:
