@@ -163,3 +163,27 @@ class TestKrylovConstructor:
         c = jnp.ones(4, jnp.float64)
         ws = kt.UsymlqrWorkspace(kt.KrylovConstructor(b, c))
         assert (ws.m, ws.n) == (6, 4)
+
+
+class TestNoRetraceOnResolve:
+    # Analogue of reference test_allocations.jl: the reference asserts
+    # zero allocations on a second in-place solve; the JAX equivalent is
+    # that a second solve with identical static config does not retrace
+    # (jit cache hit), so the operator's Python matvec runs 0 times.
+    def test_second_solve_hits_cache(self):
+        import jax.numpy as jnp
+        traces = []
+
+        def mv(v):
+            traces.append(1)
+            return 3.0 * v
+
+        op = kt.FunctionOperator(mv, (32, 32), jnp.float64)
+        b = jnp.ones(32)
+        ws = kt.krylov_workspace("cg", 32, 32, jnp.float64)
+        ws.solve(op, b, rtol=1e-12)
+        n_first = len(traces)
+        assert n_first >= 1                     # traced at least once
+        ws.solve(op, b * 2.0, rtol=1e-12)       # same shapes/statics
+        assert len(traces) == n_first           # no retrace
+        assert kt.issolved(ws)
