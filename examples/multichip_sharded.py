@@ -21,7 +21,5 @@ mesh = make_mesh()                      # every visible device
 op = sharded_dia_operator(D, mesh)      # row-partitioned diagonals
 b = shard_vector(jnp.ones(N ** 3, jnp.float32), mesh)
 x, stats = kt.cg(op, b, rtol=1e-5)
-# XLA may gather the final iterate; reshard for distributed downstream use
-x = shard_vector(x, mesh)
 print(f"{len(mesh.devices.flat)} devices:", stats.status, "niter:", stats.niter)
 print("x sharding:", x.sharding)

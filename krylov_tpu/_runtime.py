@@ -167,16 +167,18 @@ def drive(run, itmax, timemax, start_time=None, chunk=64):
             return state, True
 
 
-def host_state(state, max_fetch_elems=16384):
+def host_state(state, max_fetch_elems=256):
     """Fetch the small leaves of a solver state in ONE transfer.
 
     Through the remote TPU tunnel a full-state ``jax.device_get`` ships
     every solution/basis vector to the host (and the solvers then
     re-upload them via ``jnp.asarray``) — observed ~0.5 s of pure
     transfer on a 1 MB-vector CG whose actual solve loop takes 30 ms.
-    Scalars, flags and histories (≤ ``max_fetch_elems`` elements) are
-    what the host-side epilogue actually reads; large arrays stay on
-    device and convert lazily only if someone asks.
+    Scalars and flags (≤ ``max_fetch_elems`` elements) are what the
+    host-side epilogue reads eagerly; solution/basis vectors and
+    history buffers stay on device — fetching them would also strip
+    their sharding on re-upload — and convert lazily only if someone
+    asks (history trim does one ``np.asarray`` per requested buffer).
     """
     leaves, treedef = jax.tree_util.tree_flatten(state)
     small = [i for i, leaf in enumerate(leaves)

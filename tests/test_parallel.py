@@ -120,3 +120,20 @@ class TestShardedCSR:
         A = jnp.eye(10)
         with pytest.raises(ValueError, match="divide evenly"):
             sharded_csr_matvec(csr_from_dense(A), make_mesh(8))
+
+
+class TestShardingPreserved:
+    def test_solution_keeps_row_sharding(self):
+        # host_state must not round-trip vectors through the host: the
+        # returned x keeps the input row sharding end-to-end.
+        from krylov_tpu.ops.dia import poisson_dia
+        from krylov_tpu.parallel import (
+            make_mesh, shard_vector, sharded_dia_operator)
+        import krylov_tpu as kt
+        D = poisson_dia(16, 16, 16, dtype=np.float64)
+        mesh = make_mesh(8)
+        op = sharded_dia_operator(D, mesh)
+        b = shard_vector(jnp.ones(16 ** 3), mesh)
+        x, stats = kt.cg(op, b, rtol=1e-8)
+        assert stats.solved
+        assert "rows" in str(x.sharding)
