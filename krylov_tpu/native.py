@@ -114,24 +114,34 @@ def native_solve(method, A, b, At=None, x0=None, **opts):
     dtype = b.dtype.type
     m, n = A.shape
 
+    # ctypes has no complex scalar types: view complex buffers as 2x
+    # real floats and reinterpret on the numpy side.
+    is_cplx = np.issubdtype(np.dtype(dtype), np.complexfloating)
+    scalar = {np.dtype(np.complex64): np.float32,
+              np.dtype(np.complex128): np.float64}.get(np.dtype(dtype), dtype)
+    mult = 2 if is_cplx else 1
+
     def make_cb(mat):
         mat = np.ascontiguousarray(mat)
         rows, cols = mat.shape
 
+        def view(ptr, length):
+            arr = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(
+                    np.ctypeslib.as_ctypes_type(scalar))),
+                shape=(length * mult,))
+            return arr.view(dtype) if is_cplx else arr
+
         def cb(ud, xp, yp):
-            x = np.ctypeslib.as_array(
-                ctypes.cast(xp, ctypes.POINTER(np.ctypeslib.as_ctypes_type(dtype))),
-                shape=(cols,))
-            y = np.ctypeslib.as_array(
-                ctypes.cast(yp, ctypes.POINTER(np.ctypeslib.as_ctypes_type(dtype))),
-                shape=(rows,))
+            x = view(xp, cols)
+            y = view(yp, rows)
             y[:] = mat @ x
         return MATVEC(cb)
 
     cbA = make_cb(A)
     cbAt = make_cb(A.conj().T) if method in (
         "lsqr", "lsmr", "cgls", "crls", "cgne", "crmr", "craig", "craigmr",
-        "usymlq", "usymqr") or At is not None else MATVEC(0)
+        "usymlq", "usymqr", "qmr", "bilq") or At is not None else MATVEC(0)
     null = MATVEC(0)
 
     ws = lib.krylov_workspace_create(SOLVERS[method], DTYPES[dtype], m, n,

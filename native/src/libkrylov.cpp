@@ -397,6 +397,188 @@ void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                   : "maximum number of iterations exceeded";
 }
 
+// SYMMLQ: LQ factorization of the Lanczos tridiagonal (Paige-Saunders;
+// reference src/symmlq.jl).  Returns the CG point when its residual
+// estimate beats the LQ point's, like the reference's transfer_to_cg.
+template <typename T>
+void solve_symmlq(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                  int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  std::vector<T> v = b, q(n), vn(n);
+  R beta1 = nrm2(v);
+  if (beta1 == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta1), v);
+  // first Lanczos step
+  std::vector<T> vc = v;
+  matvec(c, vc, q);
+  if (lam != R(0)) axpy(T(lam), v, q);
+  R alpha = dotr(v, q);
+  axpy(T(-alpha), v, q);
+  R beta = nrm2(q);
+  vn = q;
+  if (beta != R(0)) scal(T(R(1) / beta), vn);
+  R gbar = alpha, dbar = beta;
+  R rhs1 = beta1, rhs2 = R(0), snprod = R(1);
+  std::vector<T> wbar = v;
+  R eps = R(c.opt.atol + c.opt.rtol * beta1);
+  R lqnorm = beta1, cgnorm = beta1;
+  iter = 0;
+  solved = beta1 <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    // Lanczos step k+1
+    std::vector<T> vnc = vn;
+    matvec(c, vnc, q);
+    if (lam != R(0)) axpy(T(lam), vn, q);
+    axpy(T(-beta), v, q);
+    R alpha_n = dotr(vn, q);
+    axpy(T(-alpha_n), vn, q);
+    R beta_n = nrm2(q);
+    // rotation eliminating the subdiagonal beta from [gbar; beta]
+    R gamma, cs, sn;
+    sym_givens(gbar, beta, cs, sn, gamma);
+    gamma = std::max(gamma, std::numeric_limits<R>::epsilon());
+    R delta = cs * dbar + sn * alpha_n;
+    gbar = sn * dbar - cs * alpha_n;
+    R eps_k = sn * beta_n;
+    dbar = -cs * beta_n;
+    R zeta = rhs1 / gamma;
+    // LQ point update: x += zeta * (cs*wbar + sn*v_{k+1})
+    for (int64_t i = 0; i < n; ++i) {
+      T w = T(cs) * wbar[i] + T(sn) * vn[i];
+      wbar[i] = T(sn) * wbar[i] - T(cs) * vn[i];
+      x[i] += T(zeta) * w;
+    }
+    rhs1 = rhs2 - delta * zeta;
+    rhs2 = -eps_k * zeta;
+    snprod *= sn;
+    lqnorm = std::sqrt(rhs1 * rhs1 + rhs2 * rhs2);
+    cgnorm = (gbar != R(0)) ? snprod * beta1 * std::abs(cs) : lqnorm;
+    // advance Lanczos vectors
+    v = vn;
+    if (beta_n != R(0)) { vn = q; scal(T(R(1) / beta_n), vn); }
+    else vn.assign(n, T(0));
+    beta = beta_n;
+    solved = std::min(lqnorm, cgnorm) <= eps || beta_n == R(0);
+  }
+  // transfer to the CG point when it is at least as good (reference
+  // transfer_to_cg default).
+  if (gbar != R(0) && cgnorm <= lqnorm) {
+    R zbar = rhs1 / gbar;
+    axpy(T(zbar), wbar, x);
+  }
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
+// QMR (real-coefficient path): QR of the bi-Lanczos tridiagonal with
+// the MINRES rotation pattern but nonsymmetric (gamma != beta) couplings
+// (reference src/qmr.jl).  |phibar| is the quasi-residual estimate; the
+// loop additionally verifies the true residual before declaring success.
+template <typename T>
+void solve_qmr(const Ctx<T> &c, const std::vector<T> &b,
+               const std::vector<T> *cshadow, std::vector<T> &x,
+               int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  x.assign(n, T(0));
+  std::vector<T> c0 = cshadow ? *cshadow : b;
+  T cHb = dot(c0, b);
+  R bnorm = nrm2(b);
+  if (bnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  if (std::abs(cHb) == R(0)) { status = "Breakdown bᴴc = 0"; solved = false; iter = 0; return; }
+  R beta = std::sqrt(std::abs(cHb));
+  T gammaT = cHb / T(beta);
+  std::vector<T> v = b, u = c0, v_old(n, T(0)), u_old(n, T(0)), q(n), p(n);
+  scal(T(R(1) / beta), v);
+  { T g = conj_(gammaT); for (auto &e : u) e = e / g; }
+  std::vector<T> w_km1(n, T(0)), w_km2(n, T(0));
+  R c_km1 = R(-1), c_km2 = R(-1);
+  T s_km1 = T(0), s_km2 = T(0);
+  T gamma = gammaT;
+  T phibar = T(beta);
+  R eps = R(c.opt.atol + c.opt.rtol * bnorm);
+  iter = 0;
+  solved = bnorm <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    // bi-Lanczos step
+    std::vector<T> vc = v, uc = u;
+    matvec(c, vc, q);
+    rmatvec(c, uc, p);
+    if (iter >= 2) {
+      axpy(-gamma, v_old, q);
+      axpy(-conj_(T(beta)), u_old, p);
+    }
+    T alpha = dot(u, q);
+    axpy(-alpha, v, q);
+    axpy(-conj_(alpha), u, p);
+    T pHq = dot(p, q);
+    R beta_n = std::sqrt(std::abs(pHq));
+    T gamma_n = (beta_n != R(0)) ? pHq / T(beta_n) : T(0);
+    // QR rotations (two previous + one new)
+    T eps_km2 = s_km2 * gamma;
+    T lambdabar = -T(c_km2) * gamma;
+    T lam_km1 = T(c_km1) * lambdabar + s_km1 * alpha;
+    T deltabar = conj_(s_km1) * lambdabar - T(c_km1) * alpha;
+    // eliminate beta_{k+1}: complex-capable Givens with real cosine
+    R adb = std::abs(deltabar);
+    R rho = std::sqrt(adb * adb + beta_n * beta_n);
+    R cs; T sn, delta;
+    if (rho == R(0)) { cs = R(1); sn = T(0); delta = T(0); }
+    else if (adb == R(0)) { cs = R(0); sn = T(1); delta = T(beta_n); }
+    else {
+      cs = adb / rho;
+      T phase = deltabar / T(adb);
+      /* [c s; conj(s) -c][deltabar; beta] = [delta; 0] with c real
+         requires s = phase*conj(beta)/rho (beta real here). */
+      sn = phase * T(beta_n / rho);
+      delta = phase * T(rho);
+    }
+    // direction w_k = (v_k - lam_km1 w_{k-1} - eps_km2 w_{k-2}) / delta
+    std::vector<T> w_new(n);
+    T dsafe = (delta == T(0)) ? T(1) : delta;
+    for (int64_t i = 0; i < n; ++i)
+      w_new[i] = (v[i] - lam_km1 * w_km1[i] - eps_km2 * w_km2[i]) / dsafe;
+    T phi = T(cs) * phibar;
+    axpy(phi, w_new, x);
+    phibar = conj_(sn) * phibar;
+    // advance
+    v_old = v; u_old = u;
+    if (beta_n != R(0)) { v = q; scal(T(R(1) / beta_n), v); }
+    else v.assign(n, T(0));
+    if (std::abs(gamma_n) != R(0)) {
+      u = p;
+      T g = conj_(gamma_n);
+      for (auto &e : u) e = e / g;
+    } else u.assign(n, T(0));
+    w_km2 = w_km1; w_km1 = w_new;
+    c_km2 = c_km1; s_km2 = s_km1;
+    c_km1 = cs; s_km1 = sn;
+    gamma = gamma_n;
+    beta = beta_n;
+    R aphibar = std::abs(phibar);
+    if (aphibar * std::sqrt(R(iter + 1)) <= eps || aphibar <= eps) {
+      // verify with the true residual (quasi-residual is an estimate)
+      std::vector<T> Ax(n), xc = x;
+      matvec(c, xc, Ax);
+      for (int64_t i = 0; i < n; ++i) Ax[i] = b[i] - Ax[i];
+      solved = nrm2(Ax) <= eps * R(10);
+      if (solved) break;
+    }
+    if (beta_n == R(0)) break;
+  }
+  if (solved)
+    status = "solution good enough given atol and rtol";
+  else if (status == "unknown")
+    status = "maximum number of iterations exceeded";
+}
+
 template <typename T>
 void solve_bicgstab(const Ctx<T> &c, const std::vector<T> &b,
                     const std::vector<T> *cshadow, std::vector<T> &x,
@@ -792,9 +974,11 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_cr(ctx, bv, w->x, iter, solved, w->status, true);
       break;
     case KRYLOV_MINRES:
-    case KRYLOV_SYMMLQ:
     case KRYLOV_MINARES:
       solve_minres(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_SYMMLQ:
+      solve_symmlq(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_GMRES:
     case KRYLOV_FGMRES:
@@ -802,10 +986,13 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_gmres(ctx, bv, w->x, w->memory, iter, solved, w->status);
       break;
     case KRYLOV_BICGSTAB:
-    case KRYLOV_QMR:
     case KRYLOV_BILQ:
       solve_bicgstab(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved,
                      w->status);
+      break;
+    case KRYLOV_QMR:
+      if (!ctx.At) return 2;
+      solve_qmr(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved, w->status);
       break;
     case KRYLOV_CGS:
       solve_cgs(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved, w->status);

@@ -88,6 +88,17 @@ static double resid_spd(const double *x, const double *b) {
   return sqrt(s / sb);
 }
 
+static double resid_nsy(const double *x, const double *b) {
+  double y[N], s = 0, sb = 0;
+  nsy_matvec(NULL, (void *)x, y);
+  for (int i = 0; i < N; ++i) {
+    double d = b[i] - y[i];
+    s += d * d;
+    sb += b[i] * b[i];
+  }
+  return sqrt(s / sb);
+}
+
 static void block_matvec(const void *ud, void *Xv, int p, void *Yv) {
   (void)ud;
   const double *X = (const double *)Xv;
@@ -108,7 +119,7 @@ int main(void) {
 
   /* every Hermitian solver converges through the C API */
   krylov_solver spd_solvers[] = {KRYLOV_CG, KRYLOV_CR, KRYLOV_CAR,
-                                 KRYLOV_MINRES, KRYLOV_GMRES};
+                                 KRYLOV_MINRES, KRYLOV_SYMMLQ, KRYLOV_GMRES};
   for (size_t s = 0; s < sizeof(spd_solvers) / sizeof(spd_solvers[0]); ++s) {
     krylov_workspace_t ws =
         krylov_workspace_create(spd_solvers[s], KRYLOV_FLOAT64, N, N, NULL);
@@ -125,7 +136,8 @@ int main(void) {
   }
 
   /* nonsymmetric solvers */
-  krylov_solver nsy_solvers[] = {KRYLOV_GMRES, KRYLOV_BICGSTAB, KRYLOV_CGS};
+  krylov_solver nsy_solvers[] = {KRYLOV_GMRES, KRYLOV_BICGSTAB, KRYLOV_CGS,
+                                 KRYLOV_QMR};
   for (size_t s = 0; s < sizeof(nsy_solvers) / sizeof(nsy_solvers[0]); ++s) {
     krylov_workspace_t ws =
         krylov_workspace_create(nsy_solvers[s], KRYLOV_FLOAT64, N, N, NULL);
@@ -133,6 +145,8 @@ int main(void) {
                           NULL, &opts);
     CHECK(rc == 0, "nsy solve rc");
     CHECK(krylov_is_solved(ws), "nsy solved");
+    krylov_get_x(ws, x);
+    CHECK(resid_nsy(x, b) < 1e-5, "nsy residual");
     krylov_workspace_free(ws);
   }
 

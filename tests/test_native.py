@@ -79,3 +79,32 @@ class TestNativeSolvers:
         nat = os.path.join(os.path.dirname(native.__file__), "..", "native")
         subprocess.run(["make", "test"], cwd=nat, check=True,
                        capture_output=True)
+
+
+class TestNativeTrueSymmlqQmr:
+    # SYMMLQ and QMR are now distinct native kernels (not MINRES /
+    # BiCGSTAB fallbacks): SYMMLQ reports the LQ status vocabulary and
+    # QMR needs (and uses) the adjoint callback.
+    def test_symmlq_indefinite(self):
+        rng = np.random.default_rng(0)
+        n = 50
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = Q @ np.diag(np.linspace(-3, 5, n)) @ Q.T
+        b = rng.standard_normal(n)
+        x, info = native.native_solve("symmlq", A, b, atol=1e-10, rtol=1e-10)
+        assert info["solved"]
+        assert info["status"] == "solution good enough given atol and rtol"
+        assert np.linalg.norm(A @ x - b) <= 1e-7
+
+    def test_qmr_real_and_complex(self):
+        rng = np.random.default_rng(1)
+        n = 40
+        for dt in (np.float64, np.complex128):
+            M = rng.standard_normal((n, n)).astype(dt)
+            if dt == np.complex128:
+                M = M + 1j * rng.standard_normal((n, n))
+            M = M + 3 * n * np.eye(n)
+            b = rng.standard_normal(n).astype(dt)
+            x, info = native.native_solve("qmr", M, b, atol=1e-10, rtol=1e-10)
+            assert info["solved"], info["status"]
+            assert np.linalg.norm(M @ x - b) <= 1e-6
