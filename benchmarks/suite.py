@@ -15,8 +15,11 @@ Usage: python benchmarks/suite.py [--size small|full]
 
 import argparse
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
