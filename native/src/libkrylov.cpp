@@ -831,6 +831,101 @@ void solve_cgls(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                   : "maximum number of iterations exceeded";
 }
 
+// CRLS: conjugate residuals on the (regularized) normal equations
+// (AᴴA + λI)x = Aᴴb — minimizes ‖Aᴴr‖ (reference src/crls.jl).
+template <typename T>
+void solve_crls(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  // s = Aᴴr (normal-equation residual), Ms = (AᴴA+λI)s, p, Mp likewise
+  std::vector<T> r = b, s(n), Ms(n), p(n), Mp(n), tmpm(m);
+  std::vector<T> rc = r;
+  rmatvec(c, rc, s);
+  auto applyM = [&](std::vector<T> &vin, std::vector<T> &vout) {
+    std::vector<T> vc = vin;
+    matvec(c, vc, tmpm);
+    std::vector<T> tc = tmpm;
+    rmatvec(c, tc, vout);
+    if (lam > R(0)) axpy(T(lam), vin, vout);
+  };
+  applyM(s, Ms);
+  p = s;
+  Mp = Ms;
+  R rho = dotr(s, Ms);
+  R snorm = nrm2(s);
+  R eps = R(c.opt.atol + c.opt.rtol * snorm);
+  if (snorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  iter = 0;
+  solved = snorm <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    R denom = dotr(Mp, Mp);
+    if (denom == R(0)) break;
+    R alpha = rho / denom;
+    axpy(T(alpha), p, x);
+    axpy(T(-alpha), Mp, s);
+    applyM(s, Ms);
+    R rho_n = dotr(s, Ms);
+    R beta = rho_n / rho;
+    rho = rho_n;
+    for (int64_t i = 0; i < n; ++i) p[i] = s[i] + T(beta) * p[i];
+    for (int64_t i = 0; i < n; ++i) Mp[i] = Ms[i] + T(beta) * Mp[i];
+    snorm = nrm2(s);
+    solved = snorm <= eps;
+  }
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
+// CRMR: conjugate residuals on AAᴴy = b with x = Aᴴy — minimum-norm
+// solution of consistent systems (reference src/crmr.jl).
+template <typename T>
+void solve_crmr(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  x.assign(n, T(0));
+  std::vector<T> r = b, s(n), p(n), q(m);
+  std::vector<T> rc = r;
+  rmatvec(c, rc, s);
+  p = s;
+  R rho = dotr(s, s);     // ⟨r, AAᴴr⟩ pulled back to ‖Aᴴr‖²
+  R rnorm = nrm2(r);
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (rnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  R kappa = R(c.opt.atol + c.opt.rtol * std::sqrt(rho));
+  iter = 0;
+  solved = rnorm <= eps;
+  bool inconsistent = false;
+  while (!solved && !inconsistent && iter < itmax) {
+    ++iter;
+    std::vector<T> pc = p;
+    matvec(c, pc, q);
+    R denom = dotr(q, q);
+    if (denom == R(0)) break;
+    R alpha = rho / denom;
+    axpy(T(alpha), p, x);
+    axpy(T(-alpha), q, r);
+    std::vector<T> rc2 = r;
+    rmatvec(c, rc2, s);
+    R rho_n = dotr(s, s);
+    R beta = rho_n / rho;
+    rho = rho_n;
+    for (int64_t i = 0; i < n; ++i) p[i] = s[i] + T(beta) * p[i];
+    rnorm = nrm2(r);
+    solved = rnorm <= eps;
+    inconsistent = !solved && std::sqrt(rho) <= kappa;
+  }
+  if (solved) status = "solution good enough given atol and rtol";
+  else if (inconsistent) status = "system probably inconsistent but least squares/norm solution found";
+  else status = "maximum number of iterations exceeded";
+}
+
 template <typename T>
 void solve_cgne(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                 int64_t &iter, bool &solved, std::string &status) {
@@ -1007,15 +1102,21 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_lsmr(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_CGLS:
-    case KRYLOV_CRLS:
       if (!ctx.At) return 2;
       solve_cgls(ctx, bv, w->x, iter, solved, w->status);
       break;
+    case KRYLOV_CRLS:
+      if (!ctx.At) return 2;
+      solve_crls(ctx, bv, w->x, iter, solved, w->status);
+      break;
     case KRYLOV_CGNE:
-    case KRYLOV_CRMR:
     case KRYLOV_USYMLQ:
       if (!ctx.At) return 2;
       solve_cgne(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_CRMR:
+      if (!ctx.At) return 2;
+      solve_crmr(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_CRAIG:
     case KRYLOV_CRAIGMR:

@@ -154,14 +154,27 @@ int main(void) {
   {
     double bm[M];
     for (int i = 0; i < M; ++i) bm[i] = 1.0;
-    krylov_solver ls[] = {KRYLOV_LSQR, KRYLOV_LSMR, KRYLOV_CGLS};
-    for (size_t s = 0; s < 3; ++s) {
+    krylov_solver ls[] = {KRYLOV_LSQR, KRYLOV_LSMR, KRYLOV_CGLS,
+                          KRYLOV_CRLS};
+    for (size_t s = 0; s < 4; ++s) {
       krylov_workspace_t ws =
           krylov_workspace_create(ls[s], KRYLOV_FLOAT64, M, N, NULL);
       int rc = krylov_solve(ws, rect_matvec, rect_rmatvec, NULL, NULL, bm,
                             NULL, NULL, &opts);
       CHECK(rc == 0, "ls solve rc");
       CHECK(krylov_is_solved(ws), "ls solved");
+      krylov_workspace_free(ws);
+    }
+    /* CRMR wants a consistent (underdetermined) system: use Aᵀ (N x M) */
+    {
+      double bn[N];
+      for (int i = 0; i < N; ++i) bn[i] = 1.0;
+      krylov_workspace_t ws =
+          krylov_workspace_create(KRYLOV_CRMR, KRYLOV_FLOAT64, N, M, NULL);
+      int rc = krylov_solve(ws, rect_rmatvec, rect_matvec, NULL, NULL, bn,
+                            NULL, NULL, &opts);
+      CHECK(rc == 0, "crmr rc");
+      CHECK(krylov_is_solved(ws), "crmr solved");
       krylov_workspace_free(ws);
     }
     krylov_workspace_t ws =
