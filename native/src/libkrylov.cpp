@@ -397,6 +397,116 @@ void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                   : "maximum number of iterations exceeded";
 }
 
+// FOM: Arnoldi with a Galerkin (square Hessenberg) solve Hy = beta*e1
+// instead of GMRES's least-squares QR (reference src/fom.jl).  The
+// per-iteration residual estimate is h_{k+1,k} |e_k' y|.
+template <typename T>
+void solve_fom(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
+               int64_t mem, int64_t &iter, bool &solved,
+               std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  if (mem <= 0) mem = 20;
+  x.assign(n, T(0));
+  std::vector<std::vector<T>> V;
+  std::vector<T> H((mem + 1) * mem, T(0));
+  std::vector<T> w(n), z(n);
+  iter = 0;
+  solved = false;
+  R beta0 = -1;
+
+  auto hess_solve = [&](int64_t k, std::vector<T> &y, R beta) {
+    // dense copy + partial-pivot LU of the k-by-k leading Hessenberg
+    std::vector<T> Hk(k * k);
+    for (int64_t i = 0; i < k; ++i)
+      for (int64_t j = 0; j < k; ++j)
+        Hk[i * k + j] = (i <= j + 1) ? H[i * mem + j] : T(0);
+    y.assign(k, T(0));
+    if (k > 0) y[0] = T(beta);
+    for (int64_t col = 0; col < k; ++col) {
+      int64_t piv = col;
+      for (int64_t i = col + 1; i < std::min(col + 2, k); ++i)
+        if (std::abs(Hk[i * k + col]) > std::abs(Hk[piv * k + col])) piv = i;
+      if (std::abs(Hk[piv * k + col]) == R(0)) return false;
+      if (piv != col) {
+        for (int64_t j = 0; j < k; ++j)
+          std::swap(Hk[col * k + j], Hk[piv * k + j]);
+        std::swap(y[col], y[piv]);
+      }
+      for (int64_t i = col + 1; i < std::min(col + 2, k); ++i) {
+        T f = Hk[i * k + col] / Hk[col * k + col];
+        for (int64_t j = col; j < k; ++j) Hk[i * k + j] -= f * Hk[col * k + j];
+        y[i] -= f * y[col];
+      }
+    }
+    for (int64_t i = k - 1; i >= 0; --i) {
+      T acc = y[i];
+      for (int64_t j = i + 1; j < k; ++j) acc -= Hk[i * k + j] * y[j];
+      y[i] = acc / Hk[i * k + i];
+    }
+    return true;
+  };
+
+  while (iter < itmax && !solved) {
+    std::vector<T> r = b, Ax(n), xc = x;
+    matvec(c, xc, Ax);
+    for (int64_t i = 0; i < n; ++i) r[i] -= Ax[i];
+    applyP(c.M, r, z);
+    R beta = nrm2(z);
+    if (beta0 < 0) beta0 = beta;
+    R eps = R(c.opt.atol + c.opt.rtol * beta0);
+    if (beta <= eps) { solved = true; break; }
+    V.assign(1, z);
+    scal(T(R(1) / beta), V[0]);
+    std::fill(H.begin(), H.end(), T(0));
+    int64_t k = 0;
+    std::vector<T> y;
+    for (; k < mem && iter < itmax; ++k) {
+      std::vector<T> p(n);
+      applyP(c.N, V[k], p);
+      matvec(c, p, w);
+      applyP(c.M, w, z);
+      for (int64_t i = 0; i <= k; ++i) {
+        T hik = dot(V[i], z);
+        H[i * mem + k] = hik;
+        axpy(T(-hik), V[i], z);
+      }
+      R hk1 = nrm2(z);
+      H[(k + 1) * mem + k] = T(hk1);
+      ++iter;
+      bool ok = hess_solve(k + 1, y, beta);
+      R rnorm = ok ? hk1 * std::abs(y[k])
+                   : std::numeric_limits<R>::infinity();
+      if ((ok && rnorm <= eps) ||
+          hk1 <= std::pow(std::numeric_limits<R>::epsilon(), 0.75)) {
+        ++k;
+        break;
+      }
+      V.push_back(z);
+      scal(T(R(1) / hk1), V[k + 1]);
+    }
+    if (!hess_solve(k, y, beta)) { status = "singular Hessenberg system"; break; }
+    std::vector<T> xr(n, T(0));
+    for (int64_t i = 0; i < k; ++i) axpy(y[i], V[i], xr);
+    std::vector<T> xr2(n);
+    applyP(c.N, xr, xr2);
+    for (int64_t i = 0; i < n; ++i) x[i] += xr2[i];
+    // outer check on the true residual
+    std::vector<T> Ax2(n), xc2 = x;
+    matvec(c, xc2, Ax2);
+    R tr = R(0), tb = R(0);
+    for (int64_t i = 0; i < n; ++i) {
+      T d = b[i] - Ax2[i];
+      tr += re(conj_(d) * d);
+    }
+    (void)tb;
+    if (std::sqrt(tr) <= eps) solved = true;
+  }
+  if (solved) status = "solution good enough given atol and rtol";
+  else if (status == "unknown") status = "maximum number of iterations exceeded";
+}
+
 // SYMMLQ: LQ factorization of the Lanczos tridiagonal (Paige-Saunders;
 // reference src/symmlq.jl).  Returns the CG point when its residual
 // estimate beats the LQ point's, like the reference's transfer_to_cg.
@@ -1077,8 +1187,10 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       break;
     case KRYLOV_GMRES:
     case KRYLOV_FGMRES:
-    case KRYLOV_FOM:
       solve_gmres(ctx, bv, w->x, w->memory, iter, solved, w->status);
+      break;
+    case KRYLOV_FOM:
+      solve_fom(ctx, bv, w->x, w->memory, iter, solved, w->status);
       break;
     case KRYLOV_BICGSTAB:
     case KRYLOV_BILQ:
