@@ -164,6 +164,10 @@ def native_solve(method, A, b, At=None, x0=None, **opts):
             "elapsed": float(lib.krylov_elapsed_time(ws)),
             "status": lib.krylov_get_status(ws).decode(),
         }
+        if method in ("craig", "craigmr"):
+            y = np.zeros(m, dtype=dtype)
+            if lib.krylov_get_y(ws, y.ctypes.data_as(ctypes.c_void_p)) == 0:
+                info["y"] = y
         return x, info
     finally:
         lib.krylov_workspace_free(ws)

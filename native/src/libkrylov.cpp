@@ -1074,6 +1074,57 @@ void solve_cgne(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                   : "maximum number of iterations exceeded";
 }
 
+// CRAIGMR: minimum-residual method on AA^H y = b with x = A^H y —
+// CR on the second-kind normal equations tracking the dual iterate
+// (reference src/craigmr.jl semantics: residual-minimizing (x, y)).
+template <typename T>
+void solve_craigmr(const Ctx<T> &c, const std::vector<T> &b,
+                   std::vector<T> &x, std::vector<T> &y, int64_t &iter,
+                   bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  x.assign(n, T(0));
+  y.assign(m, T(0));
+  std::vector<T> r = b, s(n), p(n), py(m), q(m);
+  std::vector<T> rc = r;
+  rmatvec(c, rc, s);
+  p = s;
+  py = r;
+  R rho = dotr(s, s);
+  R rnorm = nrm2(r);
+  R eps = R(c.opt.atol + c.opt.rtol * rnorm);
+  if (rnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  R kappa = R(c.opt.atol + c.opt.rtol * std::sqrt(rho));
+  iter = 0;
+  solved = rnorm <= eps;
+  bool inconsistent = false;
+  while (!solved && !inconsistent && iter < itmax) {
+    ++iter;
+    std::vector<T> pc = p;
+    matvec(c, pc, q);
+    R denom = dotr(q, q);
+    if (denom == R(0)) break;
+    R alpha = rho / denom;
+    axpy(T(alpha), p, x);
+    axpy(T(alpha), py, y);
+    axpy(T(-alpha), q, r);
+    std::vector<T> rc2 = r;
+    rmatvec(c, rc2, s);
+    R rho_n = dotr(s, s);
+    R beta = rho_n / rho;
+    rho = rho_n;
+    for (int64_t i = 0; i < n; ++i) p[i] = s[i] + T(beta) * p[i];
+    for (int64_t i = 0; i < m; ++i) py[i] = r[i] + T(beta) * py[i];
+    rnorm = nrm2(r);
+    solved = rnorm <= eps;
+    inconsistent = !solved && std::sqrt(rho) <= kappa;
+  }
+  if (solved) status = "solution good enough given atol and rtol";
+  else if (inconsistent) status = "system probably inconsistent but least squares/norm solution found";
+  else status = "maximum number of iterations exceeded";
+}
+
 template <typename T>
 void solve_craig(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                  std::vector<T> &y, int64_t &iter, bool &solved,
@@ -1231,9 +1282,12 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_crmr(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_CRAIG:
-    case KRYLOV_CRAIGMR:
       if (!ctx.At) return 2;
       solve_craig(ctx, bv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_CRAIGMR:
+      if (!ctx.At) return 2;
+      solve_craigmr(ctx, bv, w->x, w->y, iter, solved, w->status);
       break;
     default:
       return 3; /* not implemented */

@@ -177,14 +177,20 @@ int main(void) {
       CHECK(krylov_is_solved(ws), "crmr solved");
       krylov_workspace_free(ws);
     }
-    krylov_workspace_t ws =
-        krylov_workspace_create(KRYLOV_CRAIG, KRYLOV_FLOAT64, N, N, NULL);
-    int rc = krylov_solve(ws, spd_matvec, spd_matvec, NULL, NULL, b, NULL,
-                          NULL, &opts);
-    CHECK(rc == 0, "craig rc");
-    double y[N];
-    CHECK(krylov_get_y(ws, y) == 0, "craig get_y");
-    krylov_workspace_free(ws);
+    krylov_solver ln2[] = {KRYLOV_CRAIG, KRYLOV_CRAIGMR};
+    for (size_t s = 0; s < 2; ++s) {
+      krylov_workspace_t ws =
+          krylov_workspace_create(ln2[s], KRYLOV_FLOAT64, N, N, NULL);
+      int rc = krylov_solve(ws, spd_matvec, spd_matvec, NULL, NULL, b, NULL,
+                            NULL, &opts);
+      CHECK(rc == 0, "craig rc");
+      CHECK(krylov_is_solved(ws), "craig solved");
+      double y[N];
+      CHECK(krylov_get_y(ws, y) == 0, "craig get_y");
+      krylov_get_x(ws, x);
+      CHECK(resid_spd(x, b) < 1e-5, "craig residual");
+      krylov_workspace_free(ws);
+    }
   }
 
   /* warm start */
