@@ -689,6 +689,138 @@ void solve_qmr(const Ctx<T> &c, const std::vector<T> &b,
     status = "maximum number of iterations exceeded";
 }
 
+// complex-capable Givens with real cosine annihilating [a; b] via
+// [c s; conj(s) -c]: c = |a|/h, s = a*conj(b)/(h|a|), rho = a*h/|a|.
+template <typename T>
+void cgivens(T a, T b, real_t<T> &c, T &s, T &rho) {
+  using R = real_t<T>;
+  R aa = std::abs(a), ab = std::abs(b);
+  R h = std::sqrt(aa * aa + ab * ab);
+  if (h == R(0)) { c = R(1); s = T(0); rho = T(0); return; }
+  if (aa == R(0)) { c = R(0); s = T(1); rho = b; return; }
+  c = aa / h;
+  s = a * conj_(b) / T(h * aa);
+  rho = a * T(h / aa);
+}
+
+// BiLQ: LQ factorization of the bi-Lanczos tridiagonal with transfer
+// to the BiCG point (reference src/bilq.jl).
+template <typename T>
+void solve_bilq(const Ctx<T> &c, const std::vector<T> &b,
+                const std::vector<T> *cshadow, std::vector<T> &x,
+                int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  x.assign(n, T(0));
+  std::vector<T> c0 = cshadow ? *cshadow : b;
+  T cHb = dot(c0, b);
+  R bnorm = nrm2(b);
+  if (bnorm == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  if (std::abs(cHb) == R(0)) { status = "Breakdown bᴴc = 0"; iter = 0; return; }
+  R beta1 = std::sqrt(std::abs(cHb));
+  T gamma1 = cHb / T(beta1);
+  std::vector<T> v = b, u = c0, v_old(n, T(0)), u_old(n, T(0)), q(n), p(n);
+  scal(T(R(1) / beta1), v);
+  { T g = conj_(gamma1); for (auto &e : u) e = e / g; }
+  std::vector<T> dbar_vec(n, T(0));
+  R c_km1 = R(-1);
+  T s_km1 = T(0);
+  T beta = T(beta1), gamma = gamma1;
+  T dbar = T(0), zeta_km1 = T(0), zeta_km2 = T(0), eta_km1 = T(0);
+  T zetabar = T(0);
+  R norm_vk = nrm2(v);
+  R eps = R(c.opt.atol + c.opt.rtol * bnorm);
+  R rnorm = bnorm;
+  bool cg_pending = false;
+  iter = 0;
+  solved = bnorm <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    // bi-Lanczos step
+    std::vector<T> vc = v, uc = u;
+    matvec(c, vc, q);
+    rmatvec(c, uc, p);
+    if (iter >= 2) {
+      axpy(-gamma, v_old, q);
+      axpy(-conj_(beta), u_old, p);
+    }
+    T alpha = dot(u, q);
+    axpy(-alpha, v, q);
+    axpy(-conj_(alpha), u, p);
+    T pHq = dot(p, q);
+    R beta_n = std::sqrt(std::abs(pHq));
+    T gamma_n = (beta_n != R(0)) ? pHq / T(beta_n) : T(0);
+    // LQ rotation: at iter 1 keep the (-1, 0) initialization.
+    R ck;
+    T sk, d_km1;
+    if (iter == 1) { ck = R(-1); sk = T(0); d_km1 = T(0); }
+    else cgivens(dbar, gamma, ck, sk, d_km1);
+    T eps_km2 = s_km1 * beta;
+    T lam_km1 = (iter == 2) ? T(ck) * beta + sk * alpha
+                            : -T(c_km1) * T(ck) * beta + sk * alpha;
+    T dbar_k = (iter == 1) ? alpha
+               : (iter == 2) ? conj_(sk) * beta - T(ck) * alpha
+                             : -T(c_km1) * conj_(sk) * beta - T(ck) * alpha;
+    // zeta chain
+    T dsafe = (d_km1 == T(0)) ? T(1) : d_km1;
+    T zeta_km1_new = (iter >= 2) ? eta_km1 / dsafe : zeta_km1;
+    T zeta_km2_new = (iter >= 3) ? zeta_km1 : zeta_km2;
+    T eta = (iter == 1) ? beta
+            : (iter == 2) ? -lam_km1 * zeta_km1_new
+                          : -eps_km2 * zeta_km2_new - lam_km1 * zeta_km1_new;
+    if (iter >= 2) {
+      for (int64_t i = 0; i < n; ++i)
+        x[i] += zeta_km1_new * T(ck) * dbar_vec[i]
+              + zeta_km1_new * sk * v[i];
+    }
+    if (iter == 1) dbar_vec = v;
+    else
+      for (int64_t i = 0; i < n; ++i)
+        dbar_vec[i] = conj_(sk) * dbar_vec[i] - T(ck) * v[i];
+    // advance basis
+    bool nz = std::abs(pHq) != R(0);
+    std::vector<T> vprev = v;
+    v_old = v; u_old = u;
+    if (nz) {
+      v = q; scal(T(R(1) / beta_n), v);
+      u = p; T g = conj_(gamma_n); for (auto &e : u) e = e / g;
+    }
+    R norm_vkp1 = nrm2(v);
+    T vHv = dot(vprev, v);
+    // LQ residual estimate with non-orthonormal basis
+    T mu = beta * (s_km1 * zeta_km2_new - T(c_km1) * T(ck) * zeta_km1_new)
+         + alpha * sk * zeta_km1_new;
+    T om = T(beta_n) * sk * zeta_km1_new;
+    if (iter >= 2) {
+      R m2 = std::abs(mu), o2 = std::abs(om);
+      R cross = R(2) * re(conj_(mu) * om * vHv);
+      R arg = m2 * m2 * norm_vk * norm_vk + o2 * o2 * norm_vkp1 * norm_vkp1
+            + cross;
+      rnorm = std::sqrt(std::max<R>(arg, R(0)));
+    }
+    // BiCG transfer point
+    bool dbar_ok = std::abs(dbar_k) > std::numeric_limits<R>::epsilon();
+    if (dbar_ok) zetabar = eta / dbar_k;
+    R rnorm_cg = std::abs(T(beta_n) * (sk * zeta_km1_new - T(ck) * zetabar))
+               * norm_vkp1;
+    bool solved_lq = rnorm <= eps;
+    bool solved_cg = dbar_ok && rnorm_cg <= eps;
+    cg_pending = solved_cg && !solved_lq;
+    solved = solved_lq || solved_cg;
+    if (!solved && !nz) { status = "Breakdown"; break; }
+    // shift scalars
+    c_km1 = ck; s_km1 = sk;
+    dbar = dbar_k;
+    zeta_km1 = zeta_km1_new; zeta_km2 = zeta_km2_new; eta_km1 = eta;
+    beta = T(beta_n); gamma = gamma_n;
+    norm_vk = norm_vkp1;
+  }
+  if (cg_pending) axpy(zetabar, dbar_vec, x);
+  if (solved) status = "solution good enough given atol and rtol";
+  else if (status == "unknown") status = "maximum number of iterations exceeded";
+}
+
 template <typename T>
 void solve_bicgstab(const Ctx<T> &c, const std::vector<T> &b,
                     const std::vector<T> *cshadow, std::vector<T> &x,
@@ -1244,9 +1376,12 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_fom(ctx, bv, w->x, w->memory, iter, solved, w->status);
       break;
     case KRYLOV_BICGSTAB:
-    case KRYLOV_BILQ:
       solve_bicgstab(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved,
                      w->status);
+      break;
+    case KRYLOV_BILQ:
+      if (!ctx.At) return 2;
+      solve_bilq(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved, w->status);
       break;
     case KRYLOV_QMR:
       if (!ctx.At) return 2;

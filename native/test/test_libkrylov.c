@@ -137,7 +137,7 @@ int main(void) {
 
   /* nonsymmetric solvers */
   krylov_solver nsy_solvers[] = {KRYLOV_GMRES, KRYLOV_FOM, KRYLOV_BICGSTAB,
-                                 KRYLOV_CGS, KRYLOV_QMR};
+                                 KRYLOV_CGS, KRYLOV_QMR, KRYLOV_BILQ};
   for (size_t s = 0; s < sizeof(nsy_solvers) / sizeof(nsy_solvers[0]); ++s) {
     krylov_workspace_t ws =
         krylov_workspace_create(nsy_solvers[s], KRYLOV_FLOAT64, N, N, NULL);
