@@ -96,6 +96,20 @@ void sym_givens(R a, R b, R &c, R &s, R &rho) {
   }
 }
 
+// complex-capable Givens with real cosine annihilating [a; b] via
+// [c s; conj(s) -c]: c = |a|/h, s = a*conj(b)/(h|a|), rho = a*h/|a|.
+template <typename T>
+void cgivens(T a, T b, real_t<T> &c, T &s, T &rho) {
+  using R = real_t<T>;
+  R aa = std::abs(a), ab = std::abs(b);
+  R h = std::sqrt(aa * aa + ab * ab);
+  if (h == R(0)) { c = R(1); s = T(0); rho = T(0); return; }
+  if (aa == R(0)) { c = R(0); s = T(1); rho = b; return; }
+  c = aa / h;
+  s = a * conj_(b) / T(h * aa);
+  rho = a * T(h / aa);
+}
+
 struct Options {
   double atol, rtol, lambda, timemax, radius;
   int64_t itmax, verbose, restart, reorth, linesearch;
@@ -507,6 +521,95 @@ void solve_fom(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
   else if (status == "unknown") status = "maximum number of iterations exceeded";
 }
 
+// USYMQR: Saunders-Simon-Yip tridiagonalization + QR — the LS sweep of
+// USYMLQR (reference src/usymqr.jl); minimizes ‖b - Ax‖ with x in the
+// U (n-side) basis; ‖Aᴴr‖-based inconsistency detection.
+template <typename T>
+void solve_usymqr(const Ctx<T> &c, const std::vector<T> &b,
+                  const std::vector<T> *cvec, std::vector<T> &x,
+                  int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  x.assign(n, T(0));
+  std::vector<T> cseed;
+  if (cvec) cseed = *cvec;
+  else if (m == n) cseed = b;
+  else cseed.assign(n, T(1));
+  std::vector<T> v = b, u = cseed, v_old(m, T(0)), u_old(n, T(0)), q(m),
+                 p(n);
+  R beta = nrm2(v);
+  if (beta == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta), v);
+  R gamma = nrm2(u);
+  if (gamma != R(0)) scal(T(R(1) / gamma), u);
+  std::vector<T> w_km1(n, T(0)), w_km2(n, T(0));
+  R c_km1 = R(-1), c_km2 = R(-1);
+  T s_km1 = T(0), s_km2 = T(0);
+  T phibar = T(beta);
+  R eps = R(c.opt.atol + c.opt.rtol * beta);
+  R kappa = R(0);
+  iter = 0;
+  solved = beta <= eps;
+  bool inconsistent = false;
+  while (!solved && !inconsistent && iter < itmax) {
+    ++iter;
+    // SSY step
+    std::vector<T> uc = u, vc = v;
+    matvec(c, uc, q);
+    rmatvec(c, vc, p);
+    if (iter >= 2) {
+      axpy(T(-gamma), v_old, q);
+      axpy(T(-beta), u_old, p);
+    }
+    T alpha = dot(v, q);
+    axpy(-alpha, v, q);
+    axpy(-conj_(alpha), u, p);
+    v_old = v; u_old = u;
+    R beta_n = nrm2(q);
+    R gamma_n = nrm2(p);
+    // rotation cascade (two previous + new), gamma/beta real
+    T eps_km2 = s_km2 * T(gamma);
+    T lambdabar = -T(c_km2) * T(gamma);
+    T lam_km1 = T(c_km1) * lambdabar + s_km1 * alpha;
+    T deltabar = conj_(s_km1) * lambdabar - T(c_km1) * alpha;
+    R cs;
+    T sn, delta;
+    cgivens(deltabar, T(beta_n), cs, sn, delta);
+    T dsafe = (delta == T(0)) ? T(1) : delta;
+    std::vector<T> w_new(n);
+    for (int64_t i = 0; i < n; ++i)
+      w_new[i] = (u[i] - lam_km1 * w_km1[i] - eps_km2 * w_km2[i]) / dsafe;
+    T phi = T(cs) * phibar;
+    T phibar_n = conj_(sn) * phibar;
+    axpy(phi, w_new, x);
+    R rnorm = std::abs(phibar_n);
+    R AHrNorm = std::abs(phibar) * std::sqrt(
+        std::abs(deltabar) * std::abs(deltabar)
+        + (c_km1 * gamma_n) * (c_km1 * gamma_n));
+    if (iter == 1) kappa = R(c.opt.atol + c.opt.rtol * AHrNorm);
+    phibar = phibar_n;
+    solved = rnorm <= eps;
+    inconsistent = !solved && AHrNorm <= kappa;
+    // advance
+    if (beta_n != R(0)) { v = q; scal(T(R(1) / beta_n), v); }
+    else v.assign(m, T(0));
+    if (gamma_n != R(0)) { u = p; scal(T(R(1) / gamma_n), u); }
+    else u.assign(n, T(0));
+    w_km2 = w_km1; w_km1 = w_new;
+    c_km2 = c_km1; s_km2 = s_km1;
+    c_km1 = cs; s_km1 = sn;
+    beta = beta_n; gamma = gamma_n;
+    if (beta_n == R(0) && gamma_n == R(0)) break;
+  }
+  if (solved) status = "solution good enough given atol and rtol";
+  else if (inconsistent) {
+    solved = true;
+    status = "found approximate minimum least-squares solution";
+  } else if (status == "unknown")
+    status = "maximum number of iterations exceeded";
+}
+
 // SYMMLQ: LQ factorization of the Lanczos tridiagonal (Paige-Saunders;
 // reference src/symmlq.jl).  Returns the CG point when its residual
 // estimate beats the LQ point's, like the reference's transfer_to_cg.
@@ -687,20 +790,6 @@ void solve_qmr(const Ctx<T> &c, const std::vector<T> &b,
     status = "solution good enough given atol and rtol";
   else if (status == "unknown")
     status = "maximum number of iterations exceeded";
-}
-
-// complex-capable Givens with real cosine annihilating [a; b] via
-// [c s; conj(s) -c]: c = |a|/h, s = a*conj(b)/(h|a|), rho = a*h/|a|.
-template <typename T>
-void cgivens(T a, T b, real_t<T> &c, T &s, T &rho) {
-  using R = real_t<T>;
-  R aa = std::abs(a), ab = std::abs(b);
-  R h = std::sqrt(aa * aa + ab * ab);
-  if (h == R(0)) { c = R(1); s = T(0); rho = T(0); return; }
-  if (aa == R(0)) { c = R(0); s = T(1); rho = b; return; }
-  c = aa / h;
-  s = a * conj_(b) / T(h * aa);
-  rho = a * T(h / aa);
 }
 
 // BiLQ: LQ factorization of the bi-Lanczos tridiagonal with transfer
@@ -1391,9 +1480,13 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_cgs(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved, w->status);
       break;
     case KRYLOV_LSQR:
-    case KRYLOV_USYMQR:
       if (!ctx.At) return 2;
       solve_lsqr(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_USYMQR:
+      if (!ctx.At) return 2;
+      solve_usymqr(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved,
+                   w->status);
       break;
     case KRYLOV_LSMR:
       if (!ctx.At) return 2;
