@@ -521,6 +521,106 @@ void solve_fom(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
   else if (status == "unknown") status = "maximum number of iterations exceeded";
 }
 
+// USYMLQ: Saunders-Simon-Yip tridiagonalization + LQ with transfer to
+// the USYMCG point (reference src/usymlq.jl); x lives in the U basis.
+template <typename T>
+void solve_usymlq(const Ctx<T> &c, const std::vector<T> &b,
+                  const std::vector<T> *cvec, std::vector<T> &x,
+                  int64_t &iter, bool &solved, std::string &status) {
+  using R = real_t<T>;
+  int64_t m = c.m, n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : m + n;
+  x.assign(n, T(0));
+  std::vector<T> cseed;
+  if (cvec) cseed = *cvec;
+  else if (m == n) cseed = b;
+  else cseed.assign(n, T(1));
+  std::vector<T> v = b, u = cseed, v_old(m, T(0)), u_old(n, T(0)), q(m),
+                 p(n), dbar_vec(n, T(0));
+  R beta1 = nrm2(v);
+  if (beta1 == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta1), v);
+  R gamma = nrm2(u);
+  if (gamma != R(0)) scal(T(R(1) / gamma), u);
+  R beta = beta1;
+  R c_km1 = R(-1);
+  T s_km1 = T(0);
+  T dbar = T(0), zeta_km1 = T(0), zeta_km2 = T(0), eta_km1 = T(0);
+  T zetabar = T(0);
+  R eps = R(c.opt.atol + c.opt.rtol * beta1);
+  R rnorm = beta1;
+  bool cg_pending = false;
+  iter = 0;
+  solved = beta1 <= eps;
+  while (!solved && iter < itmax) {
+    ++iter;
+    std::vector<T> uc = u, vc = v;
+    matvec(c, uc, q);
+    rmatvec(c, vc, p);
+    if (iter >= 2) {
+      axpy(T(-gamma), v_old, q);
+      axpy(T(-beta), u_old, p);
+    }
+    T alpha = dot(v, q);
+    axpy(-alpha, v, q);
+    axpy(-conj_(alpha), u, p);
+    R beta_n = nrm2(q);
+    R gamma_n = nrm2(p);
+    // LQ rotation on (dbar, gamma); no rotation at iter 1.
+    R ck;
+    T sk, d_km1;
+    if (iter == 1) { ck = R(-1); sk = T(0); d_km1 = T(0); }
+    else cgivens(dbar, T(gamma), ck, sk, d_km1);
+    T eps_km2 = s_km1 * T(beta);
+    T lam_km1 = (iter == 2) ? T(ck) * T(beta) + sk * alpha
+                            : -T(c_km1) * T(ck) * T(beta) + sk * alpha;
+    T dbar_k = (iter == 1) ? alpha
+               : (iter == 2) ? conj_(sk) * T(beta) - T(ck) * alpha
+                             : -T(c_km1) * conj_(sk) * T(beta)
+                               - T(ck) * alpha;
+    T dsafe = (d_km1 == T(0)) ? T(1) : d_km1;
+    T zeta_km1_new = (iter >= 2) ? eta_km1 / dsafe : zeta_km1;
+    T zeta_km2_new = (iter >= 3) ? zeta_km1 : zeta_km2;
+    T eta = (iter == 1) ? T(beta1)
+            : (iter == 2) ? -lam_km1 * zeta_km1_new
+                          : -eps_km2 * zeta_km2_new - lam_km1 * zeta_km1_new;
+    if (iter >= 2)
+      for (int64_t i = 0; i < n; ++i)
+        x[i] += zeta_km1_new * T(ck) * dbar_vec[i] + zeta_km1_new * sk * u[i];
+    if (iter == 1) dbar_vec = u;
+    else
+      for (int64_t i = 0; i < n; ++i)
+        dbar_vec[i] = conj_(sk) * dbar_vec[i] - T(ck) * u[i];
+    T mu = T(beta) * (s_km1 * zeta_km2_new
+                      - T(c_km1) * T(ck) * zeta_km1_new)
+         + alpha * sk * zeta_km1_new;
+    T om = T(beta_n) * sk * zeta_km1_new;
+    if (iter >= 2)
+      rnorm = std::sqrt(std::abs(mu) * std::abs(mu)
+                        + std::abs(om) * std::abs(om));
+    bool dbar_ok = std::abs(dbar_k) > std::numeric_limits<R>::epsilon();
+    if (dbar_ok) zetabar = eta / dbar_k;
+    R rnorm_cg = std::abs(T(beta_n) * (sk * zeta_km1_new - T(ck) * zetabar));
+    bool solved_lq = rnorm <= eps;
+    bool solved_cg = dbar_ok && rnorm_cg <= eps;
+    cg_pending = solved_cg && !solved_lq;
+    solved = solved_lq || solved_cg;
+    // advance
+    v_old = v; u_old = u;
+    if (beta_n != R(0)) { v = q; scal(T(R(1) / beta_n), v); }
+    else v.assign(m, T(0));
+    if (gamma_n != R(0)) { u = p; scal(T(R(1) / gamma_n), u); }
+    else u.assign(n, T(0));
+    c_km1 = ck; s_km1 = sk; dbar = dbar_k;
+    zeta_km1 = zeta_km1_new; zeta_km2 = zeta_km2_new; eta_km1 = eta;
+    beta = beta_n; gamma = gamma_n;
+    if (!solved && beta_n == R(0) && gamma_n == R(0)) break;
+  }
+  if (cg_pending) axpy(zetabar, dbar_vec, x);
+  if (solved) status = "solution good enough given atol and rtol";
+  else if (status == "unknown") status = "maximum number of iterations exceeded";
+}
+
 // USYMQR: Saunders-Simon-Yip tridiagonalization + QR — the LS sweep of
 // USYMLQR (reference src/usymqr.jl); minimizes ‖b - Ax‖ with x in the
 // U (n-side) basis; ‖Aᴴr‖-based inconsistency detection.
@@ -1501,9 +1601,13 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_crls(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_CGNE:
-    case KRYLOV_USYMLQ:
       if (!ctx.At) return 2;
       solve_cgne(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_USYMLQ:
+      if (!ctx.At) return 2;
+      solve_usymlq(ctx, bv, cp ? &cv : nullptr, w->x, iter, solved,
+                   w->status);
       break;
     case KRYLOV_CRMR:
       if (!ctx.At) return 2;
