@@ -710,6 +710,119 @@ void solve_usymqr(const Ctx<T> &c, const std::vector<T> &b,
     status = "maximum number of iterations exceeded";
 }
 
+// MINARES: minimizes ‖A rₖ‖ over the Lanczos space (reference
+// src/minares.jl).  Subproblem form: with A V_k = V_{k+1} T_{k+1,k},
+// ‖A r‖ = ‖T_{k+2,k+1}(β₁e₁ − T_{k+1,k} y)‖ — a small banded LS solved
+// per iteration by dense Householder QR (the reference uses a custom
+// recurrence; the subproblem form is algebraically identical).
+template <typename T>
+void solve_minares(const Ctx<T> &c, const std::vector<T> &b,
+                   std::vector<T> &x, int64_t &iter, bool &solved,
+                   std::string &status) {
+  using R = real_t<T>;
+  int64_t n = c.n;
+  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
+  R lam = R(c.opt.lambda);
+  x.assign(n, T(0));
+  std::vector<T> v = b, q(n);
+  R beta1 = nrm2(v);
+  if (beta1 == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
+  scal(T(R(1) / beta1), v);
+  std::vector<std::vector<T>> V{v};
+  std::vector<R> alphas, betas;   // T diag / subdiag (real, Hermitian A)
+  R eps = R(c.opt.atol + c.opt.rtol * beta1);
+  iter = 0;
+  solved = false;
+  std::vector<double> y;
+  R beta_prev = R(0);
+  R Ar0 = -1;
+  while (!solved && iter < itmax) {
+    ++iter;
+    int64_t k = iter;
+    std::vector<T> vc = V[k - 1];
+    matvec(c, vc, q);
+    if (lam != R(0)) axpy(T(lam), V[k - 1], q);
+    if (k >= 2) axpy(T(-beta_prev), V[k - 2], q);
+    R alpha = dotr(V[k - 1], q);
+    axpy(T(-alpha), V[k - 1], q);
+    R beta_n = nrm2(q);
+    alphas.push_back(alpha);
+    betas.push_back(beta_n);
+    beta_prev = beta_n;
+    if (beta_n != R(0)) {
+      std::vector<T> vn = q;
+      scal(T(R(1) / beta_n), vn);
+      V.push_back(vn);
+    } else V.push_back(std::vector<T>(n, T(0)));
+    // Build P = T_{k+2,k+1} * T_{k+1,k} ((k+2) x k, pentadiagonal) and
+    // rhs = beta1 * T_{k+2,k+1} e1; solve the dense LS by Householder.
+    auto Tij = [&](int64_t i, int64_t j) -> R {
+      // T_{rows,cols} entry (i,j), 0-based, tridiagonal
+      if (i == j) return (j < (int64_t)alphas.size()) ? alphas[j] : R(0);
+      if (i == j + 1) return (j < (int64_t)betas.size()) ? betas[j] : R(0);
+      if (j == i + 1) return (i < (int64_t)betas.size()) ? betas[i] : R(0);
+      return R(0);
+    };
+    int64_t rows = k + 2;
+    std::vector<double> P(rows * k, 0.0), rhs(rows, 0.0);
+    for (int64_t i = 0; i < rows; ++i)
+      for (int64_t j = 0; j < k; ++j) {
+        double acc = 0.0;
+        for (int64_t l = std::max<int64_t>(0, j - 1);
+             l <= std::min<int64_t>(k, j + 1); ++l)
+          acc += double(Tij(i, l)) * double(Tij(l, j));
+        P[i * k + j] = acc;
+      }
+    for (int64_t i = 0; i < rows; ++i)
+      rhs[i] = double(beta1) * double(Tij(i, 0));
+    if (Ar0 < 0) {
+      double s0 = 0;
+      for (int64_t i = 0; i < rows; ++i) s0 += rhs[i] * rhs[i];
+      Ar0 = R(std::sqrt(s0));
+    }
+    // Householder QR on (P | rhs)
+    for (int64_t col = 0; col < k; ++col) {
+      double nrm = 0;
+      for (int64_t i = col; i < rows; ++i) nrm += P[i * k + col] * P[i * k + col];
+      nrm = std::sqrt(nrm);
+      if (nrm == 0) continue;
+      double a0 = P[col * k + col];
+      double sign = (a0 >= 0) ? 1.0 : -1.0;
+      std::vector<double> u(rows - col);
+      u[0] = a0 + sign * nrm;
+      for (int64_t i = col + 1; i < rows; ++i) u[i - col] = P[i * k + col];
+      double un = 0;
+      for (double e : u) un += e * e;
+      if (un == 0) continue;
+      for (int64_t j = col; j < k; ++j) {
+        double d = 0;
+        for (int64_t i = col; i < rows; ++i) d += u[i - col] * P[i * k + j];
+        d *= 2.0 / un;
+        for (int64_t i = col; i < rows; ++i) P[i * k + j] -= d * u[i - col];
+      }
+      double d = 0;
+      for (int64_t i = col; i < rows; ++i) d += u[i - col] * rhs[i];
+      d *= 2.0 / un;
+      for (int64_t i = col; i < rows; ++i) rhs[i] -= d * u[i - col];
+    }
+    y.assign(k, 0.0);
+    for (int64_t i = k - 1; i >= 0; --i) {
+      double acc = rhs[i];
+      for (int64_t j = i + 1; j < k; ++j) acc -= P[i * k + j] * y[j];
+      y[i] = (P[i * k + i] != 0) ? acc / P[i * k + i] : 0.0;
+    }
+    double res2 = 0;
+    for (int64_t i = k; i < rows; ++i) res2 += rhs[i] * rhs[i];
+    R ArNorm = R(std::sqrt(res2));
+    solved = ArNorm <= R(c.opt.atol) + R(c.opt.rtol) * Ar0;
+    if (beta_n == R(0)) { solved = true; }
+  }
+  // x = V_k y
+  for (size_t j = 0; j < y.size(); ++j) axpy(T(R(y[j])), V[j], x);
+  status = solved ? "solution good enough given atol and rtol"
+                  : "maximum number of iterations exceeded";
+}
+
 // SYMMLQ: LQ factorization of the Lanczos tridiagonal (Paige-Saunders;
 // reference src/symmlq.jl).  Returns the CG point when its residual
 // estimate beats the LQ point's, like the reference's transfer_to_cg.
@@ -1551,8 +1664,10 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_cr(ctx, bv, w->x, iter, solved, w->status, true);
       break;
     case KRYLOV_MINRES:
-    case KRYLOV_MINARES:
       solve_minres(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_MINARES:
+      solve_minares(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_SYMMLQ:
       solve_symmlq(ctx, bv, w->x, iter, solved, w->status);

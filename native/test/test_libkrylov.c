@@ -119,7 +119,8 @@ int main(void) {
 
   /* every Hermitian solver converges through the C API */
   krylov_solver spd_solvers[] = {KRYLOV_CG, KRYLOV_CR, KRYLOV_CAR,
-                                 KRYLOV_MINRES, KRYLOV_SYMMLQ, KRYLOV_GMRES};
+                                 KRYLOV_MINRES, KRYLOV_SYMMLQ, KRYLOV_MINARES,
+                                 KRYLOV_GMRES};
   for (size_t s = 0; s < sizeof(spd_solvers) / sizeof(spd_solvers[0]); ++s) {
     krylov_workspace_t ws =
         krylov_workspace_create(spd_solvers[s], KRYLOV_FLOAT64, N, N, NULL);
