@@ -108,3 +108,55 @@ class TestNativeTrueSymmlqQmr:
             x, info = native.native_solve("qmr", M, b, atol=1e-10, rtol=1e-10)
             assert info["solved"], info["status"]
             assert np.linalg.norm(M @ x - b) <= 1e-6
+
+
+class TestNativeDistinctKernels:
+    # every former alias now has its own recurrence; solve each through
+    # the bridge and check true residual/optimality.
+    def _spd(self, n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        Ad = rng.standard_normal((n, n))
+        return Ad @ Ad.T + n * np.eye(n), rng.standard_normal(n)
+
+    def test_fom(self):
+        A, b = self._spd()
+        x, info = native.native_solve("fom", A, b, atol=1e-9, rtol=1e-9)
+        assert info["solved"]
+        assert np.linalg.norm(A @ x - b) <= 1e-6
+
+    def test_bilq_usymlq_usymqr(self):
+        rng = np.random.default_rng(1)
+        n = 40
+        M = rng.standard_normal((n, n)) + n * np.eye(n)
+        b = rng.standard_normal(n)
+        for method in ("bilq", "usymlq", "usymqr"):
+            x, info = native.native_solve(method, M, b, atol=1e-9, rtol=1e-9)
+            assert info["solved"], (method, info["status"])
+            assert np.linalg.norm(M @ x - b) <= 1e-5, method
+
+    def test_crls_optimality(self):
+        rng = np.random.default_rng(2)
+        A = rng.standard_normal((50, 30))
+        b = rng.standard_normal(50)
+        x, info = native.native_solve("crls", A, b, atol=1e-10, rtol=1e-10)
+        assert info["solved"]
+        assert np.linalg.norm(A.T @ (b - A @ x)) <= 1e-6
+
+    def test_crmr_craigmr_min_norm(self):
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((25, 60))
+        b = A @ rng.standard_normal(60)
+        xm = A.T @ np.linalg.solve(A @ A.T, b)
+        for method in ("crmr", "craigmr"):
+            x, info = native.native_solve(method, A, b, atol=1e-11,
+                                          rtol=1e-11)
+            assert info["solved"], (method, info["status"])
+            assert np.linalg.norm(x - xm) <= 1e-6, method
+        assert "y" in info  # craigmr returns the dual iterate
+        assert np.linalg.norm(x - A.T @ info["y"]) <= 1e-10
+
+    def test_minares(self):
+        A, b = self._spd(seed=4)
+        x, info = native.native_solve("minares", A, b, atol=1e-9, rtol=1e-9)
+        assert info["solved"]
+        assert np.linalg.norm(A @ (b - A @ x)) <= 1e-4
