@@ -97,6 +97,32 @@ def main():
             best16 = min(best16, (time.perf_counter() - t0) / K)
         bf16_nnz_per_s = nnz / best16
 
+    # --- larger-problem flagship number (128^3, ~60% of HBM peak) ---
+    big_nnz_per_s = None
+    if on_tpu:
+        N2 = 128
+        n2 = N2 ** 3
+        D2 = poisson_dia(N2, N2, N2, dtype=dtype)
+        pd2 = dia_align(D2.data, D2.offsets, n2)
+        K2 = 1000
+
+        @jax.jit
+        def spmv_loop_big(pd_, x):
+            def body(_, v):
+                return dia_spmv_pallas(pd_, D2.offsets, v) * (1.0 / 6.0)
+            return jnp.sum(jax.lax.fori_loop(0, K2, body, x))
+
+        log("bench: compiling 128^3 spmv loop...")
+        xb = jnp.ones(n2, dtype)
+        float(spmv_loop_big(pd2, xb))
+        bestb = float("inf")
+        for trial in range(2):
+            xin = jnp.full(n2, 1.0 + 0.01 * trial, dtype)
+            t0 = time.perf_counter()
+            float(spmv_loop_big(pd2, xin))
+            bestb = min(bestb, (time.perf_counter() - t0) / K2)
+        big_nnz_per_s = D2.nnz / bestb
+
     # --- CG time-to-tolerance (rtol=1e-6 fp32 / 1e-8 fp64) ---
     rtol = 1e-6 if on_tpu else 1e-8
     op = DIAOperator(D)
@@ -139,6 +165,8 @@ def main():
             "cpu_scipy_gnnz_per_s": round(cpu_nnz_per_s / 1e9, 4),
             "spmv_bf16_gnnz_per_s": (round(bf16_nnz_per_s / 1e9, 4)
                                      if bf16_nnz_per_s else None),
+            "spmv_128cubed_gnnz_per_s": (round(big_nnz_per_s / 1e9, 4)
+                                         if big_nnz_per_s else None),
         },
     }
     print(json.dumps(out))
