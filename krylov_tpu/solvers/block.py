@@ -9,9 +9,9 @@ normalization is jnp.linalg.qr (replacing the reference's LAPACK
 Householder kgeqrf!/korgqr! calls, src/block_krylov_utils.jl:210-301),
 and the small least-squares problem min ‖H̄Y − E₁Γ‖_F is re-solved each
 iteration with a dense masked QR — O((mem·p)³) scalar work that is
-negligible next to the SpMM.  block_minres uses the same minimum-residual
-machinery with the Hermitian three-term orthogonalization window (the
-reference's O(1)-block direction recurrence is traded for basis storage).
+negligible next to the SpMM.  block_minres is the reference's
+O(1)-memory block-tridiagonal recurrence (src/block_minres.jl:95-317):
+7 (n,p) blocks independent of the iteration count.
 """
 
 import functools
@@ -257,8 +257,173 @@ def _block_solve(
     return jnp.asarray(state.X), stats, state
 
 
-def _block_minres_solve(A, B, X0=None, **kwargs):
-    return _block_solve(True, A, B, X0, **kwargs)
+# ---------------------------------------------------------------------------
+# Block MINRES — O(1)-memory block-tridiagonal recurrence (reference
+# src/block_minres.jl:95-317).  Memory: 7 (n,p) blocks independent of the
+# iteration count; the reference's Householder reflections Θₖ (2p×p
+# kgeqrf/kormqr) are realized as complete QR factors Qθ (2p×2p) applied by
+# matmul — MXU-friendly p×p work.
+# ---------------------------------------------------------------------------
+
+class BlockMinresState(NamedTuple):
+    X: jax.Array          # (n, p)
+    Vkm1: jax.Array       # (n, p)
+    Vk: jax.Array         # (n, p)
+    w_km2: jax.Array      # (n, p)
+    w_km1: jax.Array      # (n, p)
+    Psi_k: jax.Array      # (p, p) subdiagonal block Ψₖ
+    Phibar: jax.Array     # (p, p) Φbarₖ
+    Q2_km2: jax.Array     # (2p, 2p) reflection Θₖ₋₂
+    Q2_km1: jax.Array     # (2p, 2p) reflection Θₖ₋₁
+    rNorm: jax.Array
+    eps_lim: jax.Array
+    iter: jax.Array
+    status: jax.Array
+    hist_r: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("history", "hist_len", "callback", "verbose"),
+)
+def _block_minres_core(
+    A, B, X0, state_in, iter_cap, itmax, atol, rtol,
+    *, history, hist_len, callback, verbose,
+):
+    n, p = B.shape
+    FC = B.dtype
+    T = real_dtype(FC)
+
+    if state_in is None:
+        X = jnp.zeros((n, p), FC)
+        R0 = B if X0 is None else B - A.matmat(X0)
+        V1, Gamma = jnp.linalg.qr(R0)
+        beta = jnp.linalg.norm(Gamma)
+        eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * beta
+        status = jnp.where(beta == 0, jnp.int32(rt.ZERO_RESIDUAL),
+                           jnp.where(beta <= eps_lim, jnp.int32(rt.SOLVED),
+                                     jnp.int32(rt.RUNNING)))
+        hist = rt.hist_init(hist_len, T)
+        hist = rt.hist_write(hist, 0, beta, history)
+        state = BlockMinresState(
+            X=X, Vkm1=jnp.zeros((n, p), FC), Vk=V1,
+            w_km2=jnp.zeros((n, p), FC), w_km1=jnp.zeros((n, p), FC),
+            Psi_k=jnp.zeros((p, p), FC), Phibar=Gamma,
+            Q2_km2=jnp.eye(2 * p, dtype=FC), Q2_km1=jnp.eye(2 * p, dtype=FC),
+            rNorm=beta, eps_lim=eps_lim,
+            iter=jnp.int32(0), status=status, hist_r=hist,
+        )
+    else:
+        state = state_in
+
+    def cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def body(s):
+        it = s.iter + 1
+        # Block Lanczos step.
+        Q = A.matmat(s.Vk)
+        Omega = jnp.conj(s.Vk.T) @ Q
+        Q = jnp.where(it >= 2, Q - s.Vkm1 @ jnp.conj(s.Psi_k.T), Q)
+        Q = Q - s.Vk @ Omega
+
+        PsiH = jnp.conj(s.Psi_k.T)
+        # Θₖ₋₂ applied to [0; Ψₖᴴ] (it ≥ 3).
+        st2 = jnp.conj(s.Q2_km2.T) @ jnp.concatenate(
+            [jnp.zeros((p, p), FC), PsiH])
+        Pi_km2 = jnp.where(it >= 3, st2[:p], jnp.zeros((p, p), FC))
+        Gbar_mid = jnp.where(it >= 3, st2[p:], PsiH)
+        # Θₖ₋₁ applied to [Γbarₖ₋₁; Ωₖ] (it ≥ 2).
+        st1 = jnp.conj(s.Q2_km1.T) @ jnp.concatenate([Gbar_mid, Omega])
+        Gamma_km1 = jnp.where(it >= 2, st1[:p], jnp.zeros((p, p), FC))
+        Lambda_bar = jnp.where(it >= 2, st1[p:], Omega)
+
+        # Vₖ₊₁, Ψₖ₊₁ from QR of Q.
+        Vkp1, Psi_kp1 = jnp.linalg.qr(Q)
+
+        # Current reflection Θₖ: complete QR of [Λbarₖ; Ψₖ₊₁].
+        stack = jnp.concatenate([Lambda_bar, Psi_kp1])
+        Q2, R2 = jnp.linalg.qr(stack, mode="complete")
+        Lambda_k = R2[:p]
+
+        # Zₖ update: [Φₖ; Φbarₖ₊₁] = Qθᴴ [Φbarₖ; 0].
+        z = jnp.conj(Q2.T) @ jnp.concatenate(
+            [s.Phibar, jnp.zeros((p, p), FC)])
+        Phi_k = z[:p]
+        Phibar_kp1 = z[p:]
+
+        # Direction wₖ = (Vₖ - wₖ₋₁Γₖ₋₁ - wₖ₋₂Πₖ₋₂) Λₖ⁻¹ (right solve).
+        Wnum = s.Vk - s.w_km1 @ Gamma_km1 - s.w_km2 @ Pi_km2
+        diag = jnp.diagonal(Lambda_k)
+        Lsafe = Lambda_k + jnp.diag(
+            jnp.where(diag == 0, jnp.ones_like(diag), jnp.zeros_like(diag)))
+        w_k = jax.scipy.linalg.solve_triangular(
+            Lsafe.T, Wnum.T, lower=True, trans="N").T
+
+        X_new = s.X + w_k @ Phi_k
+        rNorm = jnp.linalg.norm(Phibar_kp1)
+
+        solved = (rNorm <= s.eps_lim) | ((rNorm + 1.0) <= 1.0)
+        code = jnp.where(solved, jnp.int32(rt.SOLVED), jnp.int32(rt.RUNNING))
+
+        hist = rt.hist_write(s.hist_r, it, rNorm, history)
+        s_new = s._replace(
+            X=X_new, Vkm1=s.Vk, Vk=Vkp1,
+            w_km2=s.w_km1, w_km1=w_k,
+            Psi_k=Psi_kp1, Phibar=Phibar_kp1,
+            Q2_km2=s.Q2_km1, Q2_km1=Q2,
+            rNorm=rNorm, iter=it, status=code, hist_r=hist,
+        )
+        if callback is not None:
+            user_exit = callback(s_new)
+            s_new = s_new._replace(
+                status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
+                                 jnp.int32(rt.USER_EXIT), s_new.status))
+        return s_new
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _block_minres_solve(
+    A, B, X0=None, *, M=None, ldiv=False, atol=None, rtol=None, itmax=0,
+    timemax=float("inf"), verbose=0, history=False, callback=None, **_ig,
+):
+    start = time.perf_counter()
+    if M is not None:
+        raise ValueError("Block-MINRES doesn't support preconditioning yet.")
+    A = as_operator(A)
+    B = jnp.asarray(B)
+    n, p = B.shape
+    if A.shape is not None and A.shape[0] != A.shape[1]:
+        raise ValueError("System must be square")
+    T = real_dtype(B.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, max(2 * (n // p), 2))
+    hist_len = itmax + 1 if history else 0
+    X0 = None if X0 is None else jnp.asarray(X0, dtype=B.dtype)
+
+    def run(state, cap):
+        return _block_minres_core(
+            A, B, X0, state, jnp.int32(cap), jnp.int32(itmax), atol, rtol,
+            history=bool(history), hist_len=hist_len, callback=callback,
+            verbose=int(verbose),
+        )
+
+    state, overtimed = rt.drive(run, itmax, timemax, start)
+    state = rt.host_state(state)
+    niter = int(state.iter)
+    code = rt.final_status_code(state.status, niter, itmax, overtimed)
+    X = jnp.asarray(state.X)
+    if X0 is not None:
+        X = X + X0
+    stats = SimpleStats(
+        niter=niter, solved=rt.is_solved_code(code), inconsistent=False,
+        residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return X, stats, state
 
 
 def _block_gmres_solve(A, B, X0=None, **kwargs):
@@ -266,8 +431,8 @@ def _block_gmres_solve(A, B, X0=None, **kwargs):
 
 
 def block_minres(A, B, X0=None, **kwargs):
-    """X, stats = block_minres(A, B; M, ldiv, ...) — Hermitian multi-RHS."""
-    X, stats, _ = _block_solve(True, A, B, X0, **kwargs)
+    """X, stats = block_minres(A, B; ...) — Hermitian multi-RHS, O(1) memory."""
+    X, stats, _ = _block_minres_solve(A, B, X0, **kwargs)
     return X, stats
 
 
