@@ -90,6 +90,8 @@ def load():
         _lib.krylov_get_status.restype = ctypes.c_char_p
         _lib.krylov_get_status.argtypes = [ctypes.c_void_p]
         _lib.krylov_warm_start.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        _lib.krylov_warm_start2.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p]
         _lib.krylov_workspace_free.argtypes = [ctypes.c_void_p]
     return _lib
 
@@ -112,7 +114,7 @@ def default_options(**kw):
     return o
 
 
-def native_solve(method, A, b, At=None, x0=None, **opts):
+def native_solve(method, A, b, At=None, x0=None, c=None, y0=None, **opts):
     """Solve with the native library using dense-matrix callbacks.
 
     A and At may be numpy 2-D arrays (callbacks generated here) or
@@ -149,24 +151,41 @@ def native_solve(method, A, b, At=None, x0=None, **opts):
         return MATVEC(cb)
 
     cbA = make_cb(A)
-    cbAt = make_cb(A.conj().T) if method in (
+    adjoint_methods = (
         "lsqr", "lsmr", "cgls", "crls", "cgne", "crmr", "craig", "craigmr",
-        "usymlq", "usymqr", "qmr", "bilq") or At is not None else MATVEC(0)
+        "usymlq", "usymqr", "qmr", "bilq", "lslq", "lnlq", "bilqr", "trilqr",
+        "usymlqr", "tricg", "trimr", "gpmr")
+    cbAt = make_cb(A.conj().T) if (method in adjoint_methods
+                                   or At is not None) else MATVEC(0)
     null = MATVEC(0)
+    # output shapes per solver (C kernels): x length m for the
+    # saddle-point family, n otherwise; y for the two-output solvers.
+    xlen = m if method in ("usymlqr", "tricg", "trimr", "gpmr") else n
+    ylen = {"craig": m, "craigmr": m, "lnlq": m, "bilqr": n, "trilqr": m,
+            "usymlqr": n, "tricg": n, "trimr": n, "gpmr": n}.get(method)
 
     ws = lib.krylov_workspace_create(SOLVERS[method], DTYPES[dtype], m, n,
                                      None)
     try:
-        if x0 is not None:
+        if x0 is not None and y0 is not None:
+            x0 = np.ascontiguousarray(x0, dtype=dtype)
+            y0 = np.ascontiguousarray(y0, dtype=dtype)
+            lib.krylov_warm_start2(ws, x0.ctypes.data_as(ctypes.c_void_p),
+                                   y0.ctypes.data_as(ctypes.c_void_p))
+        elif x0 is not None:
             x0 = np.ascontiguousarray(x0, dtype=dtype)
             lib.krylov_warm_start(ws, x0.ctypes.data_as(ctypes.c_void_p))
         o = default_options(**opts)
+        cptr = None
+        if c is not None:
+            c = np.ascontiguousarray(c, dtype=dtype)
+            cptr = c.ctypes.data_as(ctypes.c_void_p)
         rc = lib.krylov_solve(ws, cbA, cbAt, null, null,
-                              b.ctypes.data_as(ctypes.c_void_p), None, None,
+                              b.ctypes.data_as(ctypes.c_void_p), cptr, None,
                               ctypes.byref(o))
         if rc != 0:
             raise RuntimeError(f"krylov_solve failed with code {rc}")
-        x = np.zeros(n, dtype=dtype)
+        x = np.zeros(xlen, dtype=dtype)
         lib.krylov_get_x(ws, x.ctypes.data_as(ctypes.c_void_p))
         info = {
             "niter": int(lib.krylov_niter(ws)),
@@ -174,8 +193,8 @@ def native_solve(method, A, b, At=None, x0=None, **opts):
             "elapsed": float(lib.krylov_elapsed_time(ws)),
             "status": lib.krylov_get_status(ws).decode(),
         }
-        if method in ("craig", "craigmr"):
-            y = np.zeros(m, dtype=dtype)
+        if ylen is not None:
+            y = np.zeros(ylen, dtype=dtype)
             if lib.krylov_get_y(ws, y.ctypes.data_as(ctypes.c_void_p)) == 0:
                 info["y"] = y
         return x, info

@@ -323,10 +323,13 @@ void solve_minres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                   : "maximum number of iterations exceeded";
 }
 
+// flexible=true is FGMRES (reference src/fgmres.jl): the per-iteration
+// right-preconditioned vectors Z_k = N*V_k are stored and recombined, so
+// N may change between iterations.
 template <typename T>
 void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
                  int64_t mem, int64_t &iter, bool &solved,
-                 std::string &status) {
+                 std::string &status, bool flexible = false) {
   using R = real_t<T>;
   int64_t n = c.n;
   int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
@@ -353,6 +356,7 @@ void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
     if (beta <= eps) { solved = true; break; }
     V.assign(1, z);
     scal(T(R(1) / beta), V[0]);
+    std::vector<std::vector<T>> Z;
     std::fill(g.begin(), g.end(), T(0));
     g[0] = T(beta);
     int64_t k = 0;
@@ -360,6 +364,7 @@ void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
     for (; k < mem && iter < itmax; ++k) {
       std::vector<T> p(n);
       applyP(c.N, V[k], p);
+      if (flexible) Z.push_back(p);
       matvec(c, p, w);
       applyP(c.M, w, z);
       for (int64_t i = 0; i <= k; ++i) {
@@ -401,10 +406,15 @@ void solve_gmres(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
       y[i] = acc / H[i * mem + i];
     }
     std::vector<T> xr(n, T(0));
-    for (int64_t i = 0; i < k; ++i) axpy(y[i], V[i], xr);
-    std::vector<T> xr2(n);
-    applyP(c.N, xr, xr2);
-    for (int64_t i = 0; i < n; ++i) x[i] += xr2[i];
+    if (flexible) {
+      for (int64_t i = 0; i < k; ++i) axpy(y[i], Z[i], xr);
+      for (int64_t i = 0; i < n; ++i) x[i] += xr[i];
+    } else {
+      for (int64_t i = 0; i < k; ++i) axpy(y[i], V[i], xr);
+      std::vector<T> xr2(n);
+      applyP(c.N, xr, xr2);
+      for (int64_t i = 0; i < n; ++i) x[i] += xr2[i];
+    }
     if (rnorm <= R(c.opt.atol + c.opt.rtol * beta0)) solved = true;
   }
   status = solved ? "solution good enough given atol and rtol"
@@ -708,119 +718,6 @@ void solve_usymqr(const Ctx<T> &c, const std::vector<T> &b,
     status = "found approximate minimum least-squares solution";
   } else if (status == "unknown")
     status = "maximum number of iterations exceeded";
-}
-
-// MINARES: minimizes ‖A rₖ‖ over the Lanczos space (reference
-// src/minares.jl).  Subproblem form: with A V_k = V_{k+1} T_{k+1,k},
-// ‖A r‖ = ‖T_{k+2,k+1}(β₁e₁ − T_{k+1,k} y)‖ — a small banded LS solved
-// per iteration by dense Householder QR (the reference uses a custom
-// recurrence; the subproblem form is algebraically identical).
-template <typename T>
-void solve_minares(const Ctx<T> &c, const std::vector<T> &b,
-                   std::vector<T> &x, int64_t &iter, bool &solved,
-                   std::string &status) {
-  using R = real_t<T>;
-  int64_t n = c.n;
-  int64_t itmax = c.opt.itmax ? c.opt.itmax : 2 * n;
-  R lam = R(c.opt.lambda);
-  x.assign(n, T(0));
-  std::vector<T> v = b, q(n);
-  R beta1 = nrm2(v);
-  if (beta1 == R(0)) { solved = true; status = "x is a zero-residual solution"; iter = 0; return; }
-  scal(T(R(1) / beta1), v);
-  std::vector<std::vector<T>> V{v};
-  std::vector<R> alphas, betas;   // T diag / subdiag (real, Hermitian A)
-  R eps = R(c.opt.atol + c.opt.rtol * beta1);
-  iter = 0;
-  solved = false;
-  std::vector<double> y;
-  R beta_prev = R(0);
-  R Ar0 = -1;
-  while (!solved && iter < itmax) {
-    ++iter;
-    int64_t k = iter;
-    std::vector<T> vc = V[k - 1];
-    matvec(c, vc, q);
-    if (lam != R(0)) axpy(T(lam), V[k - 1], q);
-    if (k >= 2) axpy(T(-beta_prev), V[k - 2], q);
-    R alpha = dotr(V[k - 1], q);
-    axpy(T(-alpha), V[k - 1], q);
-    R beta_n = nrm2(q);
-    alphas.push_back(alpha);
-    betas.push_back(beta_n);
-    beta_prev = beta_n;
-    if (beta_n != R(0)) {
-      std::vector<T> vn = q;
-      scal(T(R(1) / beta_n), vn);
-      V.push_back(vn);
-    } else V.push_back(std::vector<T>(n, T(0)));
-    // Build P = T_{k+2,k+1} * T_{k+1,k} ((k+2) x k, pentadiagonal) and
-    // rhs = beta1 * T_{k+2,k+1} e1; solve the dense LS by Householder.
-    auto Tij = [&](int64_t i, int64_t j) -> R {
-      // T_{rows,cols} entry (i,j), 0-based, tridiagonal
-      if (i == j) return (j < (int64_t)alphas.size()) ? alphas[j] : R(0);
-      if (i == j + 1) return (j < (int64_t)betas.size()) ? betas[j] : R(0);
-      if (j == i + 1) return (i < (int64_t)betas.size()) ? betas[i] : R(0);
-      return R(0);
-    };
-    int64_t rows = k + 2;
-    std::vector<double> P(rows * k, 0.0), rhs(rows, 0.0);
-    for (int64_t i = 0; i < rows; ++i)
-      for (int64_t j = 0; j < k; ++j) {
-        double acc = 0.0;
-        for (int64_t l = std::max<int64_t>(0, j - 1);
-             l <= std::min<int64_t>(k, j + 1); ++l)
-          acc += double(Tij(i, l)) * double(Tij(l, j));
-        P[i * k + j] = acc;
-      }
-    for (int64_t i = 0; i < rows; ++i)
-      rhs[i] = double(beta1) * double(Tij(i, 0));
-    if (Ar0 < 0) {
-      double s0 = 0;
-      for (int64_t i = 0; i < rows; ++i) s0 += rhs[i] * rhs[i];
-      Ar0 = R(std::sqrt(s0));
-    }
-    // Householder QR on (P | rhs)
-    for (int64_t col = 0; col < k; ++col) {
-      double nrm = 0;
-      for (int64_t i = col; i < rows; ++i) nrm += P[i * k + col] * P[i * k + col];
-      nrm = std::sqrt(nrm);
-      if (nrm == 0) continue;
-      double a0 = P[col * k + col];
-      double sign = (a0 >= 0) ? 1.0 : -1.0;
-      std::vector<double> u(rows - col);
-      u[0] = a0 + sign * nrm;
-      for (int64_t i = col + 1; i < rows; ++i) u[i - col] = P[i * k + col];
-      double un = 0;
-      for (double e : u) un += e * e;
-      if (un == 0) continue;
-      for (int64_t j = col; j < k; ++j) {
-        double d = 0;
-        for (int64_t i = col; i < rows; ++i) d += u[i - col] * P[i * k + j];
-        d *= 2.0 / un;
-        for (int64_t i = col; i < rows; ++i) P[i * k + j] -= d * u[i - col];
-      }
-      double d = 0;
-      for (int64_t i = col; i < rows; ++i) d += u[i - col] * rhs[i];
-      d *= 2.0 / un;
-      for (int64_t i = col; i < rows; ++i) rhs[i] -= d * u[i - col];
-    }
-    y.assign(k, 0.0);
-    for (int64_t i = k - 1; i >= 0; --i) {
-      double acc = rhs[i];
-      for (int64_t j = i + 1; j < k; ++j) acc -= P[i * k + j] * y[j];
-      y[i] = (P[i * k + i] != 0) ? acc / P[i * k + i] : 0.0;
-    }
-    double res2 = 0;
-    for (int64_t i = k; i < rows; ++i) res2 += rhs[i] * rhs[i];
-    R ArNorm = R(std::sqrt(res2));
-    solved = ArNorm <= R(c.opt.atol) + R(c.opt.rtol) * Ar0;
-    if (beta_n == R(0)) { solved = true; }
-  }
-  // x = V_k y
-  for (size_t j = 0; j < y.size(); ++j) axpy(T(R(y[j])), V[j], x);
-  status = solved ? "solution good enough given atol and rtol"
-                  : "maximum number of iterations exceeded";
 }
 
 // SYMMLQ: LQ factorization of the Lanczos tridiagonal (Paige-Saunders;
@@ -1612,6 +1509,8 @@ void solve_craig(const Ctx<T> &c, const std::vector<T> &b, std::vector<T> &x,
 // typed workspace + dispatch
 // ---------------------------------------------------------------------------
 
+#include "solvers_extra.inc"
+
 template <typename T>
 struct Workspace : WorkspaceBase {
   std::vector<T> x, y;
@@ -1639,9 +1538,14 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
     const T *cc = static_cast<const T *>(cp);
     cv.assign(cc, cc + w->n);
   }
-  // warm start: solve the shifted system (reference warm-start contract)
-  std::vector<T> x0;
-  if (w->has_warm) {
+  // warm start: solve the shifted system (reference warm-start contract).
+  // Two-output solvers fold (x0, y0) into both right-hand sides with
+  // their own composition (reference tricg/trimr/gpmr/usymlqr/bilqr).
+  std::vector<T> x0, y0;
+  bool two_out = w->solver == KRYLOV_BILQR || w->solver == KRYLOV_TRILQR ||
+                 w->solver == KRYLOV_USYMLQR || w->solver == KRYLOV_TRICG ||
+                 w->solver == KRYLOV_TRIMR || w->solver == KRYLOV_GPMR;
+  if (w->has_warm && !two_out) {
     const T *p = reinterpret_cast<const T *>(w->x0raw.data());
     x0.assign(p, p + w->n);
     std::vector<T> Ax(w->m);
@@ -1649,6 +1553,71 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
     A.apply(xc, Ax);
     for (int64_t i = 0; i < w->m; ++i) bv[i] -= Ax[i];
     w->has_warm = false;
+  } else if (w->has_warm && two_out) {
+    const T *px = reinterpret_cast<const T *>(w->x0raw.data());
+    x0.assign(px, px + (w->solver == KRYLOV_USYMLQR ? w->m : w->n));
+    if (w->has_warm2) {
+      const T *py = reinterpret_cast<const T *>(w->y0raw.data());
+      y0.assign(py, py + (w->solver == KRYLOV_USYMLQR ? w->n : w->m));
+    } else {
+      y0.assign(w->solver == KRYLOV_USYMLQR ? w->n : w->m, T(0));
+    }
+    std::vector<T> t1(w->m), t2(w->n);
+    std::vector<T> xc = x0, yc = y0;
+    switch (w->solver) {
+      case KRYLOV_BILQR:
+      case KRYLOV_TRILQR:
+        // b0 = b - A x0 ; c0 = c - Aᴴ y0
+        A.apply(xc, t1);
+        for (int64_t i = 0; i < w->m; ++i) bv[i] -= t1[i];
+        if (Atf && !cv.empty()) {
+          At.apply(yc, t2);
+          for (int64_t i = 0; i < w->n; ++i) cv[i] -= t2[i];
+        }
+        break;
+      case KRYLOV_TRICG:
+      case KRYLOV_TRIMR: {
+        // b0 = b - A y0 - τ x0 ; c0 = c - Aᴴ x0 - ν y0
+        double tau = (o && !std::isnan(o->tau)) ? o->tau : 1.0;
+        double nu = (o && !std::isnan(o->nu)) ? o->nu : -1.0;
+        A.apply(yc, t1);
+        for (int64_t i = 0; i < w->m; ++i)
+          bv[i] -= t1[i] + T(real_t<T>(tau)) * x0[i];
+        if (Atf && !cv.empty()) {
+          At.apply(xc, t2);
+          for (int64_t i = 0; i < w->n; ++i)
+            cv[i] -= t2[i] + T(real_t<T>(nu)) * y0[i];
+        }
+        break;
+      }
+      case KRYLOV_GPMR: {
+        // b0 = b - A y0 - λ x0 ; c0 = c - B x0 - μ y0 (B in the At slot)
+        double glam = (o && !std::isnan(o->lambda)) ? o->lambda : 1.0;
+        double gmu = (o && !std::isnan(o->nu)) ? o->nu : 1.0;
+        A.apply(yc, t1);
+        for (int64_t i = 0; i < w->m; ++i)
+          bv[i] -= t1[i] + T(real_t<T>(glam)) * x0[i];
+        if (Atf && !cv.empty()) {
+          At.apply(xc, t2);
+          for (int64_t i = 0; i < w->n; ++i)
+            cv[i] -= t2[i] + T(real_t<T>(gmu)) * y0[i];
+        }
+        break;
+      }
+      case KRYLOV_USYMLQR:
+        // b0 = b - x0 - A y0 ; c0 = c - Aᴴ x0
+        A.apply(yc, t1);
+        for (int64_t i = 0; i < w->m; ++i) bv[i] -= x0[i] + t1[i];
+        if (Atf && !cv.empty()) {
+          At.apply(xc, t2);
+          for (int64_t i = 0; i < w->n; ++i) cv[i] -= t2[i];
+        }
+        break;
+      default:
+        break;
+    }
+    w->has_warm = false;
+    w->has_warm2 = false;
   }
   w->status = "unknown";
   int64_t iter = 0;
@@ -1667,14 +1636,69 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       solve_minres(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_MINARES:
-      solve_minares(ctx, bv, w->x, iter, solved, w->status);
+      solve_minares_bounded(ctx, bv, w->x, iter, solved, w->status);
       break;
+    case KRYLOV_MINRES_QLP:
+      solve_minres_qlp(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_DIOM:
+      solve_diom(ctx, bv, w->x, w->memory, iter, solved, w->status);
+      break;
+    case KRYLOV_DQGMRES:
+      solve_dqgmres(ctx, bv, w->x, w->memory, iter, solved, w->status);
+      break;
+    case KRYLOV_LSLQ:
+      if (!ctx.At) return 2;
+      solve_lslq(ctx, bv, w->x, iter, solved, w->status);
+      break;
+    case KRYLOV_LNLQ:
+      if (!ctx.At) return 2;
+      solve_lnlq(ctx, bv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_BILQR:
+      if (!ctx.At) return 2;
+      if (!cp) return 4;
+      solve_bilqr(ctx, bv, cv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_TRILQR:
+      if (!ctx.At) return 2;
+      if (!cp) return 4;
+      solve_trilqr(ctx, bv, cv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_USYMLQR:
+      if (!ctx.At) return 2;
+      if (!cp) return 4;
+      solve_usymlqr(ctx, bv, cv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_TRICG:
+      if (!ctx.At) return 2;
+      if (!cp) return 4;
+      solve_tricg(ctx, bv, cv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_TRIMR:
+      if (!ctx.At) return 2;
+      if (!cp) return 4;
+      solve_trimr(ctx, bv, cv, w->x, w->y, iter, solved, w->status);
+      break;
+    case KRYLOV_GPMR: {
+      if (!ctx.At) return 2;  // At slot carries the second operator B
+      if (!cp) return 4;
+      // GPMR block scalars: λ via opts.lambda (NaN → 1), μ via opts.nu
+      // (NaN → 1) — defaults match reference gpmr λ=μ=1.
+      double glam = (o && !std::isnan(o->lambda)) ? o->lambda : 1.0;
+      double gmu = (o && !std::isnan(o->nu)) ? o->nu : 1.0;
+      solve_gpmr(ctx, bv, cv, w->x, w->y, glam, gmu, iter, solved,
+                 w->status);
+      break;
+    }
     case KRYLOV_SYMMLQ:
       solve_symmlq(ctx, bv, w->x, iter, solved, w->status);
       break;
     case KRYLOV_GMRES:
-    case KRYLOV_FGMRES:
       solve_gmres(ctx, bv, w->x, w->memory, iter, solved, w->status);
+      break;
+    case KRYLOV_FGMRES:
+      solve_gmres(ctx, bv, w->x, w->memory, iter, solved, w->status, true);
       break;
     case KRYLOV_FOM:
       solve_fom(ctx, bv, w->x, w->memory, iter, solved, w->status);
@@ -1740,7 +1764,9 @@ int do_solve(Workspace<T> *w, krylov_matvec Af, krylov_matvec Atf,
       return 3; /* not implemented */
   }
   if (!x0.empty())
-    for (int64_t i = 0; i < w->n; ++i) w->x[i] += x0[i];
+    for (size_t i = 0; i < x0.size() && i < w->x.size(); ++i) w->x[i] += x0[i];
+  if (!y0.empty())
+    for (size_t i = 0; i < y0.size() && i < w->y.size(); ++i) w->y[i] += y0[i];
   w->niter = iter;
   w->solved = solved;
   w->elapsed =
@@ -1767,6 +1793,84 @@ size_t dtype_size(krylov_dtype dt) {
   }
   return 8;
 }
+
+// ---- block family: real block Krylov methods over the callback SpMM ----
+
+struct BlockWorkspaceBase {
+  krylov_block_solver solver;
+  krylov_dtype dtype;
+  int64_t m, n, p, memory;
+  int64_t niter = 0;
+  bool solved = false;
+  double elapsed = 0.0;
+  std::string status = "unknown";
+  bool has_warm = false;
+  std::vector<unsigned char> X0raw;
+  virtual ~BlockWorkspaceBase() = default;
+};
+
+template <typename T>
+struct BlockWorkspaceT : BlockWorkspaceBase {
+  std::vector<T> X;   // column-major n×p
+};
+
+template <typename T>
+int do_block_solve(BlockWorkspaceT<T> *w, krylov_block_matvec Af,
+                   const void *Bp, const void *ud,
+                   const krylov_options *opts) {
+  using R = real_t<T>;
+  auto t0 = std::chrono::steady_clock::now();
+  const int64_t n = w->n;
+  const int64_t p = w->p;
+  const T *B = static_cast<const T *>(Bp);
+  std::vector<T> Bv(B, B + n * p);
+  Options o = decode<T>(opts);
+  // warm start: solve the residual system, shift back.
+  std::vector<T> X0;
+  if (w->has_warm) {
+    const T *x0 = reinterpret_cast<const T *>(w->X0raw.data());
+    X0.assign(x0, x0 + n * p);
+    std::vector<T> AX(n * p);
+    std::vector<T> xc = X0;
+    Af(ud, xc.data(), int(p), AX.data());
+    for (int64_t i = 0; i < n * p; ++i) Bv[i] -= AX[i];
+    w->has_warm = false;
+  }
+  int64_t iter = 0;
+  bool solved = false;
+  std::string status;
+  switch (w->solver) {
+    case KRYLOV_BLOCK_GMRES:
+      solve_block_gmres(Af, ud, Bv, w->X, n, p, w->memory, o.atol, o.rtol,
+                        o.itmax, iter, solved, status);
+      break;
+    case KRYLOV_BLOCK_MINRES:
+      solve_block_minres(Af, ud, Bv, w->X, n, p, o.atol, o.rtol, o.itmax,
+                         iter, solved, status);
+      break;
+    default:
+      return 3;
+  }
+  if (!X0.empty())
+    for (int64_t i = 0; i < n * p; ++i) w->X[i] += X0[i];
+  w->niter = iter;
+  w->solved = solved;
+  w->status = status;
+  w->elapsed =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count();
+  return 0;
+}
+
+
+template <typename T>
+int block_get(BlockWorkspaceBase *w, void *X) {
+  auto *tw = static_cast<BlockWorkspaceT<T> *>(w);
+  if (tw->X.empty()) return 1;
+  std::memcpy(X, tw->X.data(), tw->X.size() * sizeof(T));
+  return 0;
+}
+
 
 }  // namespace
 
@@ -1929,25 +2033,19 @@ int krylov_warm_start2(krylov_workspace_t ws, const void *x0, const void *y0) {
   return 0;
 }
 
-// ---- block family: block GMRES over callback SpMM ----
-
-struct BlockWorkspace {
-  krylov_solver solver;
-  krylov_dtype dtype;
-  int64_t m, n, p, memory;
-  int64_t niter = 0;
-  bool solved = false;
-  double elapsed = 0.0;
-  std::vector<double> X;  // column-major n×p (float64 only for now)
-  std::vector<double> X0;
-  bool has_warm = false;
-};
-
 krylov_block_workspace_t krylov_block_workspace_create(
-    krylov_solver solver, krylov_dtype dtype, int64_t m, int64_t n, int64_t p,
-    const krylov_workspace_options *o) {
-  if (dtype != KRYLOV_FLOAT64) return nullptr;  // f64 block path
-  auto *w = new BlockWorkspace();
+    krylov_block_solver solver, krylov_dtype dtype, int64_t m, int64_t n,
+    int64_t p, const krylov_workspace_options *o) {
+  if (solver != KRYLOV_BLOCK_GMRES && solver != KRYLOV_BLOCK_MINRES)
+    return nullptr;
+  BlockWorkspaceBase *w = nullptr;
+  switch (dtype) {
+    case KRYLOV_FLOAT32: w = new BlockWorkspaceT<float>(); break;
+    case KRYLOV_FLOAT64: w = new BlockWorkspaceT<double>(); break;
+    case KRYLOV_COMPLEX32: w = new BlockWorkspaceT<std::complex<float>>(); break;
+    case KRYLOV_COMPLEX64: w = new BlockWorkspaceT<std::complex<double>>(); break;
+    default: return nullptr;
+  }
   w->solver = solver;
   w->dtype = dtype;
   w->m = m;
@@ -1958,93 +2056,68 @@ krylov_block_workspace_t krylov_block_workspace_create(
 }
 
 void krylov_block_workspace_free(krylov_block_workspace_t ws) {
-  delete static_cast<BlockWorkspace *>(ws);
+  delete static_cast<BlockWorkspaceBase *>(ws);
 }
 
 int krylov_block_solve(krylov_block_workspace_t ws, krylov_block_matvec A,
                        const void *Bp, const void *ud,
                        const krylov_options *opts) {
-  auto *w = static_cast<BlockWorkspace *>(ws);
+  auto *w = static_cast<BlockWorkspaceBase *>(ws);
   if (!w || !A || !Bp) return 1;
-  auto t0 = std::chrono::steady_clock::now();
-  int64_t n = w->n;
-  int p = static_cast<int>(w->p);
-  const double *B = static_cast<const double *>(Bp);
-  Options o = decode<double>(opts);
-  int64_t itmax = o.itmax ? o.itmax : 2 * std::max<int64_t>(n / p, 1);
-  // Solve column-by-column with GMRES through the block callback
-  // (functional block path: convergence of every RHS).
-  w->X.assign(n * p, 0.0);
-  if (w->has_warm) { w->X = w->X0; w->has_warm = false; }
-  w->solved = true;
-  w->niter = 0;
-  for (int j = 0; j < p; ++j) {
-    // wrap the block matvec as a single-vector matvec with column j
-    struct Shim {
-      krylov_block_matvec f;
-      const void *ud;
-      int64_t n;
-      int p;
-    } shim{A, ud, n, p};
-    auto mv = [](const void *sd, void *x, void *y) {
-      const Shim *s = static_cast<const Shim *>(sd);
-      std::vector<double> X(s->n * s->p, 0.0), Y(s->n * s->p, 0.0);
-      std::memcpy(X.data(), x, s->n * sizeof(double));
-      s->f(s->ud, X.data(), s->p, Y.data());
-      std::memcpy(y, Y.data(), s->n * sizeof(double));
-    };
-    Ctx<double> ctx;
-    Op<double> Aop{mv, &shim};
-    ctx.A = &Aop;
-    ctx.At = nullptr;
-    ctx.M = nullptr;
-    ctx.N = nullptr;
-    ctx.opt = o;
-    ctx.opt.itmax = itmax;
-    ctx.m = n;
-    ctx.n = n;
-    std::vector<double> bj(B + j * n, B + (j + 1) * n), xj;
-    int64_t it = 0;
-    bool sv = false;
-    std::string st;
-    solve_gmres(ctx, bj, xj, w->memory > 0 ? 20 : 20, it, sv, st);
-    std::memcpy(w->X.data() + j * n, xj.data(), n * sizeof(double));
-    w->niter = std::max(w->niter, it);
-    w->solved = w->solved && sv;
+  switch (w->dtype) {
+    case KRYLOV_FLOAT32:
+      return do_block_solve(static_cast<BlockWorkspaceT<float> *>(w), A, Bp,
+                            ud, opts);
+    case KRYLOV_FLOAT64:
+      return do_block_solve(static_cast<BlockWorkspaceT<double> *>(w), A, Bp,
+                            ud, opts);
+    case KRYLOV_COMPLEX32:
+      return do_block_solve(
+          static_cast<BlockWorkspaceT<std::complex<float>> *>(w), A, Bp, ud,
+          opts);
+    case KRYLOV_COMPLEX64:
+      return do_block_solve(
+          static_cast<BlockWorkspaceT<std::complex<double>> *>(w), A, Bp, ud,
+          opts);
+    default:
+      return 1;
   }
-  w->elapsed =
-      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
-          .count();
-  return 0;
 }
 
 int krylov_block_get_x(krylov_block_workspace_t ws, void *X) {
-  auto *w = static_cast<BlockWorkspace *>(ws);
-  if (!w || w->X.empty()) return 1;
-  std::memcpy(X, w->X.data(), w->X.size() * sizeof(double));
-  return 0;
+  auto *w = static_cast<BlockWorkspaceBase *>(ws);
+  if (!w || !X) return 1;
+  switch (w->dtype) {
+    case KRYLOV_FLOAT32: return block_get<float>(w, X);
+    case KRYLOV_FLOAT64: return block_get<double>(w, X);
+    case KRYLOV_COMPLEX32: return block_get<std::complex<float>>(w, X);
+    case KRYLOV_COMPLEX64: return block_get<std::complex<double>>(w, X);
+    default: return 1;
+  }
 }
 
 int krylov_block_is_solved(krylov_block_workspace_t ws) {
-  auto *w = static_cast<BlockWorkspace *>(ws);
+  auto *w = static_cast<BlockWorkspaceBase *>(ws);
   return w && w->solved ? 1 : 0;
 }
 
 int64_t krylov_block_niter(krylov_block_workspace_t ws) {
-  auto *w = static_cast<BlockWorkspace *>(ws);
+  auto *w = static_cast<BlockWorkspaceBase *>(ws);
   return w ? w->niter : -1;
 }
 
 double krylov_block_elapsed_time(krylov_block_workspace_t ws) {
-  auto *w = static_cast<BlockWorkspace *>(ws);
+  auto *w = static_cast<BlockWorkspaceBase *>(ws);
   return w ? w->elapsed : -1.0;
 }
 
 int krylov_block_warm_start(krylov_block_workspace_t ws, const void *X0) {
-  auto *w = static_cast<BlockWorkspace *>(ws);
+  auto *w = static_cast<BlockWorkspaceBase *>(ws);
   if (!w || !X0) return 1;
-  const double *p = static_cast<const double *>(X0);
-  w->X0.assign(p, p + w->n * w->p);
+  size_t bytes = dtype_size(w->dtype) *
+                 static_cast<size_t>(w->n) * static_cast<size_t>(w->p);
+  w->X0raw.assign(static_cast<const unsigned char *>(X0),
+                  static_cast<const unsigned char *>(X0) + bytes);
   w->has_warm = true;
   return 0;
 }

@@ -248,7 +248,7 @@ int main(void) {
     double B[N * p], X[N * p];
     for (int i = 0; i < N * p; ++i) B[i] = (i < N) ? 1.0 : 0.5;
     krylov_block_workspace_t ws = krylov_block_workspace_create(
-        KRYLOV_GMRES, KRYLOV_FLOAT64, N, N, p, NULL);
+        KRYLOV_BLOCK_GMRES, KRYLOV_FLOAT64, N, N, p, NULL);
     CHECK(ws != NULL, "block ws");
     int rc = krylov_block_solve(ws, block_matvec, B, NULL, &opts);
     CHECK(rc == 0, "block solve rc");

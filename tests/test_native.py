@@ -160,3 +160,145 @@ class TestNativeDistinctKernels:
         x, info = native.native_solve("minares", A, b, atol=1e-9, rtol=1e-9)
         assert info["solved"]
         assert np.linalg.norm(A @ (b - A @ x)) <= 1e-4
+
+
+class TestNativeRound2Kernels:
+    """The 11 solvers added in round 2, each through the ctypes bridge."""
+
+    def _sid(self, n=50, seed=0):
+        # indefinite but safely nonsingular spectrum (no eigenvalue at 0)
+        rng = np.random.default_rng(seed)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.concatenate([np.linspace(-3, -1, 20), np.linspace(1, 5, n - 20)])
+        return Q @ np.diag(d) @ Q.T, rng.standard_normal(n)
+
+    def test_minres_qlp(self):
+        A, b = self._sid()
+        x, info = native.native_solve("minres_qlp", A, b, atol=1e-10,
+                                      rtol=1e-10)
+        assert info["solved"], info["status"]
+        assert np.linalg.norm(A @ x - b) <= 1e-6
+
+    def test_minres_qlp_singular_min_norm(self):
+        # singular consistent system: minimum-norm solution
+        rng = np.random.default_rng(7)
+        n, r = 40, 30
+        U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.concatenate([np.linspace(1, 4, r), np.zeros(n - r)])
+        A = U @ np.diag(d) @ U.T
+        b = A @ rng.standard_normal(n)
+        x, info = native.native_solve("minres_qlp", A, b, atol=1e-10,
+                                      rtol=1e-10)
+        xm = np.linalg.pinv(A) @ b
+        assert np.linalg.norm(x - xm) <= 1e-5
+
+    @pytest.mark.parametrize("method", ["diom", "dqgmres"])
+    def test_truncated(self, method):
+        rng = np.random.default_rng(11)
+        n = 50
+        A = rng.standard_normal((n, n)) + n * np.eye(n)
+        b = rng.standard_normal(n)
+        x, info = native.native_solve(method, A, b, atol=1e-9, rtol=1e-9)
+        assert info["solved"], (method, info["status"])
+        assert np.linalg.norm(A @ x - b) <= 1e-5
+
+    def test_lslq(self):
+        rng = np.random.default_rng(13)
+        A = rng.standard_normal((60, 35))
+        b = rng.standard_normal(60)
+        x, info = native.native_solve("lslq", A, b, atol=1e-10, rtol=1e-10)
+        assert np.linalg.norm(A.T @ (b - A @ x)) <= 1e-5
+
+    def test_lnlq_min_norm(self):
+        rng = np.random.default_rng(17)
+        A = rng.standard_normal((25, 60))
+        b = A @ rng.standard_normal(60)
+        x, info = native.native_solve("lnlq", A, b, atol=1e-11, rtol=1e-11)
+        xm = A.T @ np.linalg.solve(A @ A.T, b)
+        assert np.linalg.norm(x - xm) <= 1e-6
+        assert "y" in info
+        assert np.linalg.norm(x - A.T @ info["y"]) <= 1e-8
+
+    def test_bilqr_adjoint_pair(self):
+        rng = np.random.default_rng(19)
+        n = 40
+        A = rng.standard_normal((n, n)) + n * np.eye(n)
+        b = rng.standard_normal(n)
+        cvec = rng.standard_normal(n)
+        x, info = native.native_solve("bilqr", A, b, c=cvec, atol=1e-10,
+                                      rtol=1e-10)
+        assert np.linalg.norm(A @ x - b) <= 1e-5
+        assert np.linalg.norm(A.T @ info["y"] - cvec) <= 1e-5
+
+    def test_trilqr_rectangular(self):
+        rng = np.random.default_rng(23)
+        m, n = 50, 30
+        A = rng.standard_normal((m, n))
+        xstar = rng.standard_normal(n)
+        b = A @ xstar                      # consistent primal
+        cvec = rng.standard_normal(n)      # dual A'y = c (A' wide, consistent)
+        x, info = native.native_solve("trilqr", A, b, c=cvec, atol=1e-10,
+                                      rtol=1e-10)
+        assert np.linalg.norm(A.T @ info["y"] - cvec) <= 1e-5
+
+    def test_usymlqr_saddle(self):
+        # well-conditioned structured A: the SSY recurrence loses accuracy
+        # quickly on random dense systems (drifts past ~m/2 steps even in
+        # the JAX layer), so test on the bidiagonal operator family.
+        rng = np.random.default_rng(29)
+        m, n = 40, 25
+        A = np.zeros((m, n))
+        for i in range(m):
+            if i < n:
+                A[i, i] = 2.0 + 0.02 * i
+            if 0 <= i - 1 < n:
+                A[i, i - 1] = 0.5
+        b = rng.standard_normal(m)
+        cvec = rng.standard_normal(n)
+        x, info = native.native_solve("usymlqr", A, b, c=cvec, itmax=30)
+        y = info["y"]
+        top = b - (x + A @ y)
+        bot = cvec - A.T @ x
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        assert rr <= 1e-4 * np.sqrt(np.linalg.norm(b) ** 2
+                                    + np.linalg.norm(cvec) ** 2)
+
+    @pytest.mark.parametrize("method", ["tricg", "trimr"])
+    def test_saddle_point(self, method):
+        rng = np.random.default_rng(31)
+        m, n = 45, 30
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        cvec = rng.standard_normal(n)
+        x, info = native.native_solve(method, A, b, c=cvec, atol=1e-10,
+                                      rtol=1e-10)
+        y = info["y"]
+        top = b - (x + A @ y)              # tau=1
+        bot = cvec - (A.T @ x - y)         # nu=-1
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        assert rr <= 1e-6 * np.sqrt(np.linalg.norm(b) ** 2
+                                    + np.linalg.norm(cvec) ** 2), method
+
+    def test_gpmr_partitioned(self):
+        rng = np.random.default_rng(37)
+        m, n = 40, 28
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        cvec = rng.standard_normal(n)
+        # B = A' flows through the At slot
+        x, info = native.native_solve("gpmr", A, b, c=cvec, atol=1e-10,
+                                      rtol=1e-10)
+        y = info["y"]
+        top = b - (x + A @ y)              # lambda=1
+        bot = cvec - (A.T @ x + y)         # mu=1
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        assert rr <= 1e-6 * np.sqrt(np.linalg.norm(b) ** 2
+                                    + np.linalg.norm(cvec) ** 2)
+
+    def test_minares_bounded_memory(self):
+        # indefinite system: old (basis-hoarding) kernel replaced; the
+        # bounded kernel must still minimize ||A r||.
+        A, b = self._sid(seed=41)
+        x, info = native.native_solve("minares", A, b, atol=1e-9, rtol=1e-9)
+        assert info["solved"], info["status"]
+        assert np.linalg.norm(A @ (b - A @ x)) <= 1e-5
