@@ -81,26 +81,44 @@ def shard_csr_rows(csr, mesh, axis="rows"):
 def sharded_csr_matvec(csr, mesh, axis="rows"):
     """Build y = A x for a row-partitioned CSR over the mesh.
 
-    Returns a jittable closure: each device computes its row block with
-    a local segment-sum SpMV against an `all_gather`ed x (SURVEY.md §2.5
-    row-partition plan; the all-gather rides ICI).  Local blocks are
-    padded to a common nnz so the shard_map body is shape-uniform.
+    Each device computes its row block with a local segment-sum SpMV.
+    Off-block column references are served by a *structural halo*: the
+    widest column excursion outside any local row block determines a halo
+    width, and only the neighbouring devices' edge values are exchanged
+    with `ppermute` (O(halo) traffic over ICI, independent of n).  When
+    the sparsity couples rows to columns further than one block away —
+    no neighbour exchange can serve it — the matvec falls back to an
+    `all_gather` of x (O(n) replicated traffic) and says so in the
+    closure's ``halo`` attribute.  Local blocks are padded to a common
+    nnz so the shard_map body is shape-uniform.
     """
-    from jax.experimental.shard_map import shard_map
     parts, rows_loc = shard_csr_rows(csr, mesh, axis)
     nnz_max = max(len(p[0]) for p in parts)
-    m = csr.shape[0]
+    nd = mesh.devices.size
 
-    def pad(p):
+    # structural halo: furthest column reference outside each row block
+    halo = 0
+    for d, (_, idx_, _) in enumerate(parts):
+        if len(idx_):
+            lo, hi = d * rows_loc, (d + 1) * rows_loc
+            halo = max(halo, int(max(0, lo - idx_.min())),
+                       int(max(0, idx_.max() - (hi - 1))))
+    local = halo <= rows_loc and nd > 1
+    if nd == 1:
+        halo = 0
+        local = True
+
+    def pad(p, d):
         data, idx, ptr = p
         k = nnz_max - len(data)
-        # padded entries: weight 0 against column 0, attributed to the
-        # last local row so segment ids stay sorted.
+        if local:
+            # columns relative to the extended block [lo-halo, hi+halo)
+            idx = idx - (d * rows_loc - halo)
         return (np.pad(data, (0, k)),
                 np.pad(idx, (0, k)),
                 np.concatenate([ptr[:-1], [nnz_max]]))
 
-    padded = [pad(p) for p in parts]
+    padded = [pad(p, d) for d, p in enumerate(parts)]
     data = jnp.asarray(np.stack([p[0] for p in padded]))
     idx = jnp.asarray(np.stack([p[1] for p in padded]))
     ptr = jnp.asarray(np.stack([p[2] for p in padded]))
@@ -110,14 +128,27 @@ def sharded_csr_matvec(csr, mesh, axis="rows"):
     ptr = jax.device_put(ptr, sh2)
 
     def body(data_blk, idx_blk, ptr_blk, x_blk):
-        xg = jax.lax.all_gather(x_blk, axis).reshape(-1)
         d, ix, pt = data_blk[0], idx_blk[0], ptr_blk[0]
+        if local:
+            if halo > 0:
+                i = jax.lax.axis_index(axis)
+                to_left = [(r, (r - 1) % nd) for r in range(nd)]
+                to_right = [(r, (r + 1) % nd) for r in range(nd)]
+                from_right = jax.lax.ppermute(x_blk[:halo], axis, to_left)
+                from_left = jax.lax.ppermute(x_blk[-halo:], axis, to_right)
+                from_right = jnp.where(i == nd - 1, 0, from_right)
+                from_left = jnp.where(i == 0, 0, from_left)
+                xg = jnp.concatenate([from_left, x_blk, from_right])
+            else:
+                xg = x_blk
+        else:
+            xg = jax.lax.all_gather(x_blk, axis).reshape(-1)
         seg = jnp.searchsorted(pt[1:], jnp.arange(d.shape[0]), side="right")
         y = jax.ops.segment_sum(d * xg[ix], seg, num_segments=rows_loc,
                                 indices_are_sorted=True)
         return y
 
-    fn = shard_map(
+    fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
         out_specs=P(axis))
@@ -125,6 +156,7 @@ def sharded_csr_matvec(csr, mesh, axis="rows"):
     def matvec(x):
         return fn(data, idx, ptr, x)
 
+    matvec.halo = halo if local else None   # None = all-gather fallback
     return matvec
 
 

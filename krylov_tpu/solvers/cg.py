@@ -160,7 +160,7 @@ def _cg_core(
         if linesearch or use_radius:
             npc_dir = jnp.where(npc_hit, s.p, s.npc_dir)
         indefinite = s.indefinite | npc_hit
-        npc_count = jnp.where(npc_hit, jnp.int32(1), s.npc_count)
+        npc_count = jnp.where(npc_hit, s.npc_count + 1, s.npc_count)
         inconsistent = s.inconsistent | (zero_curv & (not linesearch))
 
         iter_new = jnp.where(skip, s.iter, s.iter + 1)
