@@ -319,9 +319,7 @@ def _gpmr_solve(
     k2 = 2 * niter
     R = np.asarray(state.R)
     zt = np.asarray(state.zt).copy()
-    btol = float(np.finfo(np.dtype(np.asarray(b).dtype).name
-                          if not np.iscomplexobj(np.asarray(b))
-                          else np.float64).eps) ** 0.75
+    btol = float(jnp.finfo(real_dtype(b.dtype)).eps) ** 0.75
     inconsistent = False
     for i in range(k2 - 1, -1, -1):
         acc = zt[i]

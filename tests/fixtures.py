@@ -511,3 +511,205 @@ def cartesian_poisson(n=50, m=50, FC=np.float64):
     f = lambda x, y: -2.0 * np.pi**2 * np.sin(np.pi * x) * np.sin(np.pi * y)
     A, b, c = PDE(n, m, f, lambda x, y: 0.0, [1.0, 1.0, 0.0, 0.0, 0.0])
     return to_csr(A, dtype=FC), b.astype(FC)
+
+
+# ---------------------------------------------------------------------------
+# Universal per-method driver: solve ANY of the 39 METHOD_TABLE entries on
+# a small well-conditioned problem in a given dtype.  Shared by the full
+# mixed-precision sweep (reference test/test_mp.jl) and the storage /
+# no-retrace contract tests.
+# ---------------------------------------------------------------------------
+
+SPD_METHODS = ("cg", "cr", "car", "cg_lanczos", "symmlq", "minres",
+               "minres_qlp", "minares")
+NONSYM_METHODS = ("cgs", "bicgstab", "bilq", "qmr", "fom", "gmres", "fgmres",
+                  "diom", "dqgmres")
+USYM_METHODS = ("usymlq", "usymqr")
+LS_METHODS = ("lsqr", "lsmr", "lslq", "cgls", "crls")
+LN_METHODS = ("cgne", "crmr", "lnlq", "craig", "craigmr")
+TWO_OUT_SQ = ("bilqr",)
+RECT_PAIR = ("trilqr", "usymlqr", "tricg", "trimr")
+ALL_METHODS = (SPD_METHODS + ("cg_lanczos_shift",) + NONSYM_METHODS
+               + USYM_METHODS + LS_METHODS + ("cgls_lanczos_shift",)
+               + LN_METHODS + TWO_OUT_SQ + RECT_PAIR
+               + ("gpmr", "block_minres", "block_gmres"))
+
+
+def _mk(dtype, arr):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(arr), dtype=dtype)
+
+
+def drive_method(method, dtype, n=10, m=14, **kw):
+    """Solve `method` on a small fixture in `dtype`.
+
+    Returns (relative_residual: float, stats, extras: dict) where the
+    residual is the natural optimality measure of the family (true
+    residual, normal equations, saddle residual, ...), computed in f64.
+    """
+    import jax.numpy as jnp
+    import krylov_tpu as kt
+
+    is_cplx = np.dtype(dtype) in (np.dtype(np.complex64),
+                                  np.dtype(np.complex128))
+    rng = np.random.default_rng(42)
+
+    def spd(k):
+        A = np.diag(4.0 * np.ones(k)) + np.diag(-np.ones(k - 1), 1) \
+            + np.diag(-np.ones(k - 1), -1)
+        if is_cplx:
+            A = A.astype(np.complex128)
+            od = (0.5 + 0.25j) * np.ones(k - 1)
+            A += np.diag(od, 1) + np.diag(od.conj(), -1)
+        return A
+
+    def nonsym(k):
+        A = np.diag(4.0 * np.ones(k)) + np.diag(-2.0 * np.ones(k - 1), -1) \
+            + np.diag(-np.ones(k - 1), 1)
+        if is_cplx:
+            A = A.astype(np.complex128) + 0.3j * np.diag(np.ones(k))
+        return A
+
+    def tall(mm, nn):
+        A = np.zeros((mm, nn))
+        for i in range(mm):
+            if i < nn:
+                A[i, i] = 2.0 + 0.05 * i
+            if 0 <= i - 1 < nn:
+                A[i, i - 1] = 0.5
+        if is_cplx:
+            A = A.astype(np.complex128)
+            A[0, 0] += 0.25j
+        return A
+
+    def f64(v):
+        return np.asarray(v, dtype=np.complex128 if is_cplx else np.float64)
+
+    if method in SPD_METHODS:
+        A = spd(n)
+        b = A @ np.ones(n)
+        x, stats = kt.krylov_solve(method, _mk(dtype, A), _mk(dtype, b), **kw)
+        r = f64(b) - f64(A) @ f64(x)
+        return float(np.linalg.norm(r) / np.linalg.norm(b)), stats, {"x": x}
+
+    if method == "cg_lanczos_shift":
+        A = spd(n)
+        b = A @ np.ones(n)
+        shifts = [0.0, 0.5]
+        x, stats = kt.cg_lanczos_shift(_mk(dtype, A), _mk(dtype, b), shifts,
+                                       **kw)
+        r = f64(b) - (f64(A) + 0.5 * np.eye(n)) @ f64(x[1])
+        return float(np.linalg.norm(r) / np.linalg.norm(b)), stats, {"x": x}
+
+    if method in NONSYM_METHODS:
+        A = nonsym(n)
+        b = A @ np.ones(n)
+        x, stats = kt.krylov_solve(method, _mk(dtype, A), _mk(dtype, b), **kw)
+        r = f64(b) - f64(A) @ f64(x)
+        return float(np.linalg.norm(r) / np.linalg.norm(b)), stats, {"x": x}
+
+    if method in USYM_METHODS:
+        A = nonsym(n)
+        b = A @ np.ones(n)
+        c = b + 0.1 * rng.standard_normal(n)
+        x, stats = kt.krylov_solve(method, _mk(dtype, A), _mk(dtype, b),
+                                   c=_mk(dtype, c), **kw)
+        r = f64(b) - f64(A) @ f64(x)
+        return float(np.linalg.norm(r) / np.linalg.norm(b)), stats, {"x": x}
+
+    if method in LS_METHODS or method == "cgls_lanczos_shift":
+        A = tall(m, n)
+        b = A @ np.ones(n) + 0.01 * np.concatenate(
+            [np.zeros(n), np.ones(m - n)])
+        if method == "cgls_lanczos_shift":
+            x, stats = kt.cgls_lanczos_shift(_mk(dtype, A), _mk(dtype, b),
+                                             [0.0, 0.1], **kw)
+            xx = f64(x[0])
+        else:
+            x, stats = kt.krylov_solve(method, _mk(dtype, A), _mk(dtype, b),
+                                       **kw)
+            xx = f64(x)
+        Ar = f64(A).conj().T @ (f64(b) - f64(A) @ xx)
+        return float(np.linalg.norm(Ar) / np.linalg.norm(b)), stats, {"x": x}
+
+    if method in LN_METHODS:
+        A = tall(m, n).conj().T          # wide n×m
+        b = A @ np.ones(m)
+        out = kt.krylov_solve(method, _mk(dtype, A), _mk(dtype, b), **kw)
+        if len(out) == 3:
+            x, y, stats = out
+        else:
+            x, stats = out
+        r = f64(b) - f64(A) @ f64(x)
+        return float(np.linalg.norm(r) / np.linalg.norm(b)), stats, {"x": x}
+
+    if method in TWO_OUT_SQ:
+        A = nonsym(n)
+        b = A @ np.ones(n)
+        c = A.conj().T @ np.ones(n)
+        x, y, stats = kt.bilqr(_mk(dtype, A), _mk(dtype, b), _mk(dtype, c),
+                               **kw)
+        r = f64(b) - f64(A) @ f64(x)
+        s = f64(c) - f64(A).conj().T @ f64(y)
+        rr = np.sqrt(np.linalg.norm(r) ** 2 + np.linalg.norm(s) ** 2)
+        return float(rr / np.linalg.norm(b)), stats, {"x": x, "y": y}
+
+    if method in RECT_PAIR:
+        A = tall(m, n)
+        if method == "trilqr":
+            b = A @ np.ones(n)
+            c = rng.standard_normal(n)
+            x, y, stats = kt.trilqr(_mk(dtype, A), _mk(dtype, b),
+                                    _mk(dtype, c), **kw)
+            s = f64(c) - f64(A).conj().T @ f64(y)
+            return float(np.linalg.norm(s) / np.linalg.norm(c)), stats, \
+                {"x": x, "y": y}
+        if method == "usymlqr":
+            # both subproblems consistent: the LS sweep's residual stop
+            # needs b ∈ range(A) and the LN sweep needs c ∈ range(Aᴴ)
+            xs = 0.1 * rng.standard_normal(m)
+            ys = rng.standard_normal(n)
+            b = np.asarray(A @ ys)
+            c = np.asarray(A.conj().T @ xs)
+            x, y, stats = kt.usymlqr(_mk(dtype, A), _mk(dtype, b),
+                                     _mk(dtype, c), **kw)
+            top = f64(b) - (f64(x) + f64(A) @ f64(y))
+            bot = f64(c) - f64(A).conj().T @ f64(x)
+            rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+            return float(rr / np.linalg.norm(b)), stats, {"x": x, "y": y}
+        # tricg / trimr on [I A; Aᴴ -I]; ‖A‖ < 1 keeps the orthogonal
+        # tridiagonalization well-behaved at every precision (the short
+        # recurrence drifts past the breakdown point otherwise — the
+        # reference's sqd fixtures are scaled the same way).
+        A = 0.3 * A
+        b = rng.standard_normal(m)
+        c = rng.standard_normal(n)
+        fn = kt.tricg if method == "tricg" else kt.trimr
+        x, y, stats = fn(_mk(dtype, A), _mk(dtype, b), _mk(dtype, c), **kw)
+        top = f64(b) - (f64(x) + f64(A) @ f64(y))
+        bot = f64(c) - (f64(A).conj().T @ f64(x) - f64(y))
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        return float(rr / np.linalg.norm(b)), stats, {"x": x, "y": y}
+
+    if method == "gpmr":
+        A = tall(m, n)
+        B = A.conj().T
+        b = rng.standard_normal(m)
+        c = rng.standard_normal(n)
+        x, y, stats = kt.gpmr(_mk(dtype, A), _mk(dtype, B), _mk(dtype, b),
+                              _mk(dtype, c), **kw)
+        top = f64(b) - (f64(x) + f64(A) @ f64(y))
+        bot = f64(c) - (f64(B) @ f64(x) + f64(y))
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        return float(rr / np.linalg.norm(b)), stats, {"x": x, "y": y}
+
+    if method in ("block_minres", "block_gmres"):
+        p = 2
+        A = spd(n) if method == "block_minres" else nonsym(n)
+        Bm = A @ np.ones((n, p))
+        fn = kt.block_minres if method == "block_minres" else kt.block_gmres
+        X, stats = fn(_mk(dtype, A), _mk(dtype, Bm), **kw)
+        R = f64(Bm) - f64(A) @ f64(X)
+        return float(np.linalg.norm(R) / np.linalg.norm(Bm)), stats, {"x": X}
+
+    raise ValueError(f"unknown method {method}")
