@@ -120,3 +120,90 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         interpret=interpret,
     )(xw, xw, xw, pdw, )
     return y.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("offsets", "K", "interpret"))
+def dia_power_pallas(pd, offsets, x, K, interpret=None):
+    """y = Aᴷ x with x/y VMEM-resident and the diagonals streamed from HBM.
+
+    Sustained stencil-application kernel: one ``pallas_call`` performs K
+    back-to-back SpMVs.  Per application the only HBM traffic is the
+    matrix itself (one diagonal per grid step, pipelined by Mosaic's
+    double buffering); the iterate ping-pongs between two VMEM buffers.
+    This is the throughput a solver actually sustains — kernel-launch
+    overhead and vector streaming are amortized away — and the form in
+    which repeated stencil application appears in smoothers, power
+    iterations and Chebyshev recurrences.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = x.shape[0]
+    nd = pd.shape[0]
+    T = x.dtype
+    rows = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
+    npad = rows * LANES
+    P = _SUBLANES
+    for k in offsets:
+        P = max(P, abs(int(k)) // LANES + 2)
+    P = -(-P // _SUBLANES) * _SUBLANES
+
+    xw = jnp.zeros((npad,), T).at[:n].set(x).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    def kernel(x_ref, pd_ref, y_ref, xbuf, ybuf):
+        k = pl.program_id(0)
+        d = pl.program_id(1)
+
+        @pl.when((k == 0) & (d == 0))
+        def _():
+            xbuf[:] = jnp.zeros((rows + 2 * P, LANES), T)
+            xbuf[P: P + rows] = x_ref[:]
+            ybuf[:] = x_ref[:]
+
+        @pl.when(k > 0)
+        def _():
+            @pl.when(d == 0)
+            def _():
+                ybuf[:] = jnp.zeros((rows, LANES), T)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+
+            def mk_branch(q, r):
+                def branch():
+                    if r == 0:
+                        return xbuf[P + q: P + q + rows]
+                    seg = xbuf[P + q: P + q + rows + 1]
+                    rolled = pltpu.roll(seg, np.int32(LANES - r), 1)
+                    return jnp.where(lane < LANES - r, rolled[:rows],
+                                     rolled[1:])
+                return branch
+
+            sx = jax.lax.switch(d, [mk_branch(q, r) for q, r in shifts])
+            ybuf[:] = ybuf[:] + pd_ref[0] * sx
+
+            @pl.when(d == nd - 1)
+            def _():
+                xbuf[P: P + rows] = ybuf[:]
+
+        y_ref[:] = ybuf[:]
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(K + 1, nd),
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda k, d: (0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda k, d: (d, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), lambda k, d: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), T),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xw, pdw)
+    return y.reshape(-1)[:n]

@@ -10,22 +10,81 @@ architecture detection (src/krylov_show.jl:66-83).
 import numpy as np
 
 
-def _fmt_val(v):
-    if isinstance(v, float):
-        return f"{v:.2e}"
+SPECIAL_FIELDS = {
+    "residualscg": "residuals (cg)",
+    "errorscg": "errors (cg)",
+    "Anorm": "\u2016A\u2016F",
+    "Acond": "\u03ba\u2082(A)",
+    "err_ubnds_lq": "error bound LQ",
+    "err_ubnds_cg": "error bound CG",
+    "npc_count": "npcCount",
+}
+
+
+def vec2str(x, ndisp=7):
+    """Reference vec2str (src/krylov_utils.jl:163-195): %8.1e elements,
+    middle elision past ndisp entries."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    nside = n if n <= ndisp else max(1, (ndisp - 1) // 2)
+    s = "["
+    i = 0
+    while i < min(nside, n):
+        s += f"{float(x[i]):8.1e} "
+        i += 1
+    if i < n // 2:
+        s += "... "
+    i = max(i, n - nside)
+    while i < n:
+        s += f"{float(x[i]):8.1e} "
+        i += 1
+    return s + "]"
+
+
+def _fmt_timer(v):
+    if v < 1e-3:
+        return f"{1e6 * v:.2f}\u03bcs"
+    if v < 1.0:
+        return f"{1e3 * v:.2f}ms"
+    return f"{v:.2f}s"
+
+
+def _fmt_val(field, v):
+    if field == "timer":
+        return _fmt_timer(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, np.ndarray) and v.dtype != bool:
+        return vec2str(v)
     if isinstance(v, np.ndarray):
-        return f"array[{v.shape[0]}]" if v.ndim == 1 else f"array{v.shape}"
+        return vec2str(v.astype(float))
     if isinstance(v, list):
-        return f"list[{len(v)}]"
-    return repr(v)
+        return "[" + ", ".join(vec2str(e) for e in v) + "]"
+    if isinstance(v, float):
+        return f"{v}"
+    return f"{v}"
 
 
 def show_stats(stats):
+    """Render stats in the reference format (src/krylov_show.jl:35-59):
+
+        SimpleStats
+         niter: 0
+         solved: true
+         ...
+         timer: 1.23s
+         status: unknown
+    """
+    import dataclasses
     name = type(stats).__name__
-    lines = [f"┌ {name}"]
-    for field, value in vars(stats).items():
-        lines.append(f"│ {field:<18s} {_fmt_val(value)}")
-    lines.append("└")
+    fields = [f.name for f in dataclasses.fields(stats)]
+    ordered = (["niter"]
+               + [f for f in fields if f not in ("niter", "timer", "status")]
+               + ["timer", "status"])
+    lines = [name]
+    for f in ordered:
+        fname = SPECIAL_FIELDS.get(f, f.replace("_", " "))
+        lines.append(f" {fname}: {_fmt_val(f, getattr(stats, f))}")
     return "\n".join(lines)
 
 
