@@ -128,12 +128,13 @@ def dia_power_pallas(pd, offsets, x, K, interpret=None):
 
     Sustained stencil-application kernel: one ``pallas_call`` performs K
     back-to-back SpMVs.  Per application the only HBM traffic is the
-    matrix itself (one diagonal per grid step, pipelined by Mosaic's
-    double buffering); the iterate ping-pongs between two VMEM buffers.
-    This is the throughput a solver actually sustains — kernel-launch
-    overhead and vector streaming are amortized away — and the form in
-    which repeated stencil application appears in smoothers, power
-    iterations and Chebyshev recurrences.
+    matrix itself (the aligned diagonals are re-fetched every grid step —
+    two alternating copies defeat Pallas's same-block caching so the
+    stream is honest); the iterate ping-pongs between two VMEM buffers.
+    This is the throughput a solver sustains once kernel-launch overhead
+    and vector streaming are amortized — the regime of smoothers, power
+    iterations and Chebyshev recurrences.  Sizes are VMEM-gated (see
+    ``dia_power_supported``); larger problems use ``dia_spmv_pallas``.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -150,13 +151,13 @@ def dia_power_pallas(pd, offsets, x, K, interpret=None):
     xw = jnp.zeros((npad,), T).at[:n].set(x).reshape(rows, LANES)
     pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
         nd, rows, LANES)
+    pd2 = jnp.stack([pdw, pdw])          # alternating copies → real stream
     shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
 
     def kernel(x_ref, pd_ref, y_ref, xbuf, ybuf):
         k = pl.program_id(0)
-        d = pl.program_id(1)
 
-        @pl.when((k == 0) & (d == 0))
+        @pl.when(k == 0)
         def _():
             xbuf[:] = jnp.zeros((rows + 2 * P, LANES), T)
             xbuf[P: P + rows] = x_ref[:]
@@ -164,39 +165,31 @@ def dia_power_pallas(pd, offsets, x, K, interpret=None):
 
         @pl.when(k > 0)
         def _():
-            @pl.when(d == 0)
-            def _():
-                ybuf[:] = jnp.zeros((rows, LANES), T)
-
             lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-
-            def mk_branch(q, r):
-                def branch():
-                    if r == 0:
-                        return xbuf[P + q: P + q + rows]
+            acc = jnp.zeros((rows, LANES), T)
+            for d, (q, r) in enumerate(shifts):
+                w = pd_ref[0, d]
+                if r == 0:
+                    sx = xbuf[P + q: P + q + rows]
+                else:
                     seg = xbuf[P + q: P + q + rows + 1]
                     rolled = pltpu.roll(seg, np.int32(LANES - r), 1)
-                    return jnp.where(lane < LANES - r, rolled[:rows],
-                                     rolled[1:])
-                return branch
-
-            sx = jax.lax.switch(d, [mk_branch(q, r) for q, r in shifts])
-            ybuf[:] = ybuf[:] + pd_ref[0] * sx
-
-            @pl.when(d == nd - 1)
-            def _():
-                xbuf[P: P + rows] = ybuf[:]
+                    sx = jnp.where(lane < LANES - r, rolled[:rows],
+                                   rolled[1:])
+                acc = acc + w * sx
+            ybuf[:] = acc
+            xbuf[P: P + rows] = acc
 
         y_ref[:] = ybuf[:]
 
     y = pl.pallas_call(
         kernel,
-        grid=(K + 1, nd),
+        grid=(K + 1,),
         in_specs=[
-            pl.BlockSpec((rows, LANES), lambda k, d: (0, 0)),
-            pl.BlockSpec((1, rows, LANES), lambda k, d: (d, 0, 0)),
+            pl.BlockSpec((rows, LANES), lambda k: (0, 0)),
+            pl.BlockSpec((1, nd, rows, LANES), lambda k: (k % 2, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((rows, LANES), lambda k, d: (0, 0)),
+        out_specs=pl.BlockSpec((rows, LANES), lambda k: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), T),
         scratch_shapes=[
             pltpu.VMEM((rows + 2 * P, LANES), T),
@@ -205,5 +198,13 @@ def dia_power_pallas(pd, offsets, x, K, interpret=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xw, pdw)
+    )(xw, pd2)
     return y.reshape(-1)[:n]
+
+
+def dia_power_supported(offsets, n, dtype):
+    """VMEM gate: 2 pd blocks (double-buffered) + 4 vector buffers."""
+    nd = len(tuple(offsets))
+    rows = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
+    bytes_ = (2 * nd + 4) * rows * LANES * jnp.dtype(dtype).itemsize
+    return bytes_ < 72 * (1 << 20)
