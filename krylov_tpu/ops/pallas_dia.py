@@ -55,7 +55,10 @@ def _tile_rows(offsets, n):
     tr = -(-m // LANES)
     tr = max(-(-tr // _SUBLANES) * _SUBLANES, _SUBLANES)
     rows_needed = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
-    return max(tr, min(256, rows_needed))
+    # larger tiles amortize grid-step overhead (512 measured ~2-7% faster
+    # than 256 at 128³ on a v5e; whole-array is marginally best but costs
+    # VMEM for the 3-tile x window)
+    return max(tr, min(512, rows_needed))
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
@@ -120,91 +123,3 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         interpret=interpret,
     )(xw, xw, xw, pdw, )
     return y.reshape(-1)[:n]
-
-
-@partial(jax.jit, static_argnames=("offsets", "K", "interpret"))
-def dia_power_pallas(pd, offsets, x, K, interpret=None):
-    """y = Aᴷ x with x/y VMEM-resident and the diagonals streamed from HBM.
-
-    Sustained stencil-application kernel: one ``pallas_call`` performs K
-    back-to-back SpMVs.  Per application the only HBM traffic is the
-    matrix itself (the aligned diagonals are re-fetched every grid step —
-    two alternating copies defeat Pallas's same-block caching so the
-    stream is honest); the iterate ping-pongs between two VMEM buffers.
-    This is the throughput a solver sustains once kernel-launch overhead
-    and vector streaming are amortized — the regime of smoothers, power
-    iterations and Chebyshev recurrences.  Sizes are VMEM-gated (see
-    ``dia_power_supported``); larger problems use ``dia_spmv_pallas``.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    n = x.shape[0]
-    nd = pd.shape[0]
-    T = x.dtype
-    rows = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
-    npad = rows * LANES
-    P = _SUBLANES
-    for k in offsets:
-        P = max(P, abs(int(k)) // LANES + 2)
-    P = -(-P // _SUBLANES) * _SUBLANES
-
-    xw = jnp.zeros((npad,), T).at[:n].set(x).reshape(rows, LANES)
-    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
-        nd, rows, LANES)
-    pd2 = jnp.stack([pdw, pdw])          # alternating copies → real stream
-    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
-
-    def kernel(x_ref, pd_ref, y_ref, xbuf, ybuf):
-        k = pl.program_id(0)
-
-        @pl.when(k == 0)
-        def _():
-            xbuf[:] = jnp.zeros((rows + 2 * P, LANES), T)
-            xbuf[P: P + rows] = x_ref[:]
-            ybuf[:] = x_ref[:]
-
-        @pl.when(k > 0)
-        def _():
-            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-            acc = jnp.zeros((rows, LANES), T)
-            for d, (q, r) in enumerate(shifts):
-                w = pd_ref[0, d]
-                if r == 0:
-                    sx = xbuf[P + q: P + q + rows]
-                else:
-                    seg = xbuf[P + q: P + q + rows + 1]
-                    rolled = pltpu.roll(seg, np.int32(LANES - r), 1)
-                    sx = jnp.where(lane < LANES - r, rolled[:rows],
-                                   rolled[1:])
-                acc = acc + w * sx
-            ybuf[:] = acc
-            xbuf[P: P + rows] = acc
-
-        y_ref[:] = ybuf[:]
-
-    y = pl.pallas_call(
-        kernel,
-        grid=(K + 1,),
-        in_specs=[
-            pl.BlockSpec((rows, LANES), lambda k: (0, 0)),
-            pl.BlockSpec((1, nd, rows, LANES), lambda k: (k % 2, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((rows, LANES), lambda k: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), T),
-        scratch_shapes=[
-            pltpu.VMEM((rows + 2 * P, LANES), T),
-            pltpu.VMEM((rows, LANES), T),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(xw, pd2)
-    return y.reshape(-1)[:n]
-
-
-def dia_power_supported(offsets, n, dtype):
-    """VMEM gate: 2 pd blocks (double-buffered) + 4 vector buffers."""
-    nd = len(tuple(offsets))
-    rows = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
-    bytes_ = (2 * nd + 4) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 72 * (1 << 20)
