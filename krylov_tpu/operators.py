@@ -371,6 +371,10 @@ class BELLOperator(AbstractLinearOperator):
         from .ops.pallas_spmv import bell_spmv
         return bell_spmv(self.bell_h, x)
 
+    def matmat(self, X):
+        from .ops.pallas_spmv import bell_spmm
+        return bell_spmm(self.bell, X)
+
     def tree_flatten(self):
         return (self.bell, self.bell_h), None
 

@@ -217,3 +217,221 @@ def cg_dia_fused_supported(offsets, n, dtype):
     nd = len(offsets) if isinstance(offsets, tuple) else len(tuple(offsets))
     bytes_ = (nd + 4) * rows * LANES * jnp.dtype(dtype).itemsize
     return bytes_ < 100 * (1 << 20)
+
+
+# additional status codes used by MINRES (krylov_tpu/_runtime.py)
+_COND_EXCEEDED = 11
+_SOLVED_LSQ = 20
+_SOLVED_ZERO = 21
+_FWD_ERR = 22
+_ILL_COND_MACH = 23
+_MIN_LSQ_X = 24
+
+
+@partial(jax.jit, static_argnames=("offsets", "window", "interpret"))
+def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
+                     window=5, interpret=None):
+    """Full MINRES solve of (A + λI) x = b for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/minres.py:_minres_core
+    with M = I (reference src/minres.jl): unnormalized-Lanczos recurrence,
+    Givens chain, forward-error window (`window` shift registers), conlim
+    and machine-precision stops.  Returns (x, niter, rNorm, status_code,
+    inconsistent) — status codes follow krylov_tpu._runtime.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    eps_T = float(jnp.finfo(T).eps)
+    tiny = float(jnp.finfo(T).tiny)
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray(
+        [atol, rtol, etol, ctol, lam], T).reshape(5, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref, incon_ref,
+               r2pad_ref, r1_ref, w1_ref, w2_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        etol_v = s_ref[2, 0]
+        ctol_v = s_ref[3, 0]
+        lam_v = s_ref[4, 0]
+        cap = itmax_ref[0, 0]
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        r1_ref[:] = bv
+        r2pad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        r2pad_ref[P: P + rows] = bv
+        w1_ref[:] = jnp.zeros((rows, LANES), T)
+        w2_ref[:] = jnp.zeros((rows, LANES), T)
+
+        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * beta1
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta1 <= eps_lim, jnp.int32(_SOLVED_ZERO),
+                      jnp.int32(_RUNNING)))
+
+        zero = jnp.zeros((), T)
+        phis0 = (zero,) * window
+        carry0 = (jnp.int32(0), zero, beta1, zero, zero, beta1,
+                  zero, jnp.asarray(jnp.inf, T), -jnp.ones((), T), zero,
+                  zero, zero, beta1, jnp.int32(1), status0) + phis0
+
+        def cond(c):
+            return (c[14] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, oldbeta, beta, dbar, eps_prev, phibar, gmax, gmin,
+             cs, sn, anorm2, xenorm2, rNorm, incon, status) = c[:15]
+            phis = c[15:]
+            it = it0 + 1
+
+            v = r2pad_ref[P: P + rows]
+            y = _stencil(r2pad_ref, pd_ref, shifts, P, rows, T) + lam_v * v
+            y = y / beta
+            safe_ob = jnp.where(oldbeta == 0, jnp.ones_like(oldbeta),
+                                oldbeta)
+            y = jnp.where(it >= 2, y - (beta / safe_ob) * r1_ref[:], y)
+            alpha = jnp.sum(v * y) / beta
+            y = y - (alpha / beta) * v
+
+            delta = cs * dbar + sn * alpha
+            w_unscaled = v / beta - delta * w2_ref[:] - eps_prev * w1_ref[:]
+
+            r1_ref[:] = v
+            r2pad_ref[P: P + rows] = y
+            oldbeta_n = beta
+            beta_sq = jnp.sum(y * y)
+            beta_n = jnp.sqrt(beta_sq)
+            anorm2_n = anorm2 + alpha * alpha + oldbeta_n * oldbeta_n \
+                + beta_sq
+
+            gbar = sn * dbar - cs * alpha
+            eps_new = sn * beta_n
+            dbar_n = -cs * beta_n
+            root = jnp.sqrt(gbar * gbar + dbar_n * dbar_n)
+            gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta_sq), eps_T)
+            w = w_unscaled / gamma
+
+            cs_n = gbar / gamma
+            sn_n = beta_n / gamma
+            phi = cs_n * phibar
+            phibar_n = sn_n * phibar
+
+            x_ref[:] = x_ref[:] + phi * w
+            w1_ref[:] = w2_ref[:]
+            w2_ref[:] = w
+            xenorm2_n = xenorm2 + phi * phi
+
+            phis_n = phis[1:] + (phi,)
+            err2 = zero
+            for p_ in phis_n:
+                err2 = err2 + p_ * p_
+            err_lbnd = jnp.sqrt(err2)
+
+            gmax_n = jnp.maximum(gmax, gamma)
+            gmin_n = jnp.minimum(gmin, gamma)
+            anorm = jnp.sqrt(anorm2_n)
+            xv = x_ref[:]
+            xnorm = jnp.sqrt(jnp.sum(xv * xv))
+            rNorm_n = phibar_n
+            test1 = rNorm_n / jnp.maximum(anorm * xnorm, tiny)
+            test2 = root / jnp.maximum(anorm, tiny)
+            acond = gmax_n / jnp.where(gmin_n == 0, tiny, gmin_n)
+
+            min_lsq_early = (it == 1) & (beta_n / beta1 <= 10 * eps_T)
+            ill_cond_mach = (1.0 + 1.0 / acond) <= 1.0
+            solved_mach = (1.0 + test2) <= 1.0
+            zero_resid_mach = (1.0 + test1) <= 1.0
+            resid_mach = (rNorm_n + 1.0) <= 1.0
+            ill_cond_lim = (1.0 / acond) <= ctol_v
+            solved_lim = test2 <= eps_lim
+            zero_resid_lim = test1 <= eps_T          # MisI path
+            resid_lim = rNorm_n <= eps_lim
+            fwd_err = (it >= window) & (
+                err_lbnd <= etol_v * jnp.sqrt(xenorm2_n))
+            zero_resid = zero_resid_mach | zero_resid_lim
+            resid_decrease = resid_mach | resid_lim
+            solved = (solved_mach | solved_lim | zero_resid | fwd_err
+                      | resid_decrease)
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(ill_cond_lim, jnp.int32(_COND_EXCEEDED), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED_LSQ), code)
+            code = jnp.where(zero_resid, jnp.int32(_SOLVED_ZERO), code)
+            code = jnp.where(fwd_err, jnp.int32(_FWD_ERR), code)
+            code = jnp.where(min_lsq_early, jnp.int32(_MIN_LSQ_X), code)
+
+            incon_n = jnp.where(
+                min_lsq_early, jnp.int32(1),
+                jnp.where(zero_resid, jnp.int32(0), jnp.int32(1)))
+
+            return (it, oldbeta_n, beta_n, dbar_n, eps_new, phibar_n,
+                    gmax_n, gmin_n, cs_n, sn_n, anorm2_n, xenorm2_n,
+                    rNorm_n, incon_n, code) + phis_n
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[12]
+        status_ref[0, 0] = out[14]
+        incon_ref[0, 0] = out[13]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status, incon = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd + 7) * vec_bytes * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
+            incon[0, 0])
+
+
+def minres_dia_fused_supported(offsets, n, dtype):
+    """Static gate: working set (pd + 6 vectors) fits in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    rows, P = _plan(offsets, n)
+    nd = len(tuple(offsets))
+    bytes_ = (nd + 7) * rows * LANES * jnp.dtype(dtype).itemsize
+    return bytes_ < 100 * (1 << 20)

@@ -231,3 +231,57 @@ def bell_spmv(A: "BELLMatrix", x, interpret=None):
         interpret=interpret,
     )(A.indices, xp.reshape(-1, 1), A.data)
     return out.reshape(-1)[: A.shape[0]]
+
+
+def bell_spmm(A: "BELLMatrix", X, interpret=None):
+    """Y = A X for a block of p right-hand sides — the MXU path.
+
+    Same scalar-prefetch pipeline as ``bell_spmv`` but each bs×bs block
+    multiplies a (bs, p) panel: with p ≥ 8 the MXU runs at full-tile
+    efficiency (the SpMV case feeds it 1-lane panels).  p is padded to a
+    lane multiple; blocks of the multi-RHS solvers (block_gmres /
+    block_minres over a BELL operator) route here via ``matmat``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nbr, mbpr, bs, _ = A.data.shape
+    n_in, p = X.shape
+    pp = max(-(-p // 128), 1) * 128
+    ncols_pad = max(-(-A.shape[1] // bs), 1) * bs
+    Xp = jnp.zeros((ncols_pad, pp), X.dtype).at[: n_in, :p].set(X)
+    accdt = jnp.float32 if X.dtype in (jnp.bfloat16, jnp.float16,
+                                       jnp.float32) else X.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr, mbpr),
+        in_specs=[
+            pl.BlockSpec((bs, pp), lambda i, j, idx: (idx[i, j], 0)),
+            pl.BlockSpec((1, 1, bs, bs), lambda i, j, idx: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bs, pp), lambda i, j, idx: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, pp), accdt)],
+    )
+
+    def kernel(idx_ref, x_ref, data_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jnp.dot(data_ref[0, 0], x_ref[:],
+                              preferred_element_type=accdt,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _flush():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * bs, pp), X.dtype),
+        interpret=interpret,
+    )(A.indices, Xp, A.data)
+    return out[: A.shape[0], :p]

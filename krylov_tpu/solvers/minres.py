@@ -316,6 +316,42 @@ def _minres_solve(
     if verbose > 0:
         rt.debug_header(verbose, f"MINRES: system of size {n}")
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and not linesearch and callback is None and verbose == 0
+            and not history and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (minres_dia_fused,
+                                        minres_dia_fused_supported)
+        if minres_dia_fused_supported(A.dia.offsets, n, b.dtype):
+            ctol = 1.0 / conlim if conlim > 0 else 0.0
+            b_eff = b if x0 is None else \
+                b - (A.matvec(x0) + jnp.asarray(lam, b.dtype) * x0)
+            x, niter, rnorm, code_d, incon = minres_dia_fused(
+                A._pd, A.dia.offsets, b_eff, atol, rtol, etol, ctol,
+                float(lam), itmax, window=int(window))
+            niter, code, incon = jax.device_get([niter, code_d, incon])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if code == rt.ZERO_RESIDUAL:
+                niter = 1          # reference parity: src/minres.jl:219
+            if x0 is not None:
+                x = x + x0
+            inconsistent = bool(incon)
+            if code == rt.ZERO_RESIDUAL:
+                inconsistent = False
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=inconsistent,
+                indefinite=False,
+                npc_count=0,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return x, stats, None
+
     def run(state, cap):
         return _minres_core(
             A, M, b, x0, state, jnp.int32(cap), atol, rtol, etol,

@@ -85,3 +85,46 @@ def test_cg_history_falls_back_to_general():
     op = DIAOperator(D, use_pallas=True)
     x, stats = cg(op, b, atol=0.0, rtol=1e-6, history=True)
     assert stats.residuals.shape[0] == stats.niter + 1
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_minres_matches_general(dtype):
+    from krylov_tpu import minres
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = minres(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = minres(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_minres_lambda_shift():
+    from krylov_tpu import minres
+    D, pd, b, n = _problem(dtype=np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = minres(op_fast, b, lam=0.5, atol=0.0, rtol=1e-8)
+    xr, stats_ref = minres(op_ref, b, lam=0.5, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_minres_zero_rhs():
+    from krylov_tpu import minres
+    D, pd, b, n = _problem()
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = minres(op, jnp.zeros(n, np.float32))
+    assert stats.niter == 1           # reference parity src/minres.jl:219
+    assert stats.status == "x is a zero-residual solution"
+
+
+def test_fused_minres_warm_start():
+    from krylov_tpu import minres
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x1, _ = minres(op, b, atol=0.0, rtol=1e-3)
+    x2, stats = minres(op, b, x1, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.1

@@ -144,3 +144,63 @@ class TestBellFromCsr:
         # occupied-block count never exceeds the dense builder's
         b2 = bell_from_dense_blocks(jnp.asarray(S), bs=8)
         assert b1.data.shape[1] <= b2.data.shape[1]
+
+
+class TestBellSpmm:
+    def _bell(self, dtype=np.float32):
+        from krylov_tpu.ops.pallas_spmv import BELLMatrix
+        rng = np.random.default_rng(5)
+        bs, nb, mbpr = 128, 4, 2
+        data = rng.standard_normal((nb, mbpr, bs, bs)).astype(dtype) / bs
+        idx = np.array([[0, 1], [0, 1], [2, 3], [2, 3]], np.int32)
+        n = nb * bs
+        A = BELLMatrix(jnp.asarray(data), jnp.asarray(idx), (n, n), bs)
+        dense = np.zeros((n, n), dtype)
+        for i in range(nb):
+            for k in range(mbpr):
+                j = idx[i, k]
+                dense[i*bs:(i+1)*bs, j*bs:(j+1)*bs] += data[i, k]
+        return A, dense
+
+    @pytest.mark.parametrize("p", [1, 4, 8, 130])
+    def test_matches_dense(self, p):
+        from krylov_tpu.ops.pallas_spmv import bell_spmm
+        A, dense = self._bell()
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(rng.standard_normal((dense.shape[1], p)), np.float32)
+        Y = bell_spmm(A, X, interpret=True)
+        Yref = dense @ np.asarray(X)
+        assert np.max(np.abs(np.asarray(Y) - Yref)) < 1e-4
+
+    def test_block_gmres_over_bell_operator(self):
+        import krylov_tpu as kt
+        from krylov_tpu.operators import BELLOperator
+        from krylov_tpu.ops.pallas_spmv import BELLMatrix
+        rng = np.random.default_rng(9)
+        bs, nb = 128, 3
+        n = nb * bs
+        # SPD block-tridiagonal
+        diag_blocks = []
+        for i in range(nb):
+            M = rng.standard_normal((bs, bs)) / bs
+            diag_blocks.append(M @ M.T + 2 * np.eye(bs))
+        off = rng.standard_normal((bs, bs)) / (4 * bs)
+        data = np.zeros((nb, 3, bs, bs), np.float64)
+        idx = np.zeros((nb, 3), np.int32)
+        for i in range(nb):
+            cols = [max(0, i - 1), i, min(nb - 1, i + 1)]
+            idx[i] = cols
+            for k, j in enumerate(cols):
+                if j == i:
+                    data[i, k] += diag_blocks[i]
+                elif j == i - 1:
+                    data[i, k] += off
+                elif j == i + 1:
+                    data[i, k] += off.T
+        A = BELLOperator(BELLMatrix(jnp.asarray(data), jnp.asarray(idx),
+                                    (n, n), bs))
+        B = jnp.asarray(rng.standard_normal((n, 2)))
+        X, stats = kt.block_gmres(A, B, atol=0.0, rtol=1e-10, memory=30)
+        assert stats.solved
+        R = np.asarray(B) - np.asarray(A.matmat(X))
+        assert np.linalg.norm(R) <= 1e-8 * np.linalg.norm(np.asarray(B))
