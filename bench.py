@@ -118,6 +118,7 @@ def main():
     # --- CG device time: S solves in one jitted computation, differenced
     cg_dev_ms = cg_us_iter = None
     cg128_dev_ms = cg128_niter = None
+    minres_dev_ms = None
     if on_tpu:
         pd = op._pd
 
@@ -165,6 +166,37 @@ def main():
         cg128_dev_ms = per_solve2 * 1e3
         cg128_niter = niter2
         log(f"bench: cg 128^3 device {cg128_dev_ms:.2f} ms/solve")
+
+        # fused MINRES device time (same S-differencing harness)
+        log("bench: minres fused device time 64^3...")
+        from krylov_tpu.ops.pallas_fused import minres_dia_fused
+
+        @partial(jax.jit, static_argnames=("S",))
+        def multi_mr(pd_, B, S):
+            def body(i, acc):
+                tot, chk = acc
+                xx, it, rn, st, inc = minres_dia_fused(
+                    pd_, D.offsets, B[i], 0.0, rtol,
+                    float(np.sqrt(np.finfo(dtype).eps)), 1e-8, 0.0, 2 * n)
+                return tot + it, chk + jnp.sum(xx)
+            return jax.lax.fori_loop(0, S, body,
+                                     (jnp.int32(0), jnp.float32(0)))
+
+        mr_out = {}
+        for s_ in (1, 16):
+            B = jnp.stack([jnp.full(n, 1.0 + 0.001 * i, dtype)
+                           for i in range(s_)])
+            it, chk = multi_mr(pd, B, s_)
+            int(it), float(chk)
+            t0 = time.perf_counter()
+            it, chk = multi_mr(pd, B, s_)
+            tot = int(it)
+            float(chk)
+            mr_out[s_] = (time.perf_counter() - t0, tot)
+        (t1, i1), (tS, iS) = mr_out[1], mr_out[16]
+        mr_per_iter = (tS - t1) / max(iS - i1, 1)
+        minres_dev_ms = mr_per_iter * (iS / 16) * 1e3
+        log(f"bench: minres 64^3 device {minres_dev_ms:.3f} ms/solve")
 
     # --- BELL (block-ELL) MXU kernel on a block-tridiagonal matrix
     bell_gnnz = None
@@ -240,6 +272,8 @@ def main():
             "cg_device_ms_per_solve_128cubed": (round(cg128_dev_ms, 3)
                                                 if cg128_dev_ms else None),
             "cg_niter_128cubed": cg128_niter,
+            "minres_device_ms_per_solve_64cubed": (
+                round(minres_dev_ms, 4) if minres_dev_ms else None),
             "cpu_scipy_gnnz_per_s": round(cpu_nnz_per_s / 1e9, 4),
         },
     }
