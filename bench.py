@@ -127,7 +127,7 @@ def main():
             def multi(pd_, B, S):
                 def body(i, acc):
                     tot, chk = acc
-                    xx, it, rn, st = cg_dia_fused(
+                    xx, it, rn, st, vi = cg_dia_fused(
                         pd_, Dm.offsets, B[i], 0.0, rtol, 2 * nm)
                     return tot + it, chk + jnp.sum(xx)
                 return jax.lax.fori_loop(0, S, body,

@@ -69,7 +69,8 @@ def _stencil(ppad_ref, pd_ref, shifts, P, rows, acc_dtype):
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
-def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
+def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, dinv=None,
+                 interpret=None):
     """Full CG solve of A x = b for a DIA matrix, one kernel launch.
 
     Args:
@@ -78,9 +79,12 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
       b: (n,) right-hand side (real floating dtype).
       atol, rtol: dynamic tolerance scalars (ε = atol + rtol‖r₀‖).
       itmax: dynamic int32 iteration cap.
+      dinv: optional (n,) diagonal preconditioner applied as z = dinv·r
+        (Jacobi: dinv = 1/diag(A)); rNorm is then the M-norm √(rᴴz) as
+        in the general core.
     Returns:
-      (x, niter, rNorm, status_code) — all device arrays; status codes
-      follow krylov_tpu._runtime (RUNNING means iteration cap hit).
+      (x, niter, rNorm, status_code, posdef_violation) — device arrays;
+      status codes follow krylov_tpu._runtime (RUNNING = cap hit).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -101,17 +105,27 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
     itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
     atol_s = jnp.asarray(atol, T).reshape(1, 1)
     rtol_s = jnp.asarray(rtol, T).reshape(1, 1)
+    precond = dinv is not None
+    if precond:
+        dw = jnp.zeros((npad,), T).at[:n].set(dinv).reshape(rows, LANES)
 
-    def kernel(itmax_ref, atol_ref, rtol_ref, b_ref, pd_ref,
-               x_ref, niter_ref, rnorm_ref, status_ref, ppad_ref, r_ref):
+    def kernel(itmax_ref, atol_ref, rtol_ref, b_ref, pd_ref, *rest):
+        if precond:
+            (d_ref, x_ref, niter_ref, rnorm_ref, status_ref, viol_ref,
+             ppad_ref, r_ref) = rest
+        else:
+            (x_ref, niter_ref, rnorm_ref, status_ref, viol_ref,
+             ppad_ref, r_ref) = rest
         bv = b_ref[:]
+        z0 = d_ref[:] * bv if precond else bv
         ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
-        ppad_ref[P: P + rows] = bv
+        ppad_ref[P: P + rows] = z0
         r_ref[:] = bv
         x_ref[:] = jnp.zeros((rows, LANES), T)
 
-        gamma0 = jnp.sum(bv * bv)
-        rnorm0 = jnp.sqrt(gamma0)
+        gamma0 = jnp.sum(bv * z0)
+        viol0 = (gamma0 < 0).astype(jnp.int32)
+        rnorm0 = jnp.sqrt(jnp.maximum(gamma0, 0))
         eps_lim = atol_ref[0, 0] + rtol_ref[0, 0] * rnorm0
         cap = itmax_ref[0, 0]
         status0 = jnp.where(
@@ -120,11 +134,11 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
                       jnp.int32(_RUNNING)))
 
         def cond(c):
-            it, gamma, pNorm2, rnorm, status = c
+            it, gamma, pNorm2, rnorm, status, viol = c
             return (status == _RUNNING) & (it < cap)
 
         def body(c):
-            it, gamma, pNorm2, rnorm, status = c
+            it, gamma, pNorm2, rnorm, status, viol = c
             ap = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
             p_int = ppad_ref[P: P + rows]
             pAp = jnp.sum(p_int * ap)
@@ -143,8 +157,10 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
             r_ref[:] = r_ref[:] - a_eff * ap
 
             rv = r_ref[:]
-            gamma_next = jnp.sum(rv * rv)
-            rnorm_next = jnp.sqrt(gamma_next)
+            zv = d_ref[:] * rv if precond else rv
+            gamma_next = jnp.sum(rv * zv)
+            viol_n = viol | (gamma_next < 0).astype(jnp.int32)
+            rnorm_next = jnp.sqrt(jnp.maximum(gamma_next, 0))
             resid_mach = (rnorm_next + 1) <= 1
             solved = (rnorm_next <= eps_lim) | resid_mach
 
@@ -153,7 +169,7 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
             stay = jnp.logical_not(solved | skip)
             cr = jnp.where(stay, jnp.ones_like(beta), jnp.zeros_like(beta))
             cp = jnp.where(stay, beta, jnp.ones_like(beta))
-            ppad_ref[P: P + rows] = cr * rv + cp * p_int
+            ppad_ref[P: P + rows] = cr * zv + cp * p_int
 
             gamma_new = jnp.where(stay, gamma_next, gamma)
             pNorm2_new = jnp.where(
@@ -164,30 +180,40 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
             status_new = jnp.where(
                 zero_curv, jnp.int32(_ZERO_CURVATURE),
                 jnp.where(solved, jnp.int32(_SOLVED), jnp.int32(_RUNNING)))
-            return it_new, gamma_new, pNorm2_new, rnorm_new, status_new
+            return (it_new, gamma_new, pNorm2_new, rnorm_new, status_new,
+                    viol_n)
 
-        it, gamma, pNorm2, rnorm, status = jax.lax.while_loop(
+        it, gamma, pNorm2, rnorm, status, viol = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), gamma0, gamma0, rnorm0, status0))
+            (jnp.int32(0), gamma0, gamma0, rnorm0, status0, viol0))
         niter_ref[0, 0] = it
         rnorm_ref[0, 0] = rnorm
         status_ref[0, 0] = status
+        viol_ref[0, 0] = viol
 
     vec_bytes = rows * LANES * np.dtype(T).itemsize
-    vmem_bytes = (nd + 4) * vec_bytes + 2 * P * LANES * np.dtype(T).itemsize
+    vmem_bytes = (nd + 4 + (1 if precond else 0)) * vec_bytes \
+        + 2 * P * LANES * np.dtype(T).itemsize
 
-    x, niter, rnorm, status = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [itmax_s, atol_s, rtol_s, bw, pdw]
+    if precond:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(dw)
+
+    x, niter, rnorm, status, viol = pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -197,6 +223,7 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), T),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((rows + 2 * P, LANES), T),
@@ -205,8 +232,9 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_bytes * 1.5) + (1 << 20)),
         interpret=interpret,
-    )(itmax_s, atol_s, rtol_s, bw, pdw)
-    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0])
+    )(*operands)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
+            viol[0, 0])
 
 
 def cg_dia_fused_supported(offsets, n, dtype):

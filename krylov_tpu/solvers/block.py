@@ -64,13 +64,13 @@ def _ls_residual_and_Y(H, rhs, k, mem, p, FC):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mem", "ldiv", "restart", "hermitian",
+    static_argnames=("mem", "ldiv", "restart",
                      "reorthogonalization", "history", "hist_len",
                      "callback", "verbose", "MisI", "NisI"),
 )
 def _block_core(
     A, M, N, B, X0, state_in, iter_cap, itmax, atol, rtol,
-    *, mem, ldiv, restart, hermitian, reorthogonalization, history,
+    *, mem, ldiv, restart, reorthogonalization, history,
     hist_len, callback, verbose, MisI, NisI,
 ):
     n, p = B.shape
@@ -126,12 +126,8 @@ def _block_core(
         W = A.matmat(N_apply(Vk))
         W = M_apply(W)
 
-        # Block orthogonalization: CGS2 over the window (all blocks for
-        # Arnoldi; blocks {k-1, k} for the Hermitian Lanczos variant).
-        if hermitian:
-            win = (jnp.arange(mem + 1) >= k - 1) & (jnp.arange(mem + 1) <= k)
-        else:
-            win = jnp.arange(mem + 1) <= k
+        # Block orthogonalization: CGS2 over all previous blocks.
+        win = jnp.arange(mem + 1) <= k
         Vm = jnp.where(win[:, None, None], s.V, 0)
         Hcol = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)       # (mem+1,p,p)
         W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol)
@@ -208,7 +204,7 @@ def _block_core(
 
 
 def _block_solve(
-    hermitian, A, B, X0=None, *, M=None, N=None, ldiv=False, restart=False,
+    A, B, X0=None, *, M=None, N=None, ldiv=False, restart=False,
     reorthogonalization=False, memory=5, atol=None, rtol=None, itmax=0,
     timemax=float("inf"), verbose=0, history=False, callback=None,
     memory_cap=128, **_ig,
@@ -238,7 +234,6 @@ def _block_solve(
             A, M, N, B, X0, state, jnp.int32(cap), jnp.int32(itmax),
             atol, rtol,
             mem=mem, ldiv=bool(ldiv), restart=bool(restart) or mem < itmax,
-            hermitian=bool(hermitian),
             reorthogonalization=bool(reorthogonalization),
             history=bool(history), hist_len=hist_len, callback=callback,
             verbose=int(verbose), MisI=M is None, NisI=N is None,
@@ -427,7 +422,7 @@ def _block_minres_solve(
 
 
 def _block_gmres_solve(A, B, X0=None, **kwargs):
-    return _block_solve(False, A, B, X0, **kwargs)
+    return _block_solve(A, B, X0, **kwargs)
 
 
 def block_minres(A, B, X0=None, **kwargs):
@@ -438,5 +433,5 @@ def block_minres(A, B, X0=None, **kwargs):
 
 def block_gmres(A, B, X0=None, **kwargs):
     """X, stats = block_gmres(A, B; memory=5, restart, M, N, ...)."""
-    X, stats, _ = _block_solve(False, A, B, X0, **kwargs)
+    X, stats, _ = _block_solve(A, B, X0, **kwargs)
     return X, stats

@@ -28,7 +28,7 @@ def _problem(N=8, dtype=np.float32):
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 def test_fused_matches_general(dtype):
     D, pd, b, n = _problem(dtype=dtype)
-    x, niter, rnorm, status = cg_dia_fused(
+    x, niter, rnorm, status, _ = cg_dia_fused(
         pd, D.offsets, b, 0.0, 1e-6, 2 * n, interpret=True)
     op = DIAOperator(D, use_pallas=False)
     xr, stats = cg(op, b, atol=0.0, rtol=1e-6)
@@ -42,7 +42,7 @@ def test_fused_matches_general(dtype):
 def test_fused_zero_rhs():
     D, pd, b, n = _problem()
     b0 = jnp.zeros(n, np.float32)
-    x, niter, rnorm, status = cg_dia_fused(
+    x, niter, rnorm, status, _ = cg_dia_fused(
         pd, D.offsets, b0, 0.0, 1e-6, 2 * n, interpret=True)
     assert int(niter) == 0
     assert int(status) == 2          # ZERO_RESIDUAL
@@ -51,7 +51,7 @@ def test_fused_zero_rhs():
 
 def test_fused_itmax_cap():
     D, pd, b, n = _problem()
-    x, niter, rnorm, status = cg_dia_fused(
+    x, niter, rnorm, status, _ = cg_dia_fused(
         pd, D.offsets, b, 0.0, 1e-12, 3, interpret=True)
     assert int(niter) == 3
     assert int(status) == 0          # RUNNING → host maps to TIRED
@@ -128,3 +128,31 @@ def test_fused_minres_warm_start():
     x2, stats = minres(op, b, x1, atol=0.0, rtol=1e-8)
     r = b - op.matvec(x2)
     assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.1
+
+
+def test_cg_fused_jacobi_precond():
+    """Diagonal M routes through the fused kernel and matches general."""
+    from krylov_tpu.operators import DiagonalOperator
+    D, pd, b, n = _problem(dtype=np.float64)
+    # variable diagonal makes Jacobi non-trivial
+    data = np.asarray(D.data).copy()
+    zi = list(D.offsets).index(0)
+    data[zi] = 6.0 + 0.5 * np.sin(np.arange(n))
+    D2 = type(D)(jnp.asarray(data), D.offsets, D.shape)
+    M = DiagonalOperator(jnp.asarray(1.0 / data[zi]))
+    op_fast = DIAOperator(D2, use_pallas=True)
+    op_ref = DIAOperator(D2, use_pallas=False)
+    x, stats = cg(op_fast, b, M=M, atol=0.0, rtol=1e-8)
+    xr, stats_ref = cg(op_ref, b, M=M, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_cg_fused_posdef_violation_raises():
+    from krylov_tpu.operators import DiagonalOperator
+    D, pd, b, n = _problem(dtype=np.float64)
+    M = DiagonalOperator(jnp.full(n, -1.0))
+    op = DIAOperator(D, use_pallas=True)
+    with pytest.raises(ValueError, match="positive definite"):
+        cg(op, b, M=M, atol=0.0, rtol=1e-8)
