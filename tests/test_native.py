@@ -302,3 +302,77 @@ class TestNativeRound2Kernels:
         x, info = native.native_solve("minares", A, b, atol=1e-9, rtol=1e-9)
         assert info["solved"], info["status"]
         assert np.linalg.norm(A @ (b - A @ x)) <= 1e-5
+
+
+class TestNativeComplexRound2:
+    """complex128 coverage of the round-2 kernels (conj placement)."""
+
+    def _cplx(self, rng, shape):
+        return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+    def test_minres_qlp_hermitian(self):
+        rng = np.random.default_rng(0)
+        n = 30
+        H = self._cplx(rng, (n, n))
+        H = H + H.conj().T + 2 * n * np.eye(n)
+        b = self._cplx(rng, n)
+        x, info = native.native_solve("minres_qlp", H, b, atol=1e-10,
+                                      rtol=1e-10)
+        assert info["solved"]
+        assert np.linalg.norm(H @ x - b) <= 1e-7
+
+    @pytest.mark.parametrize("method", ["diom", "dqgmres"])
+    def test_truncated_complex(self, method):
+        rng = np.random.default_rng(0)
+        n = 30
+        M = self._cplx(rng, (n, n)) + 3 * n * np.eye(n)
+        b = self._cplx(rng, n)
+        x, info = native.native_solve(method, M, b, atol=1e-10, rtol=1e-10)
+        assert info["solved"], (method, info["status"])
+        assert np.linalg.norm(M @ x - b) <= 1e-7
+
+    def test_lnlq_complex_min_norm(self):
+        rng = np.random.default_rng(0)
+        A = self._cplx(rng, (20, 45))
+        b = A @ self._cplx(rng, 45)
+        x, info = native.native_solve("lnlq", A, b, atol=1e-11, rtol=1e-11)
+        assert np.linalg.norm(A @ x - b) <= 1e-10
+        assert np.linalg.norm(x - A.conj().T @ info["y"]) <= 1e-8
+
+    @pytest.mark.parametrize("method", ["tricg", "trimr"])
+    def test_saddle_complex(self, method):
+        rng = np.random.default_rng(0)
+        A = self._cplx(rng, (25, 18)) * 0.2
+        bm = self._cplx(rng, 25)
+        cn = self._cplx(rng, 18)
+        x, info = native.native_solve(method, A, bm, c=cn, atol=1e-10,
+                                      rtol=1e-10)
+        y = info["y"]
+        top = bm - (x + A @ y)
+        bot = cn - (A.conj().T @ x - y)
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        assert rr <= 1e-7, method
+
+    def test_gpmr_complex(self):
+        rng = np.random.default_rng(0)
+        A = self._cplx(rng, (25, 18)) * 0.2
+        bm = self._cplx(rng, 25)
+        cn = self._cplx(rng, 18)
+        x, info = native.native_solve("gpmr", A, bm, c=cn, atol=1e-10,
+                                      rtol=1e-10)
+        y = info["y"]
+        top = bm - (x + A @ y)
+        bot = cn - (A.conj().T @ x + y)   # B = Aᴴ through the At slot
+        rr = np.sqrt(np.linalg.norm(top) ** 2 + np.linalg.norm(bot) ** 2)
+        assert rr <= 1e-10
+
+    def test_bilqr_complex(self):
+        rng = np.random.default_rng(0)
+        n = 30
+        M = self._cplx(rng, (n, n)) + 3 * n * np.eye(n)
+        b = self._cplx(rng, n)
+        cvec = self._cplx(rng, n)
+        x, info = native.native_solve("bilqr", M, b, c=cvec, atol=1e-10,
+                                      rtol=1e-10)
+        assert np.linalg.norm(M @ x - b) <= 1e-7
+        assert np.linalg.norm(M.conj().T @ info["y"] - cvec) <= 1e-7
