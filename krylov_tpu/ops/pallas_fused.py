@@ -463,3 +463,161 @@ def minres_dia_fused_supported(offsets, n, dtype):
     nd = len(tuple(offsets))
     bytes_ = (nd + 7) * rows * LANES * jnp.dtype(dtype).itemsize
     return bytes_ < 100 * (1 << 20)
+
+
+# CR-specific status codes (krylov_tpu/solvers/cr.py)
+_NUMERICAL = 25
+_ZERO_CURV_B = 26
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def cr_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
+    """Full CR (conjugate residuals) solve for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/cr.py:_cr_core on the
+    default path (M = I, no trust region, no linesearch; reference
+    src/cr.jl).  Returns (x, niter, rNorm, status_code, indef_error) —
+    indef_error mirrors the general core's "indefinite system and no
+    trust region" raise.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    sqeps = float(np.sqrt(np.finfo(np.dtype(T)).eps))
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    atol_s = jnp.asarray(atol, T).reshape(1, 1)
+    rtol_s = jnp.asarray(rtol, T).reshape(1, 1)
+
+    def kernel(itmax_ref, atol_ref, rtol_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref, indef_ref,
+               rpad_ref, p_ref, q_ref):
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        rpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        rpad_ref[P: P + rows] = bv
+        rnorm2_0 = jnp.sum(bv * bv)
+        rnorm0 = jnp.sqrt(rnorm2_0)
+        Ar0 = _stencil(rpad_ref, pd_ref, shifts, P, rows, T)
+        rho0 = jnp.sum(bv * Ar0)
+        p_ref[:] = bv
+        q_ref[:] = Ar0
+        eps_lim = atol_ref[0, 0] + rtol_ref[0, 0] * rnorm0
+        cap = itmax_ref[0, 0]
+        status0 = jnp.where(
+            rnorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rho0 == 0, jnp.int32(_ZERO_CURV_B),
+                      jnp.where(rnorm0 <= eps_lim, jnp.int32(_SOLVED),
+                                jnp.int32(_RUNNING))))
+
+        def cond(c):
+            it, rho, rnorm2, rnorm, pNorm2, pr, pAp, status, indef = c
+            return (status == _RUNNING) & (it < cap)
+
+        def body(c):
+            it, rho, rnorm2, rnorm, pNorm2, pr, pAp, status, indef = c
+            indef_n = indef | (pAp <= 0).astype(jnp.int32)
+
+            qv = q_ref[:]
+            qMq = jnp.sum(qv * qv)
+            alpha = rho / jnp.where(qMq == 0, jnp.ones_like(qMq), qMq)
+            pv = p_ref[:]
+            x_ref[:] = x_ref[:] + alpha * pv
+            rv = rpad_ref[P: P + rows] - alpha * qv
+            rpad_ref[P: P + rows] = rv
+            rnorm2_n = jnp.sum(rv * rv)
+            rnorm_n = jnp.sqrt(rnorm2_n)
+            Ar = _stencil(rpad_ref, pd_ref, shifts, P, rows, T)
+
+            it_n = it + 1
+            solved = (rnorm_n <= eps_lim) | ((rnorm_n + 1.0) <= 1.0)
+
+            rho_n = jnp.sum(rv * Ar)
+            beta = rho_n / jnp.where(rho == 0, jnp.ones_like(rho), rho)
+            stay = jnp.logical_not(solved)
+            cb = jnp.where(stay, jnp.ones_like(beta), jnp.zeros_like(beta))
+            bb = jnp.where(stay, beta, jnp.ones_like(beta))
+            p_ref[:] = cb * rv + bb * pv
+            q_ref[:] = cb * Ar + bb * qv
+
+            pNorm2_n = rnorm2_n + 2 * beta * pr - 2 * beta * alpha * pAp \
+                + beta * beta * pNorm2
+            pnorm_bad = pNorm2_n <= -sqeps
+            pr_n = rnorm2_n + beta * pr - beta * alpha * pAp
+            pAp_n = rho_n + beta * beta * pAp
+
+            code = jnp.where(solved, jnp.int32(_SOLVED), jnp.int32(_RUNNING))
+            code = jnp.where((~solved) & pnorm_bad, jnp.int32(_NUMERICAL),
+                             code)
+
+            rho_o = jnp.where(solved, rho, rho_n)
+            pNorm2_o = jnp.where(solved, pNorm2, pNorm2_n)
+            pr_o = jnp.where(solved, pr, pr_n)
+            pAp_o = jnp.where(solved, pAp, pAp_n)
+            return (it_n, rho_o, rnorm2_n, rnorm_n, pNorm2_o, pr_o, pAp_o,
+                    code, indef_n)
+
+        out = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), rho0, rnorm2_0, rnorm0, rnorm2_0, rnorm2_0, rho0,
+             status0, jnp.int32(0)))
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[3]
+        status_ref[0, 0] = out[7]
+        indef_ref[0, 0] = out[8]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status, indef = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd + 6) * vec_bytes * 1.3) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, atol_s, rtol_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
+            indef[0, 0])
+
+
+def cr_dia_fused_supported(offsets, n, dtype):
+    """Static gate: working set (pd + 5 vectors) fits in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    rows, P = _plan(offsets, n)
+    nd = len(tuple(offsets))
+    bytes_ = (nd + 6) * rows * LANES * jnp.dtype(dtype).itemsize
+    return bytes_ < 100 * (1 << 20)

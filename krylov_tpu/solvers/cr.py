@@ -385,6 +385,36 @@ def _cr_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and not linesearch and radius == 0 and callback is None
+            and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import cr_dia_fused, cr_dia_fused_supported
+        if cr_dia_fused_supported(A.dia.offsets, n, b.dtype):
+            b_eff = b if x0 is None else b - A.matvec(x0)
+            x, niter, rnorm, status, indef = cr_dia_fused(
+                A._pd, A.dia.offsets, b_eff, atol, rtol, itmax)
+            niter, code, indef = jax.device_get([niter, status, indef])
+            if int(indef):
+                raise ValueError("Indefinite system and no trust region")
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if x0 is not None and code not in (rt.NPC, ZERO_CURV_B):
+                x = x + x0
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code == ZERO_CURV_B,
+                inconsistent=False,
+                indefinite=False,
+                npc_count=0,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _CR_STATUS),
+            )
+            return x, stats, None
+
     def run(state, cap):
         return _cr_core(
             A, M, b, x0, state, jnp.int32(cap), atol, rtol, float(radius),

@@ -156,3 +156,28 @@ def test_cg_fused_posdef_violation_raises():
     op = DIAOperator(D, use_pallas=True)
     with pytest.raises(ValueError, match="positive definite"):
         cg(op, b, M=M, atol=0.0, rtol=1e-8)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_cr_matches_general(dtype):
+    from krylov_tpu import cr
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = cr(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = cr(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_cr_zero_rhs_and_warm():
+    from krylov_tpu import cr
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = cr(op, jnp.zeros(n))
+    assert stats.status == "x is a zero-residual solution"
+    x1, _ = cr(op, b, atol=0.0, rtol=1e-3)
+    x2, stats = cr(op, b, x1, atol=0.0, rtol=1e-9)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.1
