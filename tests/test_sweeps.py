@@ -80,3 +80,27 @@ class TestShow:
         x, stats = kt.cg(A, b, timemax=1e-6, rtol=1e-30, atol=1e-30)
         assert stats.status == "time limit exceeded"
         assert 0 < stats.niter < 2 * 4096
+
+
+class TestTimemaxSweep:
+    """The chunked host-checked driver works for every family shape."""
+
+    # bicgstab is excluded: its machine-precision guard fires inside the
+    # first 64-iteration driver chunk on well-conditioned fixtures.
+    @pytest.mark.parametrize("method", ["cg", "minres", "gmres",
+                                        "lsqr", "craig", "bilq"])
+    def test_timemax_overtimed(self, method):
+        # 13824 unknowns (CSR operator): hundreds of iterations to any
+        # machine-precision stop, so the first host-side time check
+        # (after one 64-iteration chunk) reliably fires mid-solve.
+        A, b = fx.sparse_laplacian(24)
+        kw = {"etol": 1e-30} if method == "minres" else {}
+        out = kt.krylov_solve(method, A, b, timemax=1e-7, rtol=1e-30,
+                              atol=1e-30, **kw)
+        stats = out[1] if len(out) == 2 else out[2]
+        assert stats.status == "time limit exceeded", (method, stats.status)
+
+    def test_timemax_still_converges_when_fast(self):
+        A, b = fx.symmetric_definite(n=20)
+        x, stats = kt.cg(np.asarray(A), b, timemax=30.0)
+        assert stats.solved
