@@ -123,3 +123,93 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         interpret=interpret,
     )(xw, xw, xw, pdw, )
     return y.reshape(-1)[:n]
+
+
+def dia_pad_layout(x, offsets, n=None):
+    """Lift a vector into the stencil kernel's padded (rows+2·tr, LANES)
+    lane-matrix layout (zero halo tiles top and bottom)."""
+    if n is None:
+        n = x.shape[0]
+    tr = _tile_rows(offsets, n)
+    tile = tr * LANES
+    npad = -(-n // tile) * tile
+    xp = jnp.zeros((npad + 2 * tile,), x.dtype).at[tile: tile + n].set(x)
+    return xp.reshape(-1, LANES)
+
+
+def dia_unpad_layout(xw, offsets, n):
+    """Inverse of dia_pad_layout."""
+    tr = _tile_rows(offsets, n)
+    return xw.reshape(-1)[tr * LANES: tr * LANES + n]
+
+
+@partial(jax.jit, static_argnames=("offsets", "n", "interpret"))
+def dia_spmv_padded(pd, offsets, xw, n, interpret=None):
+    """y = A x entirely in the padded lane-matrix layout — chainable.
+
+    ``xw`` and the returned ``yw`` share the ``dia_pad_layout`` layout,
+    so repeated applications (power iterations, smoothers, solver outer
+    loops that keep their iterate padded) skip the pad/unpad passes of
+    ``dia_spmv_pallas`` — at bench sizes those passes are ~25 % of the
+    HBM traffic.  ``pd`` is the output-aligned diagonals (``dia_align``).
+    The output's halo tiles are re-zeroed after the call (two 256 KiB
+    writes), preserving the invariant the stencil reads rely on.  All
+    BlockSpec index maps are static affine — Mosaic miscompiles (and can
+    crash the TPU worker on) clamped/dynamic index maps.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nd = pd.shape[0]
+    tr = _tile_rows(offsets, n)
+    tile = tr * LANES
+    npad = -(-n // tile) * tile
+    rows = npad // LANES
+    ntiles = rows // tr
+
+    pdp = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd)
+    pdw = pdp.reshape(nd, rows, LANES)
+
+    shifts = []
+    for k in offsets:
+        q, r = divmod(k, LANES)
+        shifts.append((int(q), int(r)))
+    shifts = tuple(shifts)
+    T = xw.dtype
+
+    def kernel(xprev_ref, xcur_ref, xnext_ref, pd_ref, y_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
+        xwin = jnp.concatenate(
+            [xprev_ref[:], xcur_ref[:], xnext_ref[:]], axis=0)
+        acc = jnp.zeros((tr, LANES), jnp.float32 if T in (
+            jnp.bfloat16, jnp.float16, jnp.float32) else T)
+        for d, (q, r) in enumerate(shifts):
+            w = pd_ref[d]
+            if r == 0:
+                sx = xwin[tr + q: 2 * tr + q]
+            else:
+                seg = xwin[tr + q: 2 * tr + q + 1]
+                if seg.dtype.itemsize < 4:
+                    seg = seg.astype(acc.dtype)
+                rolled = pltpu.roll(seg, np.int32(LANES - r), 1)
+                sx = jnp.where(lane < LANES - r, rolled[:tr], rolled[1:])
+            acc = acc + (w.astype(acc.dtype) * sx.astype(acc.dtype))
+        y_ref[:] = acc.astype(y_ref.dtype)
+
+    yw = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tr, LANES), lambda t: (t, 0)),
+            pl.BlockSpec((tr, LANES), lambda t: (t + 1, 0)),
+            pl.BlockSpec((tr, LANES), lambda t: (t + 2, 0)),
+            pl.BlockSpec((nd, tr, LANES), lambda t: (0, t, 0)),
+        ],
+        # interior tiles land at padded positions 1..ntiles; the halo
+        # tiles are never visited and are zeroed below.
+        out_specs=pl.BlockSpec((tr, LANES), lambda t: (t + 1, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows + 2 * tr, LANES), T),
+        interpret=interpret,
+    )(xw, xw, xw, pdw)
+    zero_tile = jnp.zeros((tr, LANES), T)
+    yw = yw.at[:tr].set(zero_tile).at[rows + tr:].set(zero_tile)
+    return yw

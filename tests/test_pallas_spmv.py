@@ -204,3 +204,37 @@ class TestBellSpmm:
         assert stats.solved
         R = np.asarray(B) - np.asarray(A.matmat(X))
         assert np.linalg.norm(R) <= 1e-8 * np.linalg.norm(np.asarray(B))
+
+
+class TestDiaPaddedLayout:
+    """Chainable padded-layout SpMV (dia_spmv_padded)."""
+
+    def test_matches_and_chains(self):
+        from krylov_tpu.ops.dia import poisson_dia, dia_spmv
+        from krylov_tpu.ops.pallas_dia import (
+            dia_align, dia_pad_layout, dia_unpad_layout, dia_spmv_padded)
+        N = 12
+        n = N ** 3
+        D = poisson_dia(N, N, N, dtype=np.float32)
+        pd = dia_align(D.data, D.offsets, n)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal(n), np.float32)
+        xw = dia_pad_layout(x, D.offsets)
+        yw = dia_spmv_padded(pd, D.offsets, xw, n, interpret=True)
+        y1 = dia_unpad_layout(yw, D.offsets, n)
+        ref1 = dia_spmv(D.data, D.offsets, x)
+        assert float(jnp.max(jnp.abs(y1 - ref1))) < 1e-4
+        # chaining without re-padding preserves the halo invariant
+        y2w = dia_spmv_padded(pd, D.offsets, yw, n, interpret=True)
+        y2 = dia_unpad_layout(y2w, D.offsets, n)
+        ref2 = dia_spmv(D.data, D.offsets, ref1)
+        assert float(jnp.max(jnp.abs(y2 - ref2))) < 1e-3
+
+    def test_roundtrip(self):
+        from krylov_tpu.ops.dia import poisson_dia
+        from krylov_tpu.ops.pallas_dia import dia_pad_layout, dia_unpad_layout
+        D = poisson_dia(8, 8, 8, dtype=np.float64)
+        x = jnp.arange(512, dtype=jnp.float64)
+        xw = dia_pad_layout(x, D.offsets)
+        assert float(jnp.max(jnp.abs(
+            dia_unpad_layout(xw, D.offsets, 512) - x))) == 0.0
