@@ -152,19 +152,25 @@ def drive(run, itmax, timemax, start_time=None, chunk=64):
     """
     if start_time is None:
         start_time = time.perf_counter()
-    if not math.isfinite(timemax):
-        return run(None, itmax), False
+    # TPU matmuls default to bf16 passes for f32 operands; every
+    # orthogonalization/QR inside the solver cores must run at true f32
+    # (observed: block/Arnoldi methods stall at ~1e-3 relative accuracy
+    # on a v5e without this).  The context is part of the jit cache key,
+    # so cached re-solves stay cached.
+    with jax.default_matmul_precision("highest"):
+        if not math.isfinite(timemax):
+            return run(None, itmax), False
 
-    cap = 0
-    state = None
-    while True:
-        cap = min(cap + chunk, itmax)
-        state = run(state, cap)
-        status = int(jax.device_get(state.status))
-        if status != RUNNING or cap >= itmax:
-            return state, False
-        if time.perf_counter() - start_time > timemax:
-            return state, True
+        cap = 0
+        state = None
+        while True:
+            cap = min(cap + chunk, itmax)
+            state = run(state, cap)
+            status = int(jax.device_get(state.status))
+            if status != RUNNING or cap >= itmax:
+                return state, False
+            if time.perf_counter() - start_time > timemax:
+                return state, True
 
 
 def host_state(state, max_fetch_elems=256):

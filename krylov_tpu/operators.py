@@ -172,17 +172,21 @@ class MatrixOperator(AbstractLinearOperator):
         self.shape = A.shape
         self.dtype = A.dtype
 
+    # precision=HIGHEST: TPU f32 matmuls otherwise run as bf16 passes,
+    # which silently degrades every solver applied to a dense operator.
     def matvec(self, x):
-        return self.A @ x
+        return jnp.matmul(self.A, x, precision=jax.lax.Precision.HIGHEST)
 
     def rmatvec(self, x):
-        return jnp.conj(self.A.T) @ x
+        return jnp.matmul(jnp.conj(self.A.T), x,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def matmat(self, X):
-        return self.A @ X
+        return jnp.matmul(self.A, X, precision=jax.lax.Precision.HIGHEST)
 
     def rmatmat(self, X):
-        return jnp.conj(self.A.T) @ X
+        return jnp.matmul(jnp.conj(self.A.T), X,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def tree_flatten(self):
         return (self.A,), None

@@ -12,6 +12,7 @@ unless ``allow_breakdown=True``, matching the reference's error text.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ._dtypes import real_dtype
@@ -19,11 +20,25 @@ from .operators import as_operator
 from .ops.kops import kdot, kdotr, knorm
 
 
+def _hi(fn):
+    """Run a process builder under true-f32 matmul precision: TPU f32
+    matmuls otherwise execute as bf16 passes, destroying the basis
+    orthogonality these factorizations exist to provide."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapper
+
+
 def _chk(val, allow, what):
     if not allow and float(val) == 0:
         raise ValueError(f"Exact breakdown {what} == 0.")
 
 
+@_hi
 def hermitian_lanczos(A, b, k, allow_breakdown=False, reorthogonalization=False):
     """V, β₁, T with A Vₖ = Vₖ₊₁ Tₖ₊₁.ₖ (reference :28-103).
 
@@ -68,6 +83,7 @@ def hermitian_lanczos(A, b, k, allow_breakdown=False, reorthogonalization=False)
     return jnp.stack(V, axis=1), float(beta1), jnp.asarray(Tm)
 
 
+@_hi
 def nonhermitian_lanczos(A, b, c, k, allow_breakdown=False):
     """V, β₁, T, U, γ₁ᴴ, Tᴴ — Lanczos biorthogonalization (reference :133-224)."""
     A = as_operator(A, need_adjoint=True)
@@ -115,6 +131,7 @@ def nonhermitian_lanczos(A, b, c, k, allow_breakdown=False):
             jnp.stack(U, axis=1), complex(jnp.conj(gamma1)), jnp.asarray(Th))
 
 
+@_hi
 def arnoldi(A, b, k, allow_breakdown=False, reorthogonalization=False):
     """V, β, H with A Vₖ = Vₖ₊₁ Hₖ₊₁.ₖ (reference :250-296)."""
     A = as_operator(A)
@@ -143,6 +160,7 @@ def arnoldi(A, b, k, allow_breakdown=False, reorthogonalization=False):
     return jnp.stack(V, axis=1), float(beta), jnp.asarray(H)
 
 
+@_hi
 def golub_kahan(A, b, k, allow_breakdown=False):
     """V, U, β₁, L — Golub-Kahan bidiagonalization (reference :323-402).
 
@@ -181,6 +199,7 @@ def golub_kahan(A, b, k, allow_breakdown=False):
             jnp.asarray(L))
 
 
+@_hi
 def saunders_simon_yip(A, b, c, k, allow_breakdown=False):
     """V, β₁, T, U, γ₁ᴴ, Tᴴ — orthogonal tridiagonalization (reference :431-524)."""
     A = as_operator(A, need_adjoint=True)
@@ -225,6 +244,7 @@ def saunders_simon_yip(A, b, c, k, allow_breakdown=False):
             jnp.stack(U, axis=1), float(gamma1), jnp.asarray(Th))
 
 
+@_hi
 def montoison_orban(A, B, b, c, k, allow_breakdown=False,
                     reorthogonalization=False):
     """V, β, H, U, γ, F — orthogonal Hessenberg reduction of [0 A; B 0]
@@ -318,6 +338,7 @@ def _block_qr(W, algo="householder"):
     return jnp.stack(cols, axis=1), jnp.stack(rows, axis=0).T
 
 
+@_hi
 def block_hermitian_lanczos(A, B, k, algo="householder"):
     """V (n, (k+1)p), Ψ₁ (p,p), T ((k+1)p, kp) — reference :20-117."""
     A = as_operator(A)
@@ -345,6 +366,7 @@ def block_hermitian_lanczos(A, B, k, algo="householder"):
     return jnp.concatenate(Vs, axis=1), Psi1, jnp.asarray(T)
 
 
+@_hi
 def block_arnoldi(A, B, k, algo="householder", reorthogonalization=False):
     """V, Γ, H — block Arnoldi (reference :249-325)."""
     A = as_operator(A)
@@ -370,6 +392,7 @@ def block_arnoldi(A, B, k, algo="householder", reorthogonalization=False):
     return jnp.concatenate(Vs, axis=1), Gamma, jnp.asarray(H)
 
 
+@_hi
 def block_golub_kahan(A, B, k, algo="householder"):
     """V, U, Ψ₁, L — block Golub-Kahan (reference :326-441)."""
     A = as_operator(A, need_adjoint=True)
@@ -397,6 +420,7 @@ def block_golub_kahan(A, B, k, algo="householder"):
             Psi1, jnp.asarray(L))
 
 
+@_hi
 def block_nonhermitian_lanczos(A, B, C, k, algo="householder"):
     """Block bi-Lanczos (reference :118-248).
 
@@ -444,6 +468,7 @@ def block_nonhermitian_lanczos(A, B, C, k, algo="householder"):
             jnp.concatenate(Us, axis=1), jnp.conj(D1.T), jnp.asarray(Th))
 
 
+@_hi
 def block_saunders_simon_yip(A, B, C, k, algo="householder"):
     """Block SSY tridiagonalization (reference :442-582)."""
     A = as_operator(A, need_adjoint=True)
@@ -484,6 +509,7 @@ def block_saunders_simon_yip(A, B, C, k, algo="householder"):
             jnp.concatenate(Us, axis=1), Phi1, jnp.asarray(Th))
 
 
+@_hi
 def block_montoison_orban(A, B, D, C, k, algo="householder",
                           reorthogonalization=False):
     """Block orthogonal Hessenberg reduction (reference :583-666).
