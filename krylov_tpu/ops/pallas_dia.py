@@ -152,10 +152,11 @@ def dia_spmv_padded(pd, offsets, xw, n, interpret=None):
     loops that keep their iterate padded) skip the pad/unpad passes of
     ``dia_spmv_pallas`` — at bench sizes those passes are ~25 % of the
     HBM traffic.  ``pd`` is the output-aligned diagonals (``dia_align``).
-    The output's halo tiles are re-zeroed after the call (two 256 KiB
-    writes), preserving the invariant the stencil reads rely on.  All
-    BlockSpec index maps are static affine — Mosaic miscompiles (and can
-    crash the TPU worker on) clamped/dynamic index maps.
+    The stencil masks its x window against the interior bounds, so the
+    halo tiles of the layout are don't-care values and the output (whose
+    halo tiles are never written) chains directly.  All BlockSpec index
+    maps are static affine — Mosaic miscompiles (and can crash the TPU
+    worker on) clamped/dynamic index maps.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -177,9 +178,15 @@ def dia_spmv_padded(pd, offsets, xw, n, interpret=None):
     T = xw.dtype
 
     def kernel(xprev_ref, xcur_ref, xnext_ref, pd_ref, y_ref):
+        t = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
         xwin = jnp.concatenate(
             [xprev_ref[:], xcur_ref[:], xnext_ref[:]], axis=0)
+        # Mask the window against the interior bounds so the halo tiles
+        # of the layout are don't-care (the output's halo tiles are never
+        # written, so chained applications would otherwise read garbage).
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (3 * tr, LANES), 0)             + (t - 1) * tr
+        xwin = jnp.where((wrow >= 0) & (wrow < rows), xwin, 0)
         acc = jnp.zeros((tr, LANES), jnp.float32 if T in (
             jnp.bfloat16, jnp.float16, jnp.float32) else T)
         for d, (q, r) in enumerate(shifts):
@@ -204,12 +211,10 @@ def dia_spmv_padded(pd, offsets, xw, n, interpret=None):
             pl.BlockSpec((tr, LANES), lambda t: (t + 2, 0)),
             pl.BlockSpec((nd, tr, LANES), lambda t: (0, t, 0)),
         ],
-        # interior tiles land at padded positions 1..ntiles; the halo
-        # tiles are never visited and are zeroed below.
+        # interior tiles land at padded positions 1..ntiles; halo tiles
+        # are never written and never read unmasked.
         out_specs=pl.BlockSpec((tr, LANES), lambda t: (t + 1, 0)),
         out_shape=jax.ShapeDtypeStruct((rows + 2 * tr, LANES), T),
         interpret=interpret,
     )(xw, xw, xw, pdw)
-    zero_tile = jnp.zeros((tr, LANES), T)
-    yw = yw.at[:tr].set(zero_tile).at[rows + tr:].set(zero_tile)
     return yw
