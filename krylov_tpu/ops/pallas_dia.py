@@ -150,8 +150,10 @@ def dia_spmv_padded(pd, offsets, xw, n, interpret=None):
     ``xw`` and the returned ``yw`` share the ``dia_pad_layout`` layout,
     so repeated applications (power iterations, smoothers, solver outer
     loops that keep their iterate padded) skip the pad/unpad passes of
-    ``dia_spmv_pallas`` — at bench sizes those passes are ~25 % of the
-    HBM traffic.  ``pd`` is the output-aligned diagonals (``dia_align``).
+    ``dia_spmv_pallas``.  (Measured on a v5e the two forms run at the
+    same rate — XLA fuses the layout transforms into the operand
+    pipeline — so this exists for layout control, not throughput.)
+    ``pd`` is the output-aligned diagonals (``dia_align``).
     The stencil masks its x window against the interior bounds, so the
     halo tiles of the layout are don't-care values and the output (whose
     halo tiles are never written) chains directly.  All BlockSpec index
