@@ -142,13 +142,18 @@ def main():
                                for i in range(s_)])
                 it, chk = multi(pdm, B, s_)
                 int(it), float(chk)                  # warm
-                t0 = time.perf_counter()
-                it, chk = multi(pdm, B, s_)
-                tot = int(it)
-                float(chk)
-                out[s_] = (time.perf_counter() - t0, tot)
+                best = float("inf")
+                for _ in range(3):                   # tunnel RTT jitters
+                    t0 = time.perf_counter()
+                    it, chk = multi(pdm, B, s_)
+                    tot = int(it)
+                    float(chk)
+                    best = min(best, time.perf_counter() - t0)
+                out[s_] = (best, tot)
             (t1, i1), (tS, iS) = out[1], out[S]
             per_iter = (tS - t1) / max(iS - i1, 1)
+            if per_iter <= 0:                        # noise floor: bound by tS/S
+                per_iter = tS / max(iS, 1)
             iters_per_solve = iS / S
             return per_iter * iters_per_solve, per_iter, int(iters_per_solve)
 
@@ -188,13 +193,18 @@ def main():
                            for i in range(s_)])
             it, chk = multi_mr(pd, B, s_)
             int(it), float(chk)
-            t0 = time.perf_counter()
-            it, chk = multi_mr(pd, B, s_)
-            tot = int(it)
-            float(chk)
-            mr_out[s_] = (time.perf_counter() - t0, tot)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                it, chk = multi_mr(pd, B, s_)
+                tot = int(it)
+                float(chk)
+                best = min(best, time.perf_counter() - t0)
+            mr_out[s_] = (best, tot)
         (t1, i1), (tS, iS) = mr_out[1], mr_out[16]
         mr_per_iter = (tS - t1) / max(iS - i1, 1)
+        if mr_per_iter <= 0:
+            mr_per_iter = tS / max(iS, 1)
         minres_dev_ms = mr_per_iter * (iS / 16) * 1e3
         log(f"bench: minres 64^3 device {minres_dev_ms:.3f} ms/solve")
 
