@@ -108,6 +108,34 @@ def dia_from_scipy(A_scipy, dtype=None):
                      D.shape)
 
 
+def convdiff_dia(n1, n2=None, n3=None, pe=0.3, dtype=np.float32):
+    """Nonsymmetric 3-D convection-diffusion stencil in DIA form.
+
+    -Δu + β·uₓ on the unit-grid 7-point stencil with central differences:
+    diagonal 6, x-neighbors -(1 ± pe) where ``pe`` = β·h/2 is the cell
+    Péclet number, y/z neighbors -1.  This is the BASELINE.md
+    "GMRES(restart) + BiCGSTAB on nonsymmetric convection-diffusion"
+    fixture (reference benchmark configs; cf. test/test_utils.jl's
+    nonsymmetric generators).
+    """
+    n2 = n1 if n2 is None else n2
+    n3 = n1 if n3 is None else n3
+    n = n1 * n2 * n3
+    offs = (-n1 * n2, -n1, -1, 0, 1, n1, n1 * n2)
+    data = np.zeros((7, n), dtype=dtype)
+    data[3] = 6.0
+    idx = np.arange(n)
+    ix = idx % n1
+    iy = (idx // n1) % n2
+    data[4][(ix != 0)] = -(1.0 - pe)      # A[i, i+1] (downwind)
+    data[2][(ix != n1 - 1)] = -(1.0 + pe)  # A[i, i-1] (upwind)
+    data[5][(iy != 0)] = -1.0
+    data[1][(iy != n2 - 1)] = -1.0
+    data[6][idx // (n1 * n2) != 0] = -1.0
+    data[0][idx // (n1 * n2) != n3 - 1] = -1.0
+    return DIAMatrix(jnp.asarray(data), offs, (n, n))
+
+
 def poisson_dia(n1, n2=None, n3=None, dtype=np.float32):
     """The reference's get_div_grad 3-D Poisson operator in DIA form
     (test/get_div_grad.jl:8-19), built directly from the stencil."""
