@@ -191,12 +191,40 @@ def main():
         eps = float(np.sqrt(np.finfo(dtype).eps))
         mr64 = measure("minres_fused_64", adapters.make_minres_fused(
             pd, D.offsets, b, rtol, 2 * n, eps))
+    # fp64-grade solve from f32 storage: double-word iterative refinement
+    # (inner solves ride the fused kernel; outer loop is host-driven, so
+    # wall-clock includes ~8-10 tunnel RTTs)
+    dw = None
+    if on_tpu:
+        log("bench: cg double_word...")
+        rng_dw = np.random.default_rng(7)
+        bdw = jnp.asarray(rng_dw.standard_normal(n).astype(dtype))
+        xdw, stdw = cg(op, bdw, atol=0.0, rtol=1.5e-8,
+                       precision="double_word")
+        t0 = time.perf_counter()
+        xdw, stdw = cg(op, bdw, atol=0.0, rtol=1.5e-8,
+                       precision="double_word")
+        dw_wall = time.perf_counter() - t0
+        import scipy.sparse as _sp
+        A64 = _sp.dia_matrix(
+            (np.asarray(D.data, np.float64), np.asarray(D.offsets)),
+            shape=(n, n)).tocsr()
+        rres = np.asarray(bdw, np.float64) - A64 @ xdw
+        dw = {"niter": stdw.niter, "wallclock_s": round(dw_wall, 4),
+              "rtol": 1.5e-8,
+              "true_relres_f64": float(np.linalg.norm(rres)
+                                       / np.linalg.norm(np.asarray(bdw))),
+              "solved": stdw.solved}
+        log(f"bench: cg dw niter={stdw.niter} true_relres="
+            f"{dw['true_relres_f64']:.2e} wall={dw_wall:.3f}s")
+
     configs["cg_poisson"] = {
         "n": n, "wallclock_library_call_s": round(best_cg, 5),
         "niter": cg_niter, "rtol": rtol,
         "note": "~28 ms of the wall-clock is one tunnel round trip",
         "fused_64cubed": cg64, "fused_128cubed": cg128,
         "minres_fused_64cubed": mr64,
+        "double_word_64cubed": dw,
     }
 
     # ------------------------------------------------------------------

@@ -97,6 +97,35 @@ def dia_spmm(data, offsets, X):
     return Y
 
 
+@partial(jax.jit, static_argnames=("offsets",))
+def dia_spmv_dw(data, offsets, x_hi, x_lo):
+    """Double-word SpMV: (y_hi, y_lo) ≈ A·(x_hi + x_lo) with compensated
+    products and accumulation — the residual kernel of the
+    ``precision="double_word"`` iterative-refinement path.  Per-diagonal
+    products use Dekker TwoProd on x_hi; the x_lo contribution and all
+    product/sum error terms accumulate in the lo word."""
+    from .kops import _two_prod_vec, two_sum
+
+    n = x_hi.shape[0]
+
+    def shift(v, k):
+        if k == 0:
+            return v
+        if k > 0:
+            return jnp.pad(v[k:], (0, k))
+        return jnp.pad(v[:n + k], (-k, 0))
+
+    y_hi = jnp.zeros_like(x_hi)
+    y_lo = jnp.zeros_like(x_hi)
+    for d, k in enumerate(offsets):
+        p, e = _two_prod_vec(data[d], x_hi)
+        lo = e + data[d] * x_lo
+        p, lo = shift(p, k), shift(lo, k)
+        s, e2 = two_sum(y_hi, p)
+        y_hi, y_lo = s, y_lo + (e2 + lo)
+    return two_sum(y_hi, y_lo)
+
+
 def dia_from_scipy(A_scipy, dtype=None):
     """Build a DIAMatrix from any scipy.sparse matrix (host-side)."""
     import scipy.sparse as sp

@@ -113,6 +113,43 @@ def knorm2(x):
 
 
 # ---------------------------------------------------------------------------
+# double-word (hi, lo) vector arithmetic — fp64-grade storage from pairs of
+# fp32 arrays.  A dw vector represents hi + lo elementwise with
+# |lo| ≤ ulp(hi)/2, giving ~48 mantissa bits on f32 hardware.  These feed
+# the `precision="double_word"` iterative-refinement path: inner solves run
+# plain f32 (fused kernels eligible), the outer loop accumulates x and the
+# residual in dw so the TRUE residual reaches fp64 tolerances
+# (SURVEY.md §7.2 "fp64 on TPU").
+# ---------------------------------------------------------------------------
+
+def two_sum(a, b):
+    """Exact addition: s + e == a + b with s = fl(a+b) (Knuth TwoSum)."""
+    s = a + b
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
+    return s, e
+
+
+def dw_add(hi, lo, y):
+    """(hi, lo) + y  →  renormalized dw pair (y a plain vector)."""
+    s, e = two_sum(hi, y)
+    return two_sum(s, e + lo)
+
+
+def dw_add_dw(hi, lo, yhi, ylo):
+    """(hi, lo) + (yhi, ylo)  →  renormalized dw pair."""
+    s, e = two_sum(hi, yhi)
+    return two_sum(s, e + (lo + ylo))
+
+
+def dw_norm(hi, lo):
+    """Compensated ‖hi + lo‖ (lo only shifts the norm at the ~1e-8
+    relative level — folded in via the cross term)."""
+    n2 = kdotr2(hi, hi) + 2.0 * kdotr2(hi, lo)
+    return jnp.sqrt(jnp.maximum(n2, 0))
+
+
+# ---------------------------------------------------------------------------
 # Givens reflections
 # ---------------------------------------------------------------------------
 

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from .. import _runtime as rt
 from .._dtypes import real_dtype
 from ..operators import as_operator, precond_apply
-from ..ops.kops import kdotr, to_boundary
+from ..ops.kops import (kdotr, kdotr2, knorm2, to_boundary, two_sum,
+                        dw_add, dw_norm)
 from ..stats import SimpleStats
 
 
@@ -45,12 +46,13 @@ class CgState(NamedTuple):
     jax.jit,
     static_argnames=(
         "ldiv", "linesearch", "history", "hist_len", "callback", "verbose",
-        "use_radius",
+        "use_radius", "dot2",
     ),
 )
 def _cg_core(
     A, M, b, x0, state_in, iter_cap, atol, rtol, radius,
     *, ldiv, linesearch, history, hist_len, callback, verbose, use_radius,
+    dot2=False,
 ):
     n = b.shape[0]
     FC = b.dtype
@@ -58,6 +60,9 @@ def _cg_core(
     eps_T = jnp.finfo(T).eps
     radius = jnp.asarray(radius, dtype=T)
     npc_shape = (n,) if (linesearch or use_radius) else (0,)
+    # precision="compensated": Ogita-Rump-Oishi Dot2 reductions recover
+    # fp64-grade dot accuracy from f32 arithmetic (ops/kops.py:94-112).
+    kdotr_ = kdotr2 if dot2 else kdotr
 
     def M_apply(v):
         return precond_apply(M, v, ldiv)
@@ -70,7 +75,7 @@ def _cg_core(
             r = b - A.matvec(x0)
         z = M_apply(r)
         p = z
-        gamma = kdotr(r, z)
+        gamma = kdotr_(r, z)
         posdef_violation = gamma < 0
         rNorm = jnp.sqrt(jnp.maximum(gamma, 0))
         eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * rNorm
@@ -100,7 +105,7 @@ def _cg_core(
 
     def body(s):
         Ap = A.matvec(s.p)
-        pAp = kdotr(s.p, Ap)
+        pAp = kdotr_(s.p, Ap)
 
         # Curvature exits (reference src/cg.jl:198-211); only when radius == 0.
         if use_radius:
@@ -130,7 +135,7 @@ def _cg_core(
         x_new = s.x + alpha.astype(FC) * s.p
         r_new = s.r - alpha.astype(FC) * Ap
         z_new = M_apply(r_new)
-        gamma_next = kdotr(r_new, z_new)
+        gamma_next = kdotr_(r_new, z_new)
         posdef_violation = s.posdef_violation | (gamma_next < 0)
         rNorm_new = jnp.sqrt(jnp.maximum(gamma_next, 0))
 
@@ -236,10 +241,98 @@ def _cg_fused_path(A, b, x0, atol, rtol, itmax, start, dinv=None):
     return x, stats, None
 
 
+@functools.partial(jax.jit, static_argnames=("use_dia",))
+def _ir_update(A, b, x_hi, x_lo, d, *, use_dia):
+    """One double-word refinement step: fold the correction ``d`` into the
+    dw solution and recompute the dw residual r = b − A·(x_hi + x_lo) with
+    compensated products/sums (one dispatch per outer iteration)."""
+    from ..ops.dia import dia_spmv_dw
+
+    x_hi, x_lo = dw_add(x_hi, x_lo, d)
+    if use_dia:
+        y_hi, y_lo = dia_spmv_dw(A.dia.data, A.dia.offsets, x_hi, x_lo)
+    else:
+        with jax.default_matmul_precision("highest"):
+            y_hi = A.matvec(x_hi)
+            y_lo = A.matvec(x_lo)
+    s, e = two_sum(b, -y_hi)
+    r_hi, r_lo = two_sum(s, e - y_lo)
+    return x_hi, x_lo, r_hi, r_lo, dw_norm(r_hi, r_lo)
+
+
+def _cg_ir(A, b, x0, M, ldiv, atol, rtol, itmax, timemax, start):
+    """precision="double_word": iterative refinement to fp64-grade TRUE
+    residuals from f32 storage (SURVEY.md §7.2 "fp64 on TPU").
+
+    Inner solves are plain f32 CG (the fused whole-solve-in-VMEM kernel
+    when eligible); the outer loop accumulates x and the residual in
+    double-word (hi, lo) f32 pairs with compensated SpMV, so the limit
+    accuracy is ~2⁻⁴⁸ instead of f32's 2⁻²⁴.  Returns x as a host f64
+    array (x_hi + x_lo exceeds f32 representation; the on-chip state
+    stays f32).  Matches the reference's Float64 behavior
+    (test/test_mp.jl:31-33: convergence to √eps(T) for every T)."""
+    from ..operators import DIAOperator
+
+    n = b.shape[0]
+    T = real_dtype(b.dtype)
+    use_dia = isinstance(A, DIAOperator)
+    bNorm = float(knorm2(b))
+    target = atol + rtol * bNorm
+    # inner f32 passes stop where f32 rounding floors the true residual
+    inner_rtol = max(float(np.sqrt(np.finfo(T).eps)) * 0.2, 1e-5)
+
+    x_hi = jnp.zeros(n, b.dtype)
+    x_lo = jnp.zeros(n, b.dtype)
+    zero = jnp.zeros(n, b.dtype)
+    d0 = zero if x0 is None else jnp.asarray(x0, b.dtype)
+    x_hi, x_lo, r_hi, r_lo, rnorm_d = _ir_update(
+        A, b, zero, zero, d0, use_dia=use_dia)
+    rnorm = float(rnorm_d)
+    total = 0
+    code = rt.SOLVED if rnorm <= target else rt.RUNNING
+    prev = float("inf")
+    while code == rt.RUNNING:
+        if total >= itmax:
+            code = rt.TIRED
+            break
+        if time.perf_counter() - start > timemax:
+            code = rt.OVERTIMED
+            break
+        if rnorm >= 0.5 * prev:
+            # refinement stalled: f32 inner solves can no longer reduce the
+            # dw residual (operator too ill-conditioned for IR)
+            code = rt.ILL_COND_MACH
+            break
+        prev = rnorm
+        rtol_i = max(inner_rtol, 0.1 * target / rnorm)
+        d, st, _ = _cg_solve(
+            A, r_hi + r_lo, M=M, ldiv=ldiv, atol=0.0, rtol=rtol_i,
+            itmax=itmax - total)
+        total += max(st.niter, 1)
+        x_hi, x_lo, r_hi, r_lo, rnorm_d = _ir_update(
+            A, b, x_hi, x_lo, d, use_dia=use_dia)
+        rnorm = float(rnorm_d)
+        if rnorm <= target:
+            code = rt.SOLVED
+    x = (np.asarray(x_hi, dtype=np.float64)
+         + np.asarray(x_lo, dtype=np.float64))
+    stats = SimpleStats(
+        niter=total,
+        solved=rt.is_solved_code(code),
+        inconsistent=False,
+        indefinite=False,
+        npc_count=0,
+        residuals=np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return x, stats, None
+
+
 def _cg_solve(
     A, b, x0=None, *, M=None, ldiv=False, radius=0.0, linesearch=False,
     atol=None, rtol=None, itmax=0, timemax=float("inf"), verbose=0,
-    history=False, callback=None,
+    history=False, callback=None, precision=None,
 ):
     start = time.perf_counter()
     A = as_operator(A)
@@ -255,6 +348,10 @@ def _cg_solve(
         raise ValueError("`linesearch` set to `true` but trust-region radius > 0")
     if x0 is not None and linesearch:
         raise ValueError("warm_start and linesearch cannot be used together")
+    if precision not in (None, "working", "compensated", "double_word"):
+        raise ValueError(
+            "precision must be None, 'working', 'compensated' or "
+            "'double_word'")
 
     T = real_dtype(b.dtype)
     atol = rt.default_tol(atol, T)
@@ -263,12 +360,21 @@ def _cg_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
+    if precision == "double_word":
+        if linesearch or radius > 0 or callback is not None or history:
+            raise ValueError(
+                "precision='double_word' supports the plain CG "
+                "configuration only (no radius/linesearch/history/callback)")
+        return _cg_ir(A, b, x0, M, ldiv, atol, rtol, itmax, timemax, start)
+    dot2 = precision == "compensated"
+
     # Fast path: DIA stencil + default config → fused whole-solve kernel
     # (M = I or a diagonal/Jacobi preconditioner).
     from ..operators import DiagonalOperator
     diag_M = isinstance(M, DiagonalOperator)
     if ((M is None or diag_M) and not linesearch and radius == 0
             and callback is None and verbose == 0 and not history
+            and not dot2
             and timemax == float("inf")
             and getattr(A, "use_pallas", False)
             and getattr(A, "_pd", None) is not None):
@@ -288,7 +394,7 @@ def _cg_solve(
             A, M, b, x0, state, jnp.int32(cap), atol, rtol, float(radius),
             ldiv=bool(ldiv), linesearch=bool(linesearch), history=bool(history),
             hist_len=hist_len, callback=callback, verbose=int(verbose),
-            use_radius=bool(radius > 0),
+            use_radius=bool(radius > 0), dot2=dot2,
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)

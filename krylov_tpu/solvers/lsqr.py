@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import _runtime as rt
 from .._dtypes import real_dtype
 from ..operators import as_operator, precond_apply
-from ..ops.kops import kdotr, sym_givens, to_boundary
+from ..ops.kops import kdotr, kdotr2, sym_givens, to_boundary
 from ..stats import SimpleStats
 
 
@@ -56,14 +56,17 @@ class LsqrState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("ldiv", "history", "hist_len", "callback", "verbose",
-                     "window", "use_radius", "MisI", "NisI"),
+                     "window", "use_radius", "MisI", "NisI", "dot2"),
 )
 def _lsqr_core(
     A, M, N, b, state_in, iter_cap, itmax, lam, axtol, btol, atol, rtol,
     etol, conlim, radius,
     *, ldiv, history, hist_len, callback, verbose, window, use_radius,
-    MisI, NisI,
+    MisI, NisI, dot2=False,
 ):
+    # precision="compensated": Dot2 reductions for the Golub-Kahan norms
+    from ..ops import kops as _k
+    kdotr = _k.kdotr2 if dot2 else _k.kdotr
     m, n = A.shape
     FC = b.dtype
     T = real_dtype(FC)
@@ -265,9 +268,12 @@ def _lsqr_solve(
     A, b, *, M=None, N=None, ldiv=False, sqd=False, lam=0.0, radius=0.0,
     axtol=None, btol=None, atol=0.0, rtol=0.0, etol=None, conlim=1.0e8,
     window=5, itmax=0, timemax=float("inf"), verbose=0, history=False,
-    callback=None,
+    callback=None, precision=None,
 ):
     start = time.perf_counter()
+    if precision not in (None, "working", "compensated"):
+        raise ValueError(
+            "lsqr precision must be None, 'working' or 'compensated'")
     A = as_operator(A, need_adjoint=True)
     M = as_operator(M)
     N = as_operator(N)
@@ -294,6 +300,7 @@ def _lsqr_solve(
             ldiv=bool(ldiv), history=bool(history), hist_len=hist_len,
             callback=callback, verbose=int(verbose), window=int(window),
             use_radius=bool(radius > 0), MisI=M is None, NisI=N is None,
+            dot2=precision == "compensated",
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)

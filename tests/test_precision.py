@@ -1,0 +1,187 @@
+"""fp64-grade solves from f32 storage (SURVEY.md §7.2 "fp64 on TPU").
+
+Covers the two precision policies wired into the solver cores:
+
+* ``precision="compensated"`` — Ogita-Rump-Oishi Dot2 reductions
+  (ops/kops.py kdotr2/knorm2) replace the working-precision dots inside
+  the CG and LSQR cores.
+* ``precision="double_word"`` — CG iterative refinement: plain-f32 inner
+  solves + double-word (hi, lo) accumulation of x and the residual with a
+  compensated SpMV, reaching TRUE residuals at fp64 tolerances
+  (reference bar: test/test_mp.jl:31-33 — convergence to √eps(T)).
+
+The reference-niter anchors are the Float64 runs of the same fixtures.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import krylov_tpu as kt
+from krylov_tpu.ops.dia import poisson_dia, dia_spmv, dia_spmv_dw
+from krylov_tpu.ops.kops import kdotr2, knorm2, two_sum, dw_add, dw_norm
+from krylov_tpu.operators import DIAOperator, MatrixOperator
+
+import fixtures as fx
+
+RTOL64 = 1.5e-8        # √eps(Float64), the reference's fp64 tolerance
+
+
+# ---------------------------------------------------------------------------
+# kernel-level accuracy
+# ---------------------------------------------------------------------------
+
+def test_kdotr2_cancellation():
+    """Dot2 recovers a dot whose f32 evaluation loses every digit."""
+    rng = np.random.default_rng(0)
+    x64 = rng.standard_normal(4096)
+    y64 = rng.standard_normal(4096)
+    # make the true dot tiny versus Σ|x·y| (condition number ~1e7)
+    y64 -= x64 * (x64 @ y64) / (x64 @ x64) * (1 - 1e-7)
+    x32, y32 = x64.astype(np.float32), y64.astype(np.float32)
+    exact = np.dot(x32.astype(np.float64), y32.astype(np.float64))
+    plain = float(jnp.sum(jnp.asarray(x32) * jnp.asarray(y32)))
+    comp = float(kdotr2(jnp.asarray(x32), jnp.asarray(y32)))
+    assert abs(comp - exact) <= 1e-6 * abs(exact) + 1e-12
+    assert abs(comp - exact) < abs(plain - exact)
+
+
+def test_dia_spmv_dw_matches_f64():
+    D32 = poisson_dia(8, 8, 8, dtype=np.float32)
+    D64 = poisson_dia(8, 8, 8, dtype=np.float64)
+    rng = np.random.default_rng(1)
+    x64 = rng.standard_normal(512)
+    x_hi = x64.astype(np.float32)
+    x_lo = (x64 - x_hi.astype(np.float64)).astype(np.float32)
+    y_hi, y_lo = dia_spmv_dw(D32.data, D32.offsets,
+                             jnp.asarray(x_hi), jnp.asarray(x_lo))
+    y = np.asarray(y_hi, np.float64) + np.asarray(y_lo, np.float64)
+    y_ref = np.asarray(dia_spmv(D64.data, D64.offsets, jnp.asarray(x64)))
+    assert np.linalg.norm(y - y_ref) <= 1e-12 * np.linalg.norm(y_ref)
+
+
+def test_dw_add_and_norm():
+    rng = np.random.default_rng(2)
+    a64 = rng.standard_normal(257)
+    hi = jnp.asarray(a64.astype(np.float32))
+    lo = jnp.asarray((a64 - np.asarray(hi, np.float64)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal(257).astype(np.float32) * 1e-5)
+    nhi, nlo = dw_add(hi, lo, d)
+    got = np.asarray(nhi, np.float64) + np.asarray(nlo, np.float64)
+    want = a64 + np.asarray(d, np.float64)
+    assert np.max(np.abs(got - want)) <= 1e-12 * np.max(np.abs(want))
+    assert abs(float(dw_norm(hi, lo)) - np.linalg.norm(a64)) \
+        <= 1e-6 * np.linalg.norm(a64)
+
+
+# ---------------------------------------------------------------------------
+# CG double-word iterative refinement
+# ---------------------------------------------------------------------------
+
+def _dw_cg_case(N, niter_slack):
+    D32 = poisson_dia(N, N, N, dtype=np.float32)
+    D64 = poisson_dia(N, N, N, dtype=np.float64)
+    n = N ** 3
+    rng = np.random.default_rng(0)
+    b32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b64 = jnp.asarray(np.asarray(b32, np.float64))   # the problem solved
+
+    x_ref, st_ref = kt.cg(DIAOperator(D64), b64, atol=0.0, rtol=RTOL64)
+    assert st_ref.solved
+
+    x, st = kt.cg(DIAOperator(D32), b32, atol=0.0, rtol=RTOL64,
+                  precision="double_word")
+    assert st.solved and st.status == "solution good enough given atol and rtol"
+    assert x.dtype == np.float64
+    r = np.asarray(b64) - np.asarray(
+        dia_spmv(D64.data, D64.offsets, jnp.asarray(x)))
+    relres = np.linalg.norm(r) / np.linalg.norm(np.asarray(b64))
+    # TRUE residual at the fp64 tolerance, from f32 storage
+    assert relres <= 2.0 * RTOL64
+    # iteration parity with the reference's Float64 run
+    assert st.niter <= niter_slack * st_ref.niter
+    return st.niter, st_ref.niter
+
+
+def test_cg_double_word_divgrad():
+    _dw_cg_case(16, niter_slack=1.45)
+
+
+def test_cg_double_word_divgrad32():
+    _dw_cg_case(32, niter_slack=1.45)
+
+
+def test_cg_double_word_dense_operator():
+    """Generic (non-DIA) operators take the split-matvec path; still far
+    below the plain-f32 true-residual floor."""
+    A64, b64 = fx.symmetric_definite(64, FC=np.float64)
+    A64d = np.asarray(A64.todense() if hasattr(A64, "todense") else A64)
+    A32 = MatrixOperator(jnp.asarray(A64d, jnp.float32))
+    b32 = jnp.asarray(np.asarray(b64), jnp.float32)
+    x, st = kt.cg(A32, b32, atol=0.0, rtol=1e-7, precision="double_word")
+    assert st.solved
+    r = np.asarray(b32, np.float64) - A64d.astype(np.float64) @ np.asarray(x)
+    assert np.linalg.norm(r) <= 5e-7 * np.linalg.norm(np.asarray(b32))
+
+
+def test_cg_double_word_warm_start():
+    D32 = poisson_dia(8, 8, 8, dtype=np.float32)
+    n = 512
+    b = jnp.ones(n, jnp.float32)
+    x0, _ = kt.cg(DIAOperator(D32), b, atol=0.0, rtol=1e-3)
+    x, st = kt.cg(DIAOperator(D32), b, jnp.asarray(x0), atol=0.0,
+                  rtol=RTOL64, precision="double_word")
+    assert st.solved
+    D64 = poisson_dia(8, 8, 8, dtype=np.float64)
+    r = np.ones(n) - np.asarray(dia_spmv(D64.data, D64.offsets,
+                                         jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 2 * RTOL64 * np.sqrt(n)
+
+
+def test_cg_double_word_rejects_unsupported():
+    D = poisson_dia(4, 4, 4, dtype=np.float32)
+    b = jnp.ones(64, jnp.float32)
+    with pytest.raises(ValueError):
+        kt.cg(DIAOperator(D), b, precision="double_word", history=True)
+    with pytest.raises(ValueError):
+        kt.cg(DIAOperator(D), b, precision="nope")
+
+
+# ---------------------------------------------------------------------------
+# compensated dots in the cores
+# ---------------------------------------------------------------------------
+
+def test_cg_compensated_matches_plain():
+    D = poisson_dia(12, 12, 12, dtype=np.float32)
+    b = jnp.ones(12 ** 3, jnp.float32)
+    x1, st1 = kt.cg(DIAOperator(D), b, atol=0.0, rtol=1e-6)
+    x2, st2 = kt.cg(DIAOperator(D), b, atol=0.0, rtol=1e-6,
+                    precision="compensated")
+    assert st2.solved
+    assert abs(st2.niter - st1.niter) <= max(2, 0.05 * st1.niter)
+
+
+def test_cg_compensated_complex():
+    A, b = fx.symmetric_definite(24, FC=np.complex64)
+    x, st = kt.cg(A, b, atol=0.0, rtol=1e-5, precision="compensated")
+    assert st.solved
+
+
+def test_lsqr_compensated_f64_criterion():
+    """f32 LSQR with Dot2 reaches the reference's fp64 stopping criterion
+    (axtol=√eps(F64)) with the same status as the Float64 run and bounded
+    iteration inflation (the residual f32 error lives in the u/v vector
+    recurrences, which stay working-precision)."""
+    b, A, _, _, _, _, _ = fx.gen_lsq(400, 200, ndupl=4, npower=2)
+    lam, tol = 0.02, RTOL64
+    kw = dict(lam=lam, axtol=tol, btol=tol, etol=tol, atol=0.0, rtol=0.0,
+              itmax=2000)
+    x_ref, st_ref = kt.lsqr(MatrixOperator(jnp.asarray(A)),
+                            jnp.asarray(b), **kw)
+    A32 = MatrixOperator(jnp.asarray(A, jnp.float32))
+    b32 = jnp.asarray(b, jnp.float32)
+    x, st = kt.lsqr(A32, b32, precision="compensated", **kw)
+    assert st.status == st_ref.status
+    assert st.niter <= 1.6 * st_ref.niter
+    err = np.linalg.norm(np.asarray(x, np.float64) - np.asarray(x_ref))
+    assert err <= 1e-4 * np.linalg.norm(np.asarray(x_ref))
