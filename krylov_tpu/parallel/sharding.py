@@ -79,84 +79,132 @@ def shard_csr_rows(csr, mesh, axis="rows"):
 
 
 def sharded_csr_matvec(csr, mesh, axis="rows"):
-    """Build y = A x for a row-partitioned CSR over the mesh.
+    """Build y = A x for a row-partitioned CSR over the mesh — no
+    replication, ever.
 
-    Each device computes its row block with a local segment-sum SpMV.
-    Off-block column references are served by a *structural halo*: the
-    widest column excursion outside any local row block determines a halo
-    width, and only the neighbouring devices' edge values are exchanged
-    with `ppermute` (O(halo) traffic over ICI, independent of n).  When
-    the sparsity couples rows to columns further than one block away —
-    no neighbour exchange can serve it — the matvec falls back to an
-    `all_gather` of x (O(n) replicated traffic) and says so in the
-    closure's ``halo`` attribute.  Local blocks are padded to a common
-    nnz so the shard_map body is shape-uniform.
+    Each device computes its row block with a local segment-sum SpMV over
+    x values it owns; remote column references are served by a STATIC
+    communication plan built host-side from the sparsity pattern (the
+    classic distributed-SpMV design, expressed TPU-natively):
+
+    * for every (src → dst) device pair, the set of x entries src must
+      ship to dst is precomputed; pairs with the same ring distance r
+      share one `ppermute` round, padded to the round's max count, and
+      rounds nobody needs are dropped at trace time,
+    * every nonzero's column index is remapped host-side to a position in
+      ``[x_block ‖ recv_round₁ ‖ recv_round₂ …]``, so the device does one
+      gather + segment-sum with zero dynamic bookkeeping,
+    * nonzeros are split into a LOCAL set (columns owned by the device)
+      and a REMOTE set: the local segment-sum has no data dependence on
+      the `ppermute`s, so XLA can overlap the halo exchange with the bulk
+      of the SpMV (SURVEY.md §7.2 "Halo-overlap SpMV").
+
+    Traffic is O(boundary couplings) over ICI — independent of n for
+    banded/stencil systems, and proportional to the actual cut for
+    general sparsity (the round-2 `all_gather` fallback is gone).
+
+    The closure exposes ``halo`` (max ring distance used; 0 = fully
+    local) and ``plan_counts`` (per-round exchange widths).
     """
     parts, rows_loc = shard_csr_rows(csr, mesh, axis)
-    nnz_max = max(len(p[0]) for p in parts)
     nd = mesh.devices.size
+    dtype = np.asarray(parts[0][0]).dtype
 
-    # structural halo: furthest column reference outside each row block
-    halo = 0
-    for d, (_, idx_, _) in enumerate(parts):
-        if len(idx_):
-            lo, hi = d * rows_loc, (d + 1) * rows_loc
-            halo = max(halo, int(max(0, lo - idx_.min())),
-                       int(max(0, idx_.max() - (hi - 1))))
-    local = halo <= rows_loc and nd > 1
-    if nd == 1:
-        halo = 0
-        local = True
+    # ---- host-side communication plan ------------------------------------
+    # needed[dst][src] = sorted global columns dst reads from src's block
+    needed = [[np.zeros(0, np.int64)] * nd for _ in range(nd)]
+    local_nnz, remote_nnz = [], []          # per device: (data, pos, seg)
+    for d, (data_, idx_, ptr_) in enumerate(parts):
+        lo, hi = d * rows_loc, (d + 1) * rows_loc
+        cols = np.asarray(idx_, np.int64)
+        owner = cols // rows_loc
+        is_loc = owner == d
+        seg = np.searchsorted(np.asarray(ptr_)[1:], np.arange(len(cols)),
+                              side="right")
+        local_nnz.append((np.asarray(data_)[is_loc], cols[is_loc] - lo,
+                          seg[is_loc]))
+        rem_cols = cols[~is_loc]
+        for s in np.unique(rem_cols // rows_loc):
+            needed[d][int(s)] = np.unique(rem_cols[rem_cols // rows_loc == s])
+        remote_nnz.append((np.asarray(data_)[~is_loc], rem_cols, seg[~is_loc]))
 
-    def pad(p, d):
-        data, idx, ptr = p
-        k = nnz_max - len(data)
-        if local:
-            # columns relative to the extended block [lo-halo, hi+halo)
-            idx = idx - (d * rows_loc - halo)
-        return (np.pad(data, (0, k)),
-                np.pad(idx, (0, k)),
-                np.concatenate([ptr[:-1], [nnz_max]]))
+    # rounds: ring distance r ∈ 1..nd-1, padded to the round's max count
+    cnt = [0] * nd
+    for r in range(1, nd):
+        cnt[r] = max((len(needed[(s + r) % nd][s]) for s in range(nd)),
+                     default=0)
+    rounds = [r for r in range(1, nd) if cnt[r] > 0]
 
-    padded = [pad(p, d) for d, p in enumerate(parts)]
-    data = jnp.asarray(np.stack([p[0] for p in padded]))
-    idx = jnp.asarray(np.stack([p[1] for p in padded]))
-    ptr = jnp.asarray(np.stack([p[2] for p in padded]))
+    # per-device send gathers and the remote-column remap
+    base = {}
+    off = rows_loc
+    for r in rounds:
+        base[r] = off
+        off += cnt[r]
+    send_idx = {r: np.zeros((nd, cnt[r]), np.int32) for r in rounds}
+    for r in rounds:
+        for s in range(nd):
+            dstd = (s + r) % nd
+            want = needed[dstd][s]
+            send_idx[r][s, :len(want)] = want - s * rows_loc
+    rem_arrays = []
+    for d in range(nd):
+        data_, cols, seg = remote_nnz[d]
+        pos = np.zeros(len(cols), np.int64)
+        for j, c in enumerate(cols):
+            s = int(c // rows_loc)
+            r = (d - s) % nd
+            pos[j] = base[r] + int(np.searchsorted(needed[d][s], c))
+        rem_arrays.append((data_, pos, seg))
+
+    def _stack(triples):
+        nmax = max((len(t[0]) for t in triples), default=0)
+        nmax = max(nmax, 1)
+        D = np.zeros((nd, nmax), dtype)
+        Pp = np.zeros((nd, nmax), np.int32)
+        Sg = np.zeros((nd, nmax), np.int32)
+        for d, (dat, pos, seg) in enumerate(triples):
+            D[d, :len(dat)] = dat
+            Pp[d, :len(dat)] = pos
+            Sg[d, :len(dat)] = seg
+        return D, Pp, Sg
+
     sh2 = NamedSharding(mesh, P(axis, None))
-    data = jax.device_put(data, sh2)
-    idx = jax.device_put(idx, sh2)
-    ptr = jax.device_put(ptr, sh2)
 
-    def body(data_blk, idx_blk, ptr_blk, x_blk):
-        d, ix, pt = data_blk[0], idx_blk[0], ptr_blk[0]
-        if local:
-            if halo > 0:
-                i = jax.lax.axis_index(axis)
-                to_left = [(r, (r - 1) % nd) for r in range(nd)]
-                to_right = [(r, (r + 1) % nd) for r in range(nd)]
-                from_right = jax.lax.ppermute(x_blk[:halo], axis, to_left)
-                from_left = jax.lax.ppermute(x_blk[-halo:], axis, to_right)
-                from_right = jnp.where(i == nd - 1, 0, from_right)
-                from_left = jnp.where(i == 0, 0, from_left)
-                xg = jnp.concatenate([from_left, x_blk, from_right])
-            else:
-                xg = x_blk
-        else:
-            xg = jax.lax.all_gather(x_blk, axis).reshape(-1)
-        seg = jnp.searchsorted(pt[1:], jnp.arange(d.shape[0]), side="right")
-        y = jax.ops.segment_sum(d * xg[ix], seg, num_segments=rows_loc,
-                                indices_are_sorted=True)
+    def put(a):
+        return jax.device_put(jnp.asarray(a), sh2)
+
+    lD, lP, lS = (put(a) for a in _stack(local_nnz))
+    rD, rP, rS = (put(a) for a in _stack(rem_arrays))
+    sidx = {r: put(send_idx[r]) for r in rounds}
+
+    def body(lD, lP, lS, rD, rP, rS, x_blk, *sidx_blks):
+        # start the exchange first: the local segment-sum below has no
+        # dependence on it, so the collective can run concurrently
+        recvs = []
+        for r, sb in zip(rounds, sidx_blks):
+            buf = x_blk[sb[0]]
+            perm = [(s, (s + r) % nd) for s in range(nd)]
+            recvs.append(jax.lax.ppermute(buf, axis, perm))
+        y = jax.ops.segment_sum(lD[0] * x_blk[lP[0]], lS[0],
+                                num_segments=rows_loc)
+        if recvs:
+            ext = jnp.concatenate([x_blk] + recvs)
+            y = y + jax.ops.segment_sum(rD[0] * ext[rP[0]], rS[0],
+                                        num_segments=rows_loc)
         return y
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        in_specs=(P(axis, None),) * 6 + (P(axis),)
+        + (P(axis, None),) * len(rounds),
         out_specs=P(axis))
 
     def matvec(x):
-        return fn(data, idx, ptr, x)
+        return fn(lD, lP, lS, rD, rP, rS, x, *(sidx[r] for r in rounds))
 
-    matvec.halo = halo if local else None   # None = all-gather fallback
+    matvec.halo = max(rounds) if rounds else 0
+    matvec.plan_counts = {r: cnt[r] for r in rounds}
     return matvec
 
 
@@ -184,17 +232,29 @@ def halo_dia_spmv(data, offsets, x, mesh, axis="rows"):
         prod = data_blk * x_blk[None, :]
         to_left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
         to_right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        # halo received from the right neighbour (their leading columns)
+        # issue the halo exchange up front ...
         from_right = jax.lax.ppermute(prod[:, :halo], axis, to_left)
-        # halo received from the left neighbour (their trailing columns)
         from_left = jax.lax.ppermute(prod[:, nloc - halo:], axis, to_right)
         # no wrap-around at the global boundary
         from_right = jnp.where(idx == n_dev - 1, 0, from_right)
         from_left = jnp.where(idx == 0, 0, from_left)
-        ext = jnp.concatenate([from_left, prod, from_right], axis=1)
+        # ... then apply the stencil on the LOCAL product only (zero-padded
+        # at the block edges): no data dependence on the ppermutes, so XLA
+        # overlaps the collective with this bulk compute
         y = jnp.zeros_like(x_blk)
         for d, k in enumerate(offsets):
-            y = y + jax.lax.dynamic_slice_in_dim(ext[d], halo + k, nloc)
+            if k == 0:
+                y = y + prod[d]
+            elif k > 0:
+                y = y + jnp.pad(prod[d, k:], (0, k))
+            else:
+                y = y + jnp.pad(prod[d, :nloc + k], (-k, 0))
+        # finally fold the received halo contributions into the edge rows
+        for d, k in enumerate(offsets):
+            if k > 0:
+                y = y.at[nloc - k:].add(from_right[d, :k])
+            elif k < 0:
+                y = y.at[:-k].add(from_left[d, halo + k:])
         return y
 
     return _spmv(data, x)

@@ -78,8 +78,8 @@ class TestShardedSolvers:
 
 
 class TestShardedCSR:
-    # SURVEY §2.5 row-partitioned CSR plan: local segment-sum SpMV
-    # against an all-gathered x over the mesh axis.
+    # SURVEY §2.5 row-partitioned CSR: local segment-sum SpMV plus a
+    # static ppermute ring plan for remote columns (no replication).
     def test_sharded_csr_matvec_matches_dense(self):
         import scipy.sparse as sp
         from krylov_tpu.parallel.sharding import (
@@ -115,6 +115,44 @@ class TestShardedCSR:
         x, stats = cg(op, b, rtol=1e-10)
         assert stats.solved
         assert np.linalg.norm(S @ np.asarray(x) - 1) <= 1e-6
+
+    def test_plan_is_minimal_for_stencil(self):
+        # A tridiagonal system couples only adjacent blocks: the comm
+        # plan must use ring distances {1, nd-1} (left+right neighbours)
+        # and ship exactly one x entry per round — never replicate x.
+        from krylov_tpu.parallel.sharding import make_mesh, sharded_csr_matvec
+        from krylov_tpu.ops.sparse import csr_from_dense
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 devices for a non-trivial ring")
+        nd = min(len(jax.devices()), 8)
+        n = 8 * nd
+        T = (2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1))
+        mesh = make_mesh(nd)
+        mv = sharded_csr_matvec(csr_from_dense(jnp.asarray(T)), mesh)
+        assert set(mv.plan_counts) == {1, nd - 1}
+        assert all(c == 1 for c in mv.plan_counts.values())
+        x = jnp.arange(n, dtype=jnp.float64)
+        assert np.allclose(np.asarray(jax.jit(mv)(x)), T @ np.asarray(x))
+
+    def test_plan_general_sparsity_no_fallback(self):
+        # Long-range coupling (column block far from the row block) used
+        # to trigger an all_gather fallback; the static plan must serve
+        # it with targeted rounds whose widths match the actual cut.
+        from krylov_tpu.parallel.sharding import make_mesh, sharded_csr_matvec
+        from krylov_tpu.ops.sparse import csr_from_dense
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 devices")
+        nd = min(len(jax.devices()), 8)
+        n = 8 * nd
+        A = np.eye(n)
+        A[0, n - 3] = 2.0          # device 0 reads from the last device
+        A[n - 1, 5] = 3.0          # last device reads from device 0
+        mesh = make_mesh(nd)
+        mv = sharded_csr_matvec(csr_from_dense(jnp.asarray(A)), mesh)
+        assert mv.halo is not None          # no replication fallback
+        assert sum(mv.plan_counts.values()) == 2   # exactly the cut
+        x = jnp.arange(1.0, n + 1.0)
+        assert np.allclose(np.asarray(jax.jit(mv)(x)), A @ np.asarray(x))
 
     def test_uneven_rows_raise(self):
         from krylov_tpu.parallel.sharding import make_mesh, sharded_csr_matvec
