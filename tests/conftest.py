@@ -24,3 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+# jaxlib 0.9's CPU (LLVM ORC) JIT segfaults inside backend_compile once a
+# single process accumulates ~900 live compiled executables (reproduced
+# deterministically at tests/test_twosided.py in full-suite order; any
+# individual file passes).  Bound the live-executable count by dropping
+# JAX's compilation caches between test modules — recompiles of shared
+# fixtures cost a few seconds, a segfault costs the suite.
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
