@@ -317,6 +317,15 @@ class DIAOperator(AbstractLinearOperator):
         from .ops.dia import dia_spmv
         return dia_spmv(self.dia.data, self.dia.offsets, x)
 
+    def aligned_adjoint(self):
+        """(pd_adj, offsets_adj) for the fused rectangular kernels
+        (ops/pallas_fused.dia_align_adjoint); computed once and cached."""
+        if getattr(self, "_pd_adj", None) is None:
+            from .ops.pallas_fused import dia_align_adjoint
+            self._pd_adj = dia_align_adjoint(
+                self._pd, self.dia.offsets, self.shape[0])
+        return self._pd_adj
+
     def rmatvec(self, x):
         # Aᴴ of a DIA matrix: conjugate data, negate offsets, shift vectors.
         from .ops.dia import dia_spmv

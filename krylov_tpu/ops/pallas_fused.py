@@ -621,3 +621,275 @@ def cr_dia_fused_supported(offsets, n, dtype):
     nd = len(tuple(offsets))
     bytes_ = (nd + 6) * rows * LANES * jnp.dtype(dtype).itemsize
     return bytes_ < 100 * (1 << 20)
+
+
+# LSQR status codes (krylov_tpu/_runtime.py)
+_TIRED = 3
+_MIN_LSQ_X_CODE = 24
+
+
+def dia_align_adjoint(pd, offsets, n):
+    """Output-aligned diagonals of Aᴴ from those of A.
+
+    With y[i] = Σ_d pd[d,i]·x[i+k_d], the adjoint satisfies
+    (Aᴴu)[j] = Σ_d conj(pd[d, j−k_d])·u[j−k_d]: offsets negate and each
+    aligned diagonal shifts by +k_d.  One-time O(nnz) device op.
+    """
+    rows = []
+    for d, k in enumerate(offsets):
+        v = jnp.conj(pd[d])
+        k = int(k)
+        if k == 0:
+            rows.append(v)
+        elif k > 0:
+            rows.append(jnp.pad(v[: n - k], (k, 0)))
+        else:
+            rows.append(jnp.pad(v[-k:], (0, -k)))
+    return jnp.stack(rows), tuple(-int(k) for k in offsets)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "window",
+                                   "interpret"))
+def lsqr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, axtol, btol,
+                   atol, rtol, etol, conlim, itmax, window=5,
+                   interpret=None):
+    """Full LSQR solve of min ‖b − Ax‖ (+λ) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/lsqr.py:_lsqr_core on
+    the default path (M = N = I, radius = 0; reference src/lsqr.jl
+    Golub-Kahan + Paige-Saunders stopping rules).  Returns
+    (x, niter, rNorm, ArNorm, status_code, zero_resid).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    tiny = float(np.finfo(np.dtype(T)).tiny)
+    rows, P = _plan(tuple(offsets) + tuple(offsets_adj), n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    pdaw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd_adj).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+    shifts_a = tuple((int(k) // LANES, int(k) % LANES) for k in offsets_adj)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray(
+        [lam, axtol, btol, atol, rtol, etol, conlim], T).reshape(7, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, arnorm_ref, status_ref,
+               zr_ref, upad_ref, vpad_ref, w_ref):
+        lam_v = s_ref[0, 0]
+        axtol_v = s_ref[1, 0]
+        btol_v = s_ref[2, 0]
+        atol_v = s_ref[3, 0]
+        rtol_v = s_ref[4, 0]
+        etol_v = s_ref[5, 0]
+        conlim_v = s_ref[6, 0]
+        ctol = jnp.where(conlim_v > 0, 1.0 / conlim_v, jnp.zeros((), T))
+        lam2 = lam_v * lam_v
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+
+        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        safe_b1 = jnp.where(beta1 == 0, jnp.ones_like(beta1), beta1)
+        upad_ref[P: P + rows] = bv / safe_b1
+        Ahu = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+        anorm2_0 = jnp.sum(Ahu * Ahu)
+        alpha0 = jnp.sqrt(anorm2_0)
+        safe_a0 = jnp.where(alpha0 == 0, jnp.ones_like(alpha0), alpha0)
+        vpad_ref[P: P + rows] = Ahu / safe_a0
+        w_ref[:] = vpad_ref[P: P + rows]
+        ArNorm0 = alpha0 * beta1
+
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(alpha0 == 0, jnp.int32(_MIN_LSQ_X),
+                      jnp.int32(_RUNNING)))
+        t2_0 = ArNorm0 / (jnp.sqrt(jnp.maximum(anorm2_0, tiny)) * safe_b1)
+        solved0 = (t2_0 <= axtol_v) | ((1.0 + t2_0) <= 1.0)
+        status0 = jnp.where((status0 == _RUNNING) & solved0,
+                            jnp.int32(_SOLVED_LSQ), status0)
+
+        errs0 = (zero,) * window
+        # carry: it, alpha, beta, phibar, rhobar, anorm2, dnorm2, xnorm2,
+        #        res2, c2, s2, zsc, xenorm2, rNorm, ArNorm, status, zero_resid
+        carry0 = (jnp.int32(0), alpha0, beta1, beta1, alpha0, anorm2_0,
+                  zero, zero, zero, -jnp.ones((), T), zero, zero, zero,
+                  beta1, ArNorm0, status0, jnp.int32(0)) + errs0
+
+        def cond(c):
+            return (c[15] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, alpha, beta, phibar, rhobar, anorm2, dnorm2, xnorm2,
+             res2, c2, s2, zsc, xenorm2, rNorm, ArNorm, status,
+             zero_resid) = c[:17]
+            errs = c[17:]
+            it = it0 + 1
+
+            # Golub-Kahan step (M = N = I).
+            u_old = upad_ref[P: P + rows]
+            Av = _stencil(vpad_ref, pd_ref, shifts, P, rows, T)
+            u_un = Av - alpha * u_old
+            beta_n = jnp.sqrt(jnp.sum(u_un * u_un))
+            bnz = beta_n != 0
+            safe_b = jnp.where(bnz, beta_n, jnp.ones_like(beta_n))
+            upad_ref[P: P + rows] = jnp.where(bnz, u_un / safe_b, u_un)
+            anorm2_n = jnp.where(
+                bnz, anorm2 + alpha * alpha + beta_n * beta_n
+                + jnp.where(lam_v > 0, lam2, 0), anorm2)
+
+            v_old = vpad_ref[P: P + rows]
+            Ahu_ = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+            v_un = jnp.where(bnz, Ahu_ - beta_n * v_old, v_old)
+            alpha_n = jnp.where(bnz, jnp.sqrt(jnp.sum(v_un * v_un)), alpha)
+            anz = bnz & (alpha_n != 0)
+            safe_a = jnp.where(anz, alpha_n, jnp.ones_like(alpha_n))
+            vv = jnp.where(anz, v_un / safe_a, v_un)
+            vpad_ref[P: P + rows] = vv
+
+            # Rotation 1 (λ), rotation 2 (β) — reference lsqr.jl:319-333.
+            c1, s1, rhobar1 = sym_givens(rhobar, lam_v)
+            psi = s1 * phibar
+            phibar_mid = c1 * phibar
+            cg, sg, rho = sym_givens(rhobar1, beta_n)
+            phi = cg * phibar_mid
+            phibar_n = sg * phibar_mid
+
+            xenorm2_n = xenorm2 + phi * phi
+            errs_n = errs[1:] + (phi,)
+            err2 = zero
+            for e_ in errs_n:
+                err2 = err2 + e_ * e_
+            err_lbnd = jnp.sqrt(err2)
+
+            tau = sg * phi
+            theta = sg * alpha_n
+            rhobar_n = -cg * alpha_n
+            safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
+            wv = w_ref[:]
+            dnorm2_n = dnorm2 + jnp.sum(wv * wv) / (safe_rho * safe_rho)
+
+            sigma = phi / safe_rho
+            x_ref[:] = x_ref[:] + sigma * wv
+            w_ref[:] = vv - (theta / safe_rho) * wv
+
+            # right rotation for ‖x‖ (reference lsqr.jl:351-360)
+            delta = s2 * rho
+            gbar = -c2 * rho
+            rhs = phi - delta * zsc
+            safe_g = jnp.where(gbar == 0, jnp.ones_like(gbar), gbar)
+            zbar = rhs / safe_g
+            xNorm = jnp.sqrt(xnorm2 + zbar * zbar)
+            c2_n, s2_n, gamma = sym_givens(gbar, theta)
+            safe_gm = jnp.where(gamma == 0, jnp.ones_like(gamma), gamma)
+            zsc_n = rhs / safe_gm
+            xnorm2_n = xnorm2 + zsc_n * zsc_n
+
+            anorm = jnp.sqrt(anorm2_n)
+            acond = anorm * jnp.sqrt(dnorm2_n)
+            res1 = phibar_n * phibar_n
+            res2_n = res2 + psi * psi
+            rNorm_n = jnp.sqrt(res1 + res2_n)
+            ArNorm_n = alpha_n * jnp.abs(tau)
+
+            test1 = rNorm_n / beta1
+            test2 = ArNorm_n / jnp.maximum(anorm * rNorm_n, tiny)
+            test3 = 1.0 / jnp.maximum(acond, tiny)
+            t1 = test1 / (1.0 + anorm * xNorm / beta1)
+            rNormtol = btol_v + axtol_v * anorm * xNorm / beta1
+
+            ill_cond_mach = (1.0 + test3) <= 1.0
+            solved_mach = (1.0 + test2) <= 1.0
+            zero_resid_mach = (1.0 + t1) <= 1.0
+            ill_cond_lim = test3 <= ctol
+            solved_lim = test2 <= axtol_v
+            solved_opt = ArNorm_n <= atol_v + rtol_v * ArNorm0
+            zero_resid_lim = test1 <= rNormtol
+            fwd_err = (it >= window) & (
+                err_lbnd <= etol_v * jnp.sqrt(xenorm2_n))
+
+            zero_r = zero_resid_mach | zero_resid_lim
+            solved = (solved_mach | solved_lim | solved_opt | zero_r
+                      | fwd_err)
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(ill_cond_lim, jnp.int32(_COND_EXCEEDED), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED_LSQ), code)
+            code = jnp.where(solved & zero_r, jnp.int32(_SOLVED_ZERO), code)
+            code = jnp.where(solved & fwd_err, jnp.int32(_FWD_ERR), code)
+
+            return (it, alpha_n, beta_n, phibar_n, rhobar_n, anorm2_n,
+                    dnorm2_n, xnorm2_n, res2_n, c2_n, s2_n, zsc_n,
+                    xenorm2_n, rNorm_n, ArNorm_n, code,
+                    zero_r.astype(jnp.int32)) + errs_n
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[13]
+        arnorm_ref[0, 0] = out[14]
+        status_ref[0, 0] = out[15]
+        zr_ref[0, 0] = out[16]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, arnorm, status, zr = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd + 8) * vec_bytes * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], arnorm[0, 0],
+            status[0, 0], zr[0, 0])
+
+
+def lsqr_dia_fused_supported(offsets, n, dtype):
+    """Static gate: 2 stencils + 6 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    rows, P = _plan(tuple(offsets) + tuple(-k for k in offsets), n)
+    nd = len(tuple(offsets))
+    bytes_ = (2 * nd + 8) * rows * LANES * jnp.dtype(dtype).itemsize
+    return bytes_ < 100 * (1 << 20)

@@ -264,6 +264,33 @@ def _lsqr_core(
     return jax.lax.while_loop(cond, body, state)
 
 
+def _lsqr_fused_path(A, b, lam, axtol, btol, atol, rtol, etol, conlim,
+                     itmax, window, start):
+    """Whole-solve-in-VMEM fused LSQR (ops/pallas_fused.lsqr_dia_fused)."""
+    from ..ops.pallas_fused import lsqr_dia_fused
+
+    pd_adj, offs_adj = A.aligned_adjoint()
+    x, niter, rnorm, arnorm, status, zr = lsqr_dia_fused(
+        A._pd, pd_adj, A.dia.offsets, offs_adj, b, lam, axtol, btol,
+        atol, rtol, etol, conlim, itmax, window=window)
+    niter, code, zr = jax.device_get([niter, status, zr])
+    niter = int(niter)
+    code = rt.final_status_code(int(code), niter, itmax, False)
+    inconsistent = not bool(zr)
+    if code in (rt.ZERO_RESIDUAL, rt.MIN_LSQ_X):
+        inconsistent = False
+    stats = SimpleStats(
+        niter=niter,
+        solved=rt.is_solved_code(code),
+        inconsistent=inconsistent,
+        residuals=np.zeros(0),
+        Aresiduals=np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=rt.decode_status(code),
+    )
+    return jnp.asarray(x), stats, None
+
+
 def _lsqr_solve(
     A, b, *, M=None, N=None, ldiv=False, sqd=False, lam=0.0, radius=0.0,
     axtol=None, btol=None, atol=0.0, rtol=0.0, etol=None, conlim=1.0e8,
@@ -291,6 +318,20 @@ def _lsqr_solve(
     etol = rt.default_tol(etol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
     hist_len = itmax + 1 if history else 0
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (Golub-Kahan over the stencil and its adjoint, all vectors in VMEM).
+    if (M is None and N is None and radius == 0 and not history
+            and callback is None and verbose == 0
+            and precision != "compensated"
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import lsqr_dia_fused_supported
+        if lsqr_dia_fused_supported(A.dia.offsets, m, b.dtype):
+            return _lsqr_fused_path(
+                A, b, float(lam), axtol, btol, float(atol), float(rtol),
+                etol, float(conlim), itmax, int(window), start)
 
     def run(state, cap):
         return _lsqr_core(

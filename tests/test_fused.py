@@ -181,3 +181,50 @@ def test_fused_cr_zero_rhs_and_warm():
     x2, stats = cr(op, b, x1, atol=0.0, rtol=1e-9)
     r = b - op.matvec(x2)
     assert float(jnp.linalg.norm(r)) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.1
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.1])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_lsqr_matches_general(dtype, lam):
+    from krylov_tpu import lsqr
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = lsqr(op_fast, b, lam=lam)
+    xr, stats_ref = lsqr(op_ref, b, lam=lam)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-3 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_lsqr_unsymmetric_stencil():
+    # conv-diff is unsymmetric: exercises the adjoint-aligned stencil
+    from krylov_tpu import lsqr
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = lsqr(op_fast, b, atol=0.0, rtol=0.0)
+    xr, stats_ref = lsqr(op_ref, b, atol=0.0, rtol=0.0)
+    assert stats.niter == stats_ref.niter
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_lsqr_zero_rhs():
+    from krylov_tpu import lsqr
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = lsqr(op, jnp.zeros(n))
+    assert stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+    assert not stats.inconsistent
+
+
+def test_lsqr_history_falls_back_to_general():
+    from krylov_tpu import lsqr
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = lsqr(op, b, history=True)
+    assert stats.residuals.size == stats.niter + 1
