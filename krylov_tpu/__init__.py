@@ -29,9 +29,12 @@ from .operators import (
     IdentityOperator,
     DIAOperator,
     BELLOperator,
+    HybridOperator,
     as_operator,
 )
 from .ops.sparse import CSRMatrix, csr_from_dense, csr_from_coo
+from .ops.hybrid import HybridMatrix, hybrid_from_csr, split_diagonals
+from .ops.pallas_sell import SELLMatrix, sell_from_csr, sell_spmv
 from .stats import (
     SimpleStats,
     LsmrStats,

@@ -396,6 +396,61 @@ class BELLOperator(AbstractLinearOperator):
         return cls(*leaves)
 
 
+@register_pytree_node_class
+class HybridOperator(AbstractLinearOperator):
+    """General-sparse operator: DIA + SELL-C-128 decomposition.
+
+    Built from a CSRMatrix by one-time host-side analysis
+    (ops/hybrid.hybrid_from_csr): dense diagonals stream through the
+    DIA shift-and-add SpMV, the remainder through the lane-gather SELL
+    kernel — the TPU counterpart of the reference handing general
+    matrices to vendor CSR SpMV (docs/src/gpu.md).  The adjoint is a
+    second analyzed decomposition of Aᴴ, built lazily.
+    """
+
+    def __init__(self, hyb, hyb_h=None, _csr=None):
+        self.hyb = hyb
+        self.hyb_h = hyb_h
+        self._csr = _csr            # kept for lazy adjoint analysis
+        self.shape = hyb.shape
+        self.dtype = hyb.dtype
+
+    @classmethod
+    def analyze(cls, csr, diag_fill=0.5, max_diags=256):
+        from .ops.hybrid import hybrid_from_csr
+        return cls(hybrid_from_csr(csr, diag_fill, max_diags), _csr=csr)
+
+    def with_adjoint(self):
+        if self.hyb_h is not None:
+            return self
+        if self._csr is None:
+            raise ValueError("HybridOperator needs the source CSRMatrix "
+                             "to build adjoint storage")
+        from .ops.hybrid import hybrid_from_csr
+        return HybridOperator(self.hyb,
+                              hybrid_from_csr(self._csr.transpose_conj()),
+                              self._csr)
+
+    def matvec(self, x):
+        from .ops.hybrid import hybrid_spmv
+        return hybrid_spmv(self.hyb, x)
+
+    def rmatvec(self, x):
+        if self.hyb_h is None:
+            raise ValueError(
+                "HybridOperator needs adjoint storage: build with "
+                ".with_adjoint()")
+        from .ops.hybrid import hybrid_spmv
+        return hybrid_spmv(self.hyb_h, x)
+
+    def tree_flatten(self):
+        return (self.hyb, self.hyb_h, self._csr), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
 def as_operator(A, need_adjoint=False):
     """Coerce A (operator | dense array | CSRMatrix) to the operator protocol."""
     if A is None:
@@ -405,7 +460,12 @@ def as_operator(A, need_adjoint=False):
             return A.with_adjoint()
         return A
     if isinstance(A, CSRMatrix):
-        op = CSROperator(A)
+        # On TPU the gather/segment-sum CSR SpMV is ~1000x off the Pallas
+        # kernels; analyze the pattern once and route through DIA + SELL.
+        if jax.default_backend() not in ("cpu",):
+            op = HybridOperator.analyze(A)
+        else:
+            op = CSROperator(A)
         return op.with_adjoint() if need_adjoint else op
     from .ops.dia import DIAMatrix
     if isinstance(A, DIAMatrix):
