@@ -141,8 +141,11 @@ def hybrid_from_csr(csr, diag_fill=0.5, max_diags=256):
     sell = None
     if rem is not None:
         sell = sell_from_csr(rem)
-        if sell.data.size > 64 * max(rem.nnz, 1):
-            sell = rem          # degenerate packing: keep CSR
+        if (sell.data.size > 64 * max(rem.nnz, 1)
+                or 2 * sell.data.shape[0] + 1 > 240_000):
+            # degenerate packing (no slice/chunk locality) or pair list
+            # beyond the SMEM scalar-prefetch budget: keep CSR
+            sell = rem
     dia_pd = None
     if dia is not None and jax.default_backend() not in ("cpu",):
         from .pallas_dia import dia_align

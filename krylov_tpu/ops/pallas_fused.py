@@ -893,3 +893,248 @@ def lsqr_dia_fused_supported(offsets, n, dtype):
     nd = len(tuple(offsets))
     bytes_ = (2 * nd + 8) * rows * LANES * jnp.dtype(dtype).itemsize
     return bytes_ < 100 * (1 << 20)
+
+
+# GMRES status codes (krylov_tpu/_runtime.py)
+_BREAKDOWN = 7
+_INCONSISTENT = 8
+_TIRED_K = 100
+
+
+@partial(jax.jit, static_argnames=("offsets", "mem", "interpret"))
+def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
+                    interpret=None):
+    """Full restarted GMRES(mem) solve of A x = b for a DIA matrix in one
+    kernel launch.
+
+    Whole-solve-in-VMEM port of solvers/gmres.py:_gmres_core on the
+    default path (M = N = I; reference src/gmres.jl Arnoldi + Givens-QR +
+    restart).  The (mem+1)-vector Krylov panel lives in VMEM scratch; the
+    Arnoldi step uses sequential MGS (the reference's orthogonalization,
+    src/gmres.jl:259-262) with dynamically bounded in-kernel loops, the
+    Hessenberg QR runs on SMEM scalars, and restart re-seeds from the
+    true residual without leaving the kernel.
+
+    Returns (x, niter, rNorm, status_code, inconsistent, npass).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    eps_T = float(np.finfo(np.dtype(T)).eps)
+    btol = eps_T ** 0.75
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref, incons_ref,
+               npass_ref,
+               V_ref, ppad_ref, h_ref, c_ref, sn_ref, zz_ref, R_ref,
+               y_ref, tmp_ref):
+        cap = itmax_ref[0, 0]
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        zero = jnp.zeros((), T)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * beta0
+        safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
+        V_ref[pl.ds(0, rows), :] = bv / safe_b0
+        zz_ref[0] = beta0
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(carry):
+            it, k, rNorm, status, incons, npass = carry
+            return (status == _RUNNING) & (it < cap)
+
+        def body(carry):
+            it, k, rNorm, status, incons, npass = carry
+
+            # --- Arnoldi step: w = A·V[k], MGS against V[0..k] ----------
+            vk = V_ref[pl.ds(k * rows, rows), :]
+            ppad_ref[P: P + rows] = vk
+            w = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+
+            def mgs(i, w):
+                vi = V_ref[pl.ds(i * rows, rows), :]
+                hij = jnp.sum(vi * w)
+                h_ref[i] = hij
+                return w - hij * vi
+
+            w = jax.lax.fori_loop(0, k + 1, mgs, w)
+            Hbis = jnp.sqrt(jnp.sum(w * w))
+            safe_H = jnp.where(Hbis == 0, jnp.ones_like(Hbis), Hbis)
+            V_ref[pl.ds((k + 1) * rows, rows), :] = w / safe_H
+
+            # --- Givens-QR of the new Hessenberg column (SMEM) ----------
+            def rot(i, _):
+                hi, hi1 = h_ref[i], h_ref[i + 1]
+                h_ref[i] = c_ref[i] * hi + sn_ref[i] * hi1
+                h_ref[i + 1] = sn_ref[i] * hi - c_ref[i] * hi1
+                return 0
+
+            jax.lax.fori_loop(0, k, rot, 0)
+            ck, sk, rkk = sym_givens(h_ref[k], Hbis)
+            c_ref[k] = ck
+            sn_ref[k] = sk
+            h_ref[k] = rkk
+
+            def wcol(i, _):
+                R_ref[k * mem + i] = h_ref[i]
+                return 0
+
+            jax.lax.fori_loop(0, k + 1, wcol, 0)
+            zeta_next = sk * zz_ref[k]
+            zz_ref[k] = ck * zz_ref[k]
+            zz_ref[k + 1] = zeta_next
+
+            rNorm_n = jnp.abs(zeta_next)
+            it_n = it + 1
+            kk = k + 1
+
+            resid_decrease = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+            breakdown = Hbis <= btol
+            tired = it_n >= cap
+            inner_tired = kk >= mem
+            inner_done = resid_decrease | breakdown | tired | inner_tired
+            glob_done = resid_decrease | breakdown | tired
+
+            tmp_ref[0] = rNorm_n                     # beta after restart
+            tmp_ref[1] = zero                        # singular-pivot flag
+
+            @pl.when(inner_done)
+            def _finalize():
+                # back substitution R[0:kk,0:kk] y = zz[0:kk] on SMEM
+                def bs(idx, _):
+                    i = kk - 1 - idx
+
+                    def inner(j, acc):
+                        return acc - R_ref[j * mem + i] * y_ref[j]
+
+                    acc = jax.lax.fori_loop(i + 1, kk, inner, zz_ref[i])
+                    diag = R_ref[i * mem + i]
+                    sing = jnp.abs(diag) <= btol
+                    y_ref[i] = jnp.where(
+                        sing, zero,
+                        acc / jnp.where(sing, jnp.ones_like(diag), diag))
+                    tmp_ref[1] = jnp.maximum(
+                        tmp_ref[1], jnp.where(sing, 1.0, 0.0))
+                    return 0
+
+                jax.lax.fori_loop(0, kk, bs, 0)
+
+                def xacc(i, _):
+                    vi = V_ref[pl.ds(i * rows, rows), :]
+                    x_ref[:] = x_ref[:] + y_ref[i] * vi
+                    return 0
+
+                jax.lax.fori_loop(0, kk, xacc, 0)
+
+                @pl.when(~glob_done)
+                def _restart():
+                    ppad_ref[P: P + rows] = x_ref[:]
+                    Ax = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+                    r = b_ref[:] - Ax
+                    beta_r = jnp.sqrt(jnp.sum(r * r))
+                    safe = jnp.where(beta_r == 0, jnp.ones_like(beta_r),
+                                     beta_r)
+                    V_ref[pl.ds(0, rows), :] = r / safe
+                    zz_ref[0] = beta_r
+                    tmp_ref[0] = beta_r
+
+            incons_n = incons | (inner_done & (tmp_ref[1] > 0))
+            code = jnp.int32(_BREAKDOWN)
+            code = jnp.where(tired, jnp.int32(_TIRED_K), code)
+            code = jnp.where(resid_decrease, jnp.int32(_SOLVED), code)
+            code = jnp.where(incons_n, jnp.int32(_INCONSISTENT), code)
+            code = jnp.where(~glob_done, jnp.int32(_RUNNING), code)
+            status_n = jnp.where(inner_done, code, jnp.int32(_RUNNING))
+
+            k_n = jnp.where(inner_done, jnp.int32(0), kk)
+            npass_n = npass + jnp.where(inner_done & ~glob_done,
+                                        jnp.int32(1), jnp.int32(0))
+            rN_out = jnp.where(inner_done & ~glob_done, tmp_ref[0], rNorm_n)
+            return (it_n, k_n, rN_out, status_n, incons_n, npass_n)
+
+        carry0 = (jnp.int32(0), jnp.int32(0), beta0, status0,
+                  jnp.zeros((), jnp.bool_), jnp.int32(1))
+        it, k, rNorm, status, incons, npass = jax.lax.while_loop(
+            cond, body, carry0)
+        niter_ref[0, 0] = it
+        rnorm_ref[0, 0] = rNorm
+        status_ref[0, 0] = status
+        incons_ref[0, 0] = incons.astype(jnp.int32)
+        npass_ref[0, 0] = npass
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status, incons, npass = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((mem + 1) * rows, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.SMEM((mem + 1,), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((mem + 1,), T),
+            pltpu.SMEM((mem * mem,), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((2,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((mem + 4 + nd) * vec_bytes * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
+            incons[0, 0], npass[0, 0])
+
+
+def gmres_dia_fused_supported(offsets, n, dtype, mem):
+    """Static gate: Krylov panel + stencil fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    rows, P = _plan(tuple(offsets), n)
+    nd = len(tuple(offsets))
+    bytes_ = (mem + 4 + nd) * rows * LANES * jnp.dtype(dtype).itemsize
+    return bytes_ < 100 * (1 << 20)

@@ -144,6 +144,11 @@ def sell_spmv(A: "SELLMatrix", x, interpret=None):
         interpret = jax.default_backend() == "cpu"
     m, n = A.shape
     P, K8, _ = A.data.shape
+    if 2 * P + 1 > 240_000:
+        raise ValueError(
+            f"SELL pair count {P} exceeds the SMEM scalar-prefetch budget "
+            "(~1 MB); the pattern has no slice/chunk locality — keep CSR "
+            "or pre-process with ops.hybrid.rcm_permute")
     nsl = max(-(-m // SLICE), 1)
     nch = max(-(-n // CHUNK), 1)
     xp = jnp.zeros((nch * CHUNK,), x.dtype).at[:n].set(x)

@@ -228,3 +228,55 @@ def test_lsqr_history_falls_back_to_general():
     op = DIAOperator(D, use_pallas=True)
     x, stats = lsqr(op, b, history=True)
     assert stats.residuals.size == stats.niter + 1
+
+
+@pytest.mark.parametrize("mem", [20, 5])
+def test_fused_gmres_matches_general(mem):
+    from krylov_tpu import gmres
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n))
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = gmres(op_fast, b, restart=True, memory=mem, rtol=1e-8)
+    xr, stats_ref = gmres(op_ref, b, restart=True, memory=mem, rtol=1e-8)
+    assert stats.solved
+    # kernel MGS vs general-core CGS2: same counts up to roundoff paths
+    assert abs(stats.niter - stats_ref.niter) <= max(2, stats_ref.niter // 20)
+    r = b - op_ref.matvec(x)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.5
+
+
+def test_fused_gmres_warm_start():
+    from krylov_tpu import gmres
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    op = DIAOperator(D, use_pallas=True)
+    b = jnp.asarray(np.random.default_rng(6).standard_normal(n))
+    x1, s1 = gmres(op, b, restart=True, memory=20, atol=0.0, rtol=1e-4)
+    x2, s2 = gmres(op, b, x1, restart=True, memory=20, atol=0.0, rtol=1e-10)
+    assert s2.solved
+    r = b - op.matvec(x2)
+    # rtol is relative to the warm residual (reference parity)
+    assert float(jnp.linalg.norm(r)) <= 1.5e-10 * float(
+        jnp.linalg.norm(b - op.matvec(x1)))
+    assert s2.niter < s1.niter + 40
+
+
+def test_fused_gmres_zero_rhs():
+    from krylov_tpu import gmres
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = gmres(op, jnp.zeros(n), restart=True, memory=10)
+    assert stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+
+
+def test_gmres_history_falls_back_to_general():
+    from krylov_tpu import gmres
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = gmres(op, b, restart=True, memory=20, rtol=1e-8, history=True)
+    assert stats.residuals.size > 0
