@@ -245,6 +245,12 @@ def main():
         {"n": ncd, "rtol": rtol},
         **measure("bicgstab", adapters.make_bicgstab(Acd, Mcd, bcd, rtol,
                                                      600), s_cap=64))
+    if on_tpu:
+        pdcd = DIAOperator(Dcd)._pd
+        configs["convdiff_gmres20_fused"] = dict(
+            {"n": ncd, "rtol": rtol, "mem": 20},
+            **measure("gmres_fused", adapters.make_gmres_fused(
+                pdcd, Dcd.offsets, bcd, rtol, 600, mem=20), s_cap=64))
 
     # ------------------------------------------------------------------
     # 3. LSQR / LSMR on tall dense least squares, λ = 1
@@ -265,6 +271,16 @@ def main():
     configs["lsmr_reg"] = dict(
         {"shape": [mls, nls], "lam": 0.1},
         **measure("lsmr", adapters.make_lsmr(Als, bls, rtol, 400, lam=0.1)))
+    if on_tpu:
+        # fused LSQR on the conv-diff stencil (square DIA, unsymmetric)
+        op_lf = DIAOperator(Dcd)
+        pd_lf = op_lf._pd
+        pda_lf, offs_adj = op_lf.aligned_adjoint()
+        configs["convdiff_lsqr_fused"] = dict(
+            {"n": ncd, "rtol": rtol},
+            **measure("lsqr_fused", adapters.make_lsqr_fused(
+                pd_lf, pda_lf, Dcd.offsets, offs_adj, bcd, rtol, 1200),
+                s_cap=64))
 
     # ------------------------------------------------------------------
     # 4. TriCG / TriMR / GPMR on SQD saddle-point systems
@@ -345,6 +361,61 @@ def main():
         bell_gnnz = nb * blocks_per_row * bs * bs / bell_t / 1e9
         log(f"bench: bell = {bell_gnnz:.1f} Gnnz/s")
 
+    # ------------------------------------------------------------------
+    # General-sparse path: hybrid analysis of CSR input + SELL remainder
+    # ------------------------------------------------------------------
+    hyb_gnnz = sell_gnnz = None
+    if on_tpu:
+        from krylov_tpu.ops.sparse import csr_from_coo
+        from krylov_tpu.ops.hybrid import hybrid_from_csr, hybrid_spmv
+        from krylov_tpu.ops.pallas_sell import sell_from_csr, sell_spmv
+
+        def spmv_time(fn, A_, x, K=256):
+            def loop(s):
+                @jax.jit
+                def g(A__, v):
+                    def body(_, u):
+                        return fn(A__, u) * (1.0 / 8.0)
+                    return jnp.sum(jax.lax.fori_loop(0, s, body, v))
+                return g
+            g1, gK = loop(1), loop(K)
+            float(g1(A_, x)); float(gK(A_, x))
+            t1s, tKs = [], []
+            for _ in range(REPS):
+                t1s.append(_timed(lambda: float(g1(A_, x))))
+                tKs.append(_timed(lambda: float(gK(A_, x))))
+            return ((statistics.median(tKs) - statistics.median(t1s))
+                    / (K - 1))
+
+        log("bench: hybrid conv-diff CSR...")
+        Dh = convdiff_dia(128, 128, 128, dtype=np.float32)
+        nh = Dh.shape[0]
+        ddh = np.asarray(Dh.data)
+        hr, hc, hv = [], [], []
+        for di, k in enumerate(Dh.offsets):
+            i = np.arange(max(0, -k), nh - max(0, k))
+            j = i + k
+            keep = ddh[di, j] != 0
+            hr.append(i[keep]); hc.append(j[keep]); hv.append(ddh[di, j][keep])
+        csr_h = csr_from_coo(np.concatenate(hr), np.concatenate(hc),
+                             np.concatenate(hv), (nh, nh), dtype=np.float32)
+        H = hybrid_from_csr(csr_h)
+        t_h = spmv_time(hybrid_spmv, H, jnp.ones(nh, jnp.float32))
+        hyb_gnnz = H.nnz / t_h / 1e9
+        log(f"bench: hybrid convdiff 128^3 CSR = {hyb_gnnz:.1f} Gnnz/s")
+
+        log("bench: sell fem-like...")
+        nf, degf, wf = 1 << 17, 12, 300
+        rngf = np.random.default_rng(0)
+        fr = np.repeat(np.arange(nf, dtype=np.int64), degf)
+        fc = np.clip(fr + rngf.integers(-wf, wf + 1, size=fr.size), 0, nf - 1)
+        Sf = sell_from_csr(csr_from_coo(
+            fr, fc, rngf.standard_normal(fr.size).astype(np.float32),
+            (nf, nf), dtype=np.float32))
+        t_s = spmv_time(sell_spmv, Sf, jnp.ones(nf, jnp.float32))
+        sell_gnnz = Sf.nnz / t_s / 1e9
+        log(f"bench: sell fem = {sell_gnnz:.1f} Gnnz/s (fill {Sf.fill:.2f})")
+
     # --- host scipy CSR baseline for the flagship SpMV
     import scipy.sparse as sp
     Db = poisson_dia(N_big, N_big, N_big, dtype=dtype)
@@ -377,6 +448,10 @@ def main():
                                              if spmv_bf16 else None),
             "bell_blocktridiag_gnnz_per_s": (round(bell_gnnz, 4)
                                              if bell_gnnz else None),
+            "hybrid_convdiff128_csr_gnnz_per_s": (round(hyb_gnnz, 4)
+                                                  if hyb_gnnz else None),
+            "sell_fem_gnnz_per_s": (round(sell_gnnz, 4)
+                                    if sell_gnnz else None),
             "cpu_scipy_gnnz_per_s": round(cpu_nnz_per_s / 1e9, 4),
             "baseline_configs": configs,
         },

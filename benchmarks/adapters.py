@@ -177,3 +177,25 @@ def make_minres_fused(pd, offsets, b, rtol, itmax, eps):
             int(itmax))
         return it, _chk(x)
     return solve, (pd,), b
+
+
+def make_gmres_fused(pd, offsets, b, rtol, itmax, mem=20):
+    from krylov_tpu.ops.pallas_fused import gmres_dia_fused
+    def solve(ops, rhs):
+        (pd_,) = ops
+        x, it, rn, stt, inc, npp = gmres_dia_fused(
+            pd_, offsets, rhs, 0.0, float(rtol), int(itmax), mem=int(mem))
+        return it, _chk(x)
+    return solve, (pd,), b
+
+
+def make_lsqr_fused(pd, pd_adj, offsets, offsets_adj, b, rtol, itmax,
+                    lam=0.0, axtol=1e-8):
+    from krylov_tpu.ops.pallas_fused import lsqr_dia_fused
+    def solve(ops, rhs):
+        pd_, pda_ = ops
+        x, it, rn, arn, stt, zr = lsqr_dia_fused(
+            pd_, pda_, offsets, offsets_adj, rhs, float(lam), float(axtol),
+            float(axtol), 0.0, float(rtol), float(axtol), 1e8, int(itmax))
+        return it, _chk(x)
+    return solve, (pd, pd_adj), b

@@ -1,12 +1,18 @@
 """SYMMLQ for Hermitian (indefinite) Ax = b.
 
 Parity with reference src/symmlq.jl: λ shift, λest-based forward-error
-bounds (err/errcg), transfer_to_cg, conlim, etol, Anorm/Acond estimates,
-SymmlqStats with LQ and CG-point residual histories.  The reference's
-retrospective window correction of the errorscg history
-(src/symmlq.jl:342-374) refines already-recorded history entries only;
-the bounds used for stopping are identical here, the retro-correction of
-recorded history is not applied.
+bounds (err/errcg) including the retrospective window correction of the
+recorded errorscg history (src/symmlq.jl:342-374), transfer_to_cg,
+conlim, etol, Anorm/Acond estimates, SymmlqStats with LQ and CG-point
+residual and error histories.
+
+One documented deviation: the reference applies the λ shift to the
+Lanczos scalar only (α = ⟨v, Av⟩ + λ, src/symmlq.jl:300) while leaving
+the three-term vector recurrence unshifted — inconsistent for λ ≠ 0 and
+untested there.  Here the shift is applied in operator form
+((A+λI)v, as reference src/minres.jl:296 does), which makes
+``symmlq(A, b, lam=λ)`` agree exactly with ``symmlq(A+λI, b)``
+(pinned by tests/test_sid_family.py::test_symmlq_shift_operator_form).
 """
 
 import functools
@@ -62,6 +68,9 @@ class SymmlqState(NamedTuple):
     cwold: jax.Array
     err: jax.Array
     errcg: jax.Array
+    clist: jax.Array      # (window,) ring of Givens cosines (λest window)
+    zlist: jax.Array      # (window,) ring of ζ values
+    sprod: jax.Array      # (window,) running sine products
     tol: jax.Array
     iter: jax.Array
     status: jax.Array
@@ -69,18 +78,20 @@ class SymmlqState(NamedTuple):
     precond_violation: jax.Array
     hist_r: jax.Array
     hist_rcg: jax.Array
+    hist_err: jax.Array
+    hist_errcg: jax.Array
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ldiv", "transfer_to_cg", "use_lambda_est", "history",
-                     "hist_len", "callback", "verbose", "MisI"),
+                     "hist_len", "callback", "verbose", "MisI", "window"),
 )
 def _symmlq_core(
     A, M, b, x0, state_in, iter_cap, itmax, atol, rtol, etol, conlim,
     lam, lambda_est,
     *, ldiv, transfer_to_cg, use_lambda_est, history, hist_len, callback,
-    verbose, MisI,
+    verbose, MisI, window=5,
 ):
     n = b.shape[0]
     FC = b.dtype
@@ -154,6 +165,19 @@ def _symmlq_core(
         hrcg = rt.hist_write(
             hrcg, 0, jnp.where(gbar != 0, rcgNorm, jnp.nan), history
         )
+        herr = rt.hist_init(hist_len, T)
+        herrcg = rt.hist_init(hist_len, T)
+        if use_lambda_est:
+            # reference src/symmlq.jl:257-259 pre-loop error bounds
+            e0 = jnp.abs(beta1 / _safe(lest))
+            herr = rt.hist_write(herr, 0, e0, history)
+            herrcg = rt.hist_write(
+                herrcg, 0,
+                jnp.where(gbar != 0,
+                          jnp.sqrt(jnp.maximum(e0 * e0
+                                               - zetabar * zetabar, 0)),
+                          jnp.nan),
+                history)
         state = SymmlqState(
             x=x, wbar=wbar, Mvold=Mvold, Mv=Mv, vold=vold, v=v,
             beta=beta, gbar=gbar, dbar=dbar,
@@ -165,10 +189,12 @@ def _symmlq_core(
             rhobar=rhobar, sigbar=beta, cw=cw, sw=sw,
             cwold=-jnp.ones((), T),
             err=jnp.asarray(jnp.inf, T), errcg=jnp.asarray(jnp.inf, T),
+            clist=jnp.zeros((window,), T), zlist=jnp.zeros((window,), T),
+            sprod=jnp.ones((window,), T),
             tol=tol, iter=jnp.int32(0), status=status,
             solved_cg_flag=solved_cg0,
             precond_violation=precond_violation,
-            hist_r=hr, hist_rcg=hrcg,
+            hist_r=hr, hist_rcg=hrcg, hist_err=herr, hist_errcg=herrcg,
         )
     else:
         state = state_in
@@ -225,10 +251,46 @@ def _symmlq_core(
                             s.rcgNorm)
 
         if use_lambda_est:
+            # Retrospective window correction of the recorded errorscg
+            # history (reference src/symmlq.jl:342-374): the ζ/c/s rings
+            # refine the entry written `window` iterations ago.
+            idxs = jnp.arange(window)
+            sprod = jnp.where((it < window) & (idxs >= it),
+                              s.sprod * sn, s.sprod) if window > 1 \
+                else s.sprod
+            ix = (it - 1) % window
+            clist = s.clist.at[ix].set(c)
+            zlist = s.zlist.at[ix].set(zeta)
+            herrcg = s.hist_errcg
+            if history and window > 0:
+                jx = it % window
+                zetabark = zlist[jx] / _safe(clist[jx])
+                theta0 = jnp.sum(clist * sprod * zlist)
+                theta = (zetabark * jnp.abs(theta0)
+                         + jnp.abs(zetabark * zetabar * sprod[ix] * sn)
+                         - zetabark * zetabark)
+                back = jnp.maximum(it - window, 0)
+                old = herrcg[back]
+                corr = jnp.where(
+                    gbar_nz, jnp.sqrt(jnp.abs(old * old - 2 * theta)),
+                    jnp.nan)
+                herrcg = herrcg.at[back].set(
+                    jnp.where(it >= window, corr, old))
+            if window > 1:
+                ixp = it % window
+                q = (ixp + 1) % window
+                sprod_n = sprod / _safe(sprod[q])
+                sprod_n = sprod_n.at[ixp].set(
+                    sprod_n[(ixp - 1) % window] * sn)
+                sprod = jnp.where(it >= window, sprod_n, sprod)
+
             err = jnp.abs((s.eps_old * s.zold + psi * zeta) / _safe(omegabar))
             errcg = jnp.where(
                 gbar_nz, jnp.sqrt(jnp.abs(err * err - zetabar * zetabar)),
                 s.errcg)
+            herr = rt.hist_write(s.hist_err, it, err, history)
+            herrcg = rt.hist_write(
+                herrcg, it, jnp.where(gbar_nz, errcg, jnp.nan), history)
             rhobar = s.sw * s.sigbar - s.cw * (alpha - lest)
             sigbar = -s.cw * beta
             rho = jnp.sqrt(rhobar * rhobar + beta * beta)
@@ -237,6 +299,8 @@ def _symmlq_core(
             sw = beta / _safe(rho)
         else:
             err, errcg = s.err, s.errcg
+            clist, zlist, sprod = s.clist, s.zlist, s.sprod
+            herr, herrcg = s.hist_err, s.hist_errcg
             rhobar, sigbar = s.rhobar, s.sigbar
             cw, sw, cwold = s.cw, s.sw, s.cwold
 
@@ -278,10 +342,12 @@ def _symmlq_core(
             anorm2=anorm2, gmax=gmax, gmin=gmin, xnorm2=xnorm2,
             rNorm=rNorm, rcgNorm=rcgNorm,
             rhobar=rhobar, sigbar=sigbar, cw=cw, sw=sw, cwold=cwold,
-            err=err, errcg=errcg, iter=it, status=code,
+            err=err, errcg=errcg,
+            clist=clist, zlist=zlist, sprod=sprod,
+            iter=it, status=code,
             solved_cg_flag=solved_cg,
             precond_violation=precond_violation,
-            hist_r=hr, hist_rcg=hrcg,
+            hist_r=hr, hist_rcg=hrcg, hist_err=herr, hist_errcg=herrcg,
         )
         if callback is not None:
             user_exit = callback(s_new)
@@ -333,7 +399,7 @@ def _symmlq_solve(
             ldiv=bool(ldiv), transfer_to_cg=bool(transfer_to_cg),
             use_lambda_est=bool(lambda_est != 0),
             history=bool(history), hist_len=hist_len, callback=callback,
-            verbose=int(verbose), MisI=M is None,
+            verbose=int(verbose), MisI=M is None, window=int(window),
         )
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
@@ -351,6 +417,10 @@ def _symmlq_solve(
                                                    SOLVED_CG_PT),
         residuals=rt.hist_trim(state.hist_r, niter) if history else np.zeros(0),
         residualscg=rt.hist_trim(state.hist_rcg, niter) if history else np.zeros(0),
+        errors=(rt.hist_trim(state.hist_err, niter)
+                if history and lambda_est != 0 else np.zeros(0)),
+        errorscg=(rt.hist_trim(state.hist_errcg, niter)
+                  if history and lambda_est != 0 else np.zeros(0)),
         Anorm=float(np.sqrt(state.anorm2)),
         Acond=(float(state.gmax) / max(float(state.gmin), 1e-300)
                if np.isfinite(state.gmax) and float(state.gmax) >= 0

@@ -128,3 +128,24 @@ def test_fused_adapters_interpret():
     tests/test_fused.py — here just check the adapter plumbing imports."""
     assert callable(adapters.make_cg_fused)
     assert callable(adapters.make_minres_fused)
+    assert callable(adapters.make_gmres_fused)
+    assert callable(adapters.make_lsqr_fused)
+
+
+def test_gmres_fused_adapter_counts(convdiff):
+    A, M, b = convdiff
+    _, stats = kt.gmres(A, b, memory=20, restart=True, atol=0.0, rtol=RTOL)
+    pd = DIAOperator(A.dia, use_pallas=True)._pd
+    it = run_adapter(adapters.make_gmres_fused(pd, A.dia.offsets, b,
+                                               RTOL, 4000, mem=20))
+    assert stats.solved and abs(it - stats.niter) <= 2
+
+
+def test_lsqr_fused_adapter_counts(convdiff):
+    A, M, b = convdiff
+    _, stats = kt.lsqr(A, b, atol=0.0, rtol=RTOL, axtol=1e-8, etol=1e-8)
+    op = DIAOperator(A.dia, use_pallas=True)
+    pd_adj, offs_adj = op.aligned_adjoint()
+    it = run_adapter(adapters.make_lsqr_fused(
+        op._pd, pd_adj, A.dia.offsets, offs_adj, b, RTOL, 4000))
+    assert stats.solved and abs(it - stats.niter) <= 2

@@ -90,6 +90,61 @@ class TestSymmlqSpecifics:
         assert stats.solved
         assert stats.Anorm > 0
 
+    def test_symmlq_shift_operator_form(self):
+        # The documented λ-deviation pin (solvers/symmlq.py docstring):
+        # lam=λ must agree exactly with solving the explicitly shifted
+        # matrix — the operator-form shift is self-consistent.
+        rng = np.random.default_rng(11)
+        n = 60
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        A = Q @ np.diag(np.linspace(-2.0, 3.0, n)) @ Q.T
+        A = (A + A.T) / 2
+        b = rng.standard_normal(n)
+        lam = 0.7
+        x1, s1 = symmlq(A, b, lam=lam, atol=0.0, rtol=1e-10)
+        x2, s2 = symmlq(A + lam * np.eye(n), b, atol=0.0, rtol=1e-10)
+        assert s1.niter == s2.niter
+        assert s1.status == s2.status
+        assert np.allclose(np.asarray(x1), np.asarray(x2), atol=1e-12)
+        r = b - (A + lam * np.eye(n)) @ np.asarray(x1)
+        assert np.linalg.norm(r) <= 1e-9 * np.linalg.norm(b)
+
+    def test_lambda_est_error_bounds(self):
+        # errors/errorscg histories with the retrospective window
+        # correction (reference src/symmlq.jl:342-374): with
+        # 0 < λest < λmin the err sequence upper-bounds the true forward
+        # error of the LQ iterates.
+        rng = np.random.default_rng(3)
+        n = 50
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        evals = np.linspace(1.0, 10.0, n)
+        A = Q @ np.diag(evals) @ Q.T
+        A = (A + A.T) / 2
+        b = rng.standard_normal(n)
+        lam_est = 0.9 * evals[0]
+        window = 5
+        x, stats = symmlq(A, b, lambda_est=lam_est, window=window,
+                          atol=0.0, rtol=1e-12, etol=1e-12, history=True)
+        assert stats.solved
+        assert len(stats.errors) == stats.niter + 1
+        assert len(stats.errorscg) == stats.niter + 1
+        assert np.all(np.isfinite(stats.errors))
+        x_star = np.linalg.solve(A, b)
+        # reconstruct LQ iterates at a few k and check the bound
+        for k in (3, 6, 10):
+            if k >= stats.niter:
+                continue
+            xk, sk = symmlq(A, b, lambda_est=lam_est, window=window,
+                            atol=0.0, rtol=0.0, etol=0.0, itmax=k)
+            true_err = np.linalg.norm(x_star - np.asarray(xk))
+            assert stats.errors[k] >= 0.5 * true_err
+        # the window correction rewrote early errorscg entries: they must
+        # remain valid (finite where defined) and tighter or equal
+        uncorr = np.asarray(stats.errors[: stats.niter - window])
+        corr = np.asarray(stats.errorscg[: stats.niter - window])
+        finite = np.isfinite(corr)
+        assert np.all(corr[finite] <= uncorr[finite] + 1e-12)
+
     def test_stats_type(self):
         from krylov_tpu import SymmlqStats
         A, b = fx.symmetric_definite()
