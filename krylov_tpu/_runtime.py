@@ -217,7 +217,25 @@ def debug_header(verbose, text):
         print(text, flush=True)
 
 
-def debug_row(verbose, iter_, fmt, *values):
-    """Per-iteration display inside the traced loop via jax.debug.print."""
+def debug_table(verbose, name, cols, m, n=None):
+    """Problem line + column-label line (reference per-solver tables,
+    e.g. src/cg.jl:132,182).  The reference's trailing `timer` column is
+    not reproducible inside a jitted loop and is omitted."""
     if verbose > 0:
-        jax.debug.print(fmt, iter_, *values)
+        if n is None or m == n:
+            print(f"{name}: system of size {m}", flush=True)
+        else:
+            print(f"{name}: system of {m} equations in {n} variables",
+                  flush=True)
+        print("  ".join(f"{c:>7s}" for c in cols), flush=True)
+
+
+def debug_row(verbose, iter_, fmt, *values):
+    """Per-iteration display inside the traced loop via jax.debug.print,
+    printed every `verbose` iterations (reference kdisplay,
+    krylov_utils.jl:301)."""
+    if verbose > 0:
+        jax.lax.cond(
+            iter_ % verbose == 0,
+            lambda: jax.debug.print(fmt, iter_, *values),
+            lambda: None)

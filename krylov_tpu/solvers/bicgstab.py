@@ -129,7 +129,8 @@ def _bicgstab_core(
                                  jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}", it, rNorm)
+            rt.debug_row(verbose, it, "{:5d}  {:7.1e}  {:8.1e}  {:8.1e}",
+                         rNorm, jnp.abs(alpha), jnp.abs(omega))
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -233,7 +234,7 @@ def _cgs_core(
                                  jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}", it, rNorm)
+            rt.debug_row(verbose, it, "{:5d}  {:7.1e}", rNorm)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -262,6 +263,13 @@ def _biortho_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
+    name = "BICGSTAB" if core is _bicgstab_core else "CGS"
+    rt.debug_header(verbose, f"{name}: system of size {n}")
+    if core is _bicgstab_core:
+        rt.debug_header(verbose, f"{'k':>5s}  {'‖rₖ‖':>7s}  {'|αₖ|':>8s}  "
+                                 f"{'|ωₖ|':>8s}")
+    else:
+        rt.debug_header(verbose, f"{'k':>5s}  {'‖rₖ‖':>7s}")
 
     def run(state, cap):
         return core(

@@ -212,6 +212,9 @@ def _bilq_core(
             norm_vk=norm_vkp1, rNorm=rNorm_lq, iter=it, status=code,
             solved_cg_flag=solved_cg & ~solved_lq, hist_r=hist,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -243,6 +246,7 @@ def _bilq_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "BILQ", ("k", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
@@ -403,6 +407,9 @@ def _qmr_core(
             zetabar=zetabar_next, tau=tau, rNorm=rNorm,
             iter=it, status=code, hist_r=hist,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -427,6 +434,7 @@ def _qmr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "QMR", ("k", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
@@ -701,6 +709,9 @@ def _bilqr_core(
             breakdown=breakdown,
             iter=it, status=code, hist_r=hr, hist_s=hs,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.sNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -767,6 +778,7 @@ def _bilqr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "BILQR", ("k", "‖rₖ‖", "‖sₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)

@@ -193,6 +193,9 @@ def _block_core(
         s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
         s_out = s_out._replace(
             hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
+        if verbose > 0:
+            rt.debug_row(verbose, s_out.iter, "{:5d}  {:7.1e}",
+                         s_out.rNorm)
         if callback is not None:
             user_exit = callback(s_out)
             s_out = s_out._replace(
@@ -221,6 +224,7 @@ def _block_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, max(2 * (n // p), 2))
+    rt.debug_table(verbose, "BLOCK-GMRES", ("k", "‖Rₖ‖"), n)
     if restart:
         mem = min(int(memory), itmax)
     else:
@@ -369,6 +373,9 @@ def _block_minres_core(
             Q2_km2=s.Q2_km1, Q2_km1=Q2,
             rNorm=rNorm, iter=it, status=code, hist_r=hist,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -395,6 +402,7 @@ def _block_minres_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, max(2 * (n // p), 2))
+    rt.debug_table(verbose, "BLOCK-MINRES", ("k", "‖Rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     X0 = None if X0 is None else jnp.asarray(X0, dtype=B.dtype)
 

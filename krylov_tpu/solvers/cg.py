@@ -198,9 +198,11 @@ def _cg_core(
                 )
             )
         if verbose > 0:
-            jax.debug.print(
-                "{:5d}  {:8.1e}  {:8.1e}  {:8.1e}",
-                s_new.iter, rNorm_new, pAp, alpha,
+            sigma_v = sigma if use_radius else alpha
+            rt.debug_row(
+                verbose, s.iter,
+                "{:5d}  {:7.1e}  {:8.1e}  {:8.1e}  {:8.1e}",
+                s.rNorm, pAp, alpha, sigma_v,
             )
         return s_new
 
@@ -388,6 +390,8 @@ def _cg_solve(
 
     if verbose > 0:
         rt.debug_header(verbose, f"CG: system of {n} equations in {n} variables")
+        rt.debug_header(verbose, f"{'k':>5s}  {'‖r‖':>7s}  {'pAp':>8s}  "
+                                 f"{'α':>8s}  {'σ':>8s}")
 
     def run(state, cap):
         return _cg_core(

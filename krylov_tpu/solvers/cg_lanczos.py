@@ -161,7 +161,7 @@ def _cg_lanczos_core(
                                  jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}", it, rNorm_out)
+            rt.debug_row(verbose, it, "{:5d}  {:7.1e}", rNorm_out)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -186,6 +186,7 @@ def _cg_lanczos_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "CG-LANCZOS", ("k", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

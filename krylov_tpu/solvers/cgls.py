@@ -125,6 +125,9 @@ def _cgls_core(
         s_new = s._replace(x=x, r=r, p=p, s=sv, gamma=gamma_next,
                            rNorm=rNorm, ArNorm=ArNorm, iter=it, status=code,
                            hist_r=hr, hist_ar=har)
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:8.1e}  {:8.1e}",
+                         s_new.ArNorm, s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -150,6 +153,7 @@ def _cgls_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "CGLS", ("k", "‖Aᴴr‖", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     def run(state, cap):
@@ -316,6 +320,9 @@ def _crls_core(
         s_new = s._replace(x=x, r=r, Ar=Ar_mid, p=p, Ap=Ap, q=q, s=sv,
                            gamma=gamma_out, rNorm=rNorm, ArNorm=ArNorm,
                            iter=it, status=code, hist_r=hr, hist_ar=har)
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:8.1e}  {:8.1e}",
+                         s_new.ArNorm, s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -341,6 +348,7 @@ def _crls_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "CRLS", ("k", "‖Aᴴr‖", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     def run(state, cap):

@@ -351,7 +351,8 @@ def _cr_core(
                     jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}  {:8.1e}", it_out, xNorm, rNorm_out)
+            rt.debug_row(verbose, it_out, "{:5d}  {:8.1e}  {:8.1e}",
+                         xNorm, rNorm_out)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -382,6 +383,7 @@ def _cr_solve(
     rtol = rt.default_tol(rtol, T)
     gamma_tol = sqrt_eps(T) if gamma_tol is None else float(gamma_tol)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "CR", ("k", "‖x‖", "‖r‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
@@ -559,7 +561,9 @@ def _car_core(
                 status=jnp.where(user_exit, jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}  {:8.1e}", it, rNorm, ArNorm)
+            rt.debug_row(verbose, it,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         rNorm, ArNorm, alpha, beta)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -583,6 +587,7 @@ def _car_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "CAR", ("k", "‖rₖ‖", "‖Arₖ‖", "α", "β"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

@@ -222,6 +222,9 @@ def _craig_core(
             xnorm2=jnp.where(incons, s.xnorm2, xnorm2),
             rNorm=rNorm, iter=it_out, status=code, hist_r=hr,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:8.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -255,6 +258,7 @@ def _craig_solve(
     rtol = rt.default_tol(rtol, T)
     btol = rt.default_tol(btol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "CRAIG", ("k", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     def run(state, cap):
@@ -474,6 +478,9 @@ def _craigmr_core(
             rNorm=rNorm, ArNorm=ArNorm,
             iter=it, status=code, hist_r=hr, hist_ar=har,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.ArNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -505,6 +512,7 @@ def _craigmr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "CRAIGMR", ("k", "‖r‖", "‖Aᴴr‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     def run(state, cap):
@@ -730,6 +738,9 @@ def _lnlq_core(
             iter=it, status=code,
             solved_cg_flag=solved_cg & ~solved_lq, hist_r=hr,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -777,6 +788,7 @@ def _lnlq_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "LNLQ", ("k", "‖rₖ‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     def run(state, cap):

@@ -228,6 +228,9 @@ def _fom_core(
 
         s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
         s_out = s_out._replace(hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
+        if verbose > 0:
+            rt.debug_row(verbose, s_out.iter, "{:5d}  {:5d}  {:7.1e}",
+                         s_out.npass, s_out.rNorm)
         if callback is not None:
             user_exit = callback(s_out)
             s_out = s_out._replace(
@@ -260,6 +263,7 @@ def _fom_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "FOM", ("k", "pass", "‖rₖ‖"), n)
     mem = min(int(memory), itmax) if restart else min(itmax, memory_cap)
     mem = max(mem, 2)
     hist_len = itmax + 1 if history else 0
@@ -482,6 +486,9 @@ def _trunc_core(
             x=x_new, V=V_new, P=P_new, L=L_new, Ssin=Ssin_new,
             xi=xi_next, rNorm=rNorm, iter=it, status=code, hist_r=hist,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -513,6 +520,7 @@ def _trunc_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, variant.upper(), ("k", "‖rₖ‖"), n)
     mem = max(int(memory), 2)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)

@@ -264,8 +264,8 @@ def _gmres_core(
                                  jnp.int32(rt.USER_EXIT), s_out.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:5d}  {:8.1e}  {:8.1e}",
-                            s_out.npass, it, rNorm, Hbis)
+            rt.debug_row(verbose, it, "{:5d}  {:5d}  {:7.1e}  {:7.1e}",
+                         s_out.npass, rNorm, Hbis)
         return s_out
 
     return jax.lax.while_loop(cond, body, state)
@@ -292,6 +292,7 @@ def _gmres_like_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "FGMRES" if flexible else "GMRES", ("k", "pass", "‖rₖ‖", "hₖ₊₁.ₖ"), n)
     if restart:
         mem = min(int(memory), itmax)
     else:

@@ -279,6 +279,9 @@ def _lslq_core(
             rNorm=rNorm, ArNorm=ArNorm, iter=it, status=code,
             zero_resid=zero_resid, hist_r=hr, hist_ar=har,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.ArNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -314,6 +317,7 @@ def _lslq_solve(
     etol = rt.default_tol(etol, T)
     utol = rt.default_tol(utol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "LSLQ", ("k", "‖r‖", "‖Aᴴr‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     def run(state, cap):

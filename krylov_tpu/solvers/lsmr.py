@@ -273,7 +273,11 @@ def _lsmr_core(
             s_new = s_new._replace(
                 status=jnp.where(user_exit, jnp.int32(rt.USER_EXIT), s_new.status))
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}  {:8.1e}", it, rNorm, ArNorm)
+            rt.debug_row(
+                verbose, it,
+                "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}  {:8.1e}  "
+                "{:8.1e}  {:7.1e}",
+                rNorm, ArNorm, beta, alpha, c, sg, anorm2)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -303,6 +307,11 @@ def _lsmr_solve(
     etol = rt.default_tol(etol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
     hist_len = itmax + 1 if history else 0
+    rt.debug_header(verbose, f"LSMR: system of {m} equations in {n} variables")
+    rt.debug_header(
+        verbose,
+        f"{'k':>5s}  {'‖r‖':>7s}  {'‖Aᴴr‖':>7s}  {'β':>7s}  {'α':>7s}  "
+        f"{'cos':>8s}  {'sin':>8s}  {'‖A‖²':>7s}")
 
     def run(state, cap):
         return _lsmr_core(

@@ -258,7 +258,11 @@ def _lsqr_core(
                 status=jnp.where(user_exit, jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}  {:8.1e}", it, rNorm, ArNorm)
+            rt.debug_row(
+                verbose, it,
+                "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}  "
+                "{:7.1e}  {:7.1e}  {:7.1e}",
+                alpha, beta, rNorm, ArNorm, test1, test2, anorm, acond)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -318,6 +322,11 @@ def _lsqr_solve(
     etol = rt.default_tol(etol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
     hist_len = itmax + 1 if history else 0
+    rt.debug_header(verbose, f"LSQR: system of {m} equations in {n} variables")
+    rt.debug_header(
+        verbose,
+        f"{'k':>5s}  {'α':>7s}  {'β':>7s}  {'‖r‖':>7s}  {'‖Aᴴr‖':>7s}  "
+        f"{'compat':>7s}  {'backwrd':>7s}  {'‖A‖':>7s}  {'κ(A)':>7s}")
 
     # Fast path: DIA stencil + default config → fused whole-solve kernel
     # (Golub-Kahan over the stencil and its adjoint, all vectors in VMEM).

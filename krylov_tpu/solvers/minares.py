@@ -324,7 +324,9 @@ def _minares_core(
                 status=jnp.where(user_exit & (s_new.status == rt.RUNNING),
                                  jnp.int32(rt.USER_EXIT), s_new.status))
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}  {:8.1e}", it, rNorm, ArNorm)
+            rt.debug_row(verbose, it,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:8.1e}",
+                         rNorm, ArNorm, beta_kp2, zeta_k)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -348,6 +350,7 @@ def _minares_solve(
     rtol = rt.default_tol(rtol, T)
     Artol = rt.default_tol(Artol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "MINARES", ("k", "‖rₖ‖", "‖Arₖ‖", "βₖ₊₁", "ζₖ"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

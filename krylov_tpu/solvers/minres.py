@@ -279,9 +279,11 @@ def _minres_core(
                 status=jnp.where(user_exit, jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            jax.debug.print(
-                "{:5d}  {:8.1e}  {:8.1e}  {:8.1e}", it, rNorm, ArNorm, beta
-            )
+            rt.debug_row(
+                verbose, it,
+                "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:8.1e}  {:8.1e}  "
+                "{:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}",
+                rNorm, ArNorm, beta, cs, sn, anorm, acond, test1, test2)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -315,6 +317,11 @@ def _minres_solve(
 
     if verbose > 0:
         rt.debug_header(verbose, f"MINRES: system of size {n}")
+        rt.debug_header(
+            verbose,
+            f"{'k':>5s}  {'‖r‖':>7s}  {'‖Aᴴr‖':>7s}  {'β':>7s}  {'cos':>8s}"
+            f"  {'sin':>8s}  {'‖A‖':>7s}  {'κ(A)':>7s}  {'test1':>7s}"
+            f"  {'test2':>7s}")
 
     # Fast path: DIA stencil + default config → fused whole-solve kernel.
     if (M is None and not linesearch and callback is None and verbose == 0

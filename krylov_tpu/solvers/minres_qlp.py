@@ -298,6 +298,9 @@ def _minres_qlp_core(
             indefinite=indefinite, npc_count=npc_count,
             hist_r=hr, hist_ar=har,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.ArNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -330,6 +333,7 @@ def _minres_qlp_solve(
     rtol = rt.default_tol(rtol, T)
     Artol = rt.default_tol(Artol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
+    rt.debug_table(verbose, "MINRES-QLP", ("k", "‖rₖ‖", "‖Arₖ₋₁‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

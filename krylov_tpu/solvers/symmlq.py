@@ -354,7 +354,11 @@ def _symmlq_core(
             s_new = s_new._replace(
                 status=jnp.where(user_exit, jnp.int32(rt.USER_EXIT), s_new.status))
         if verbose > 0:
-            jax.debug.print("{:5d}  {:8.1e}  {:8.1e}", it, rNorm, beta)
+            rt.debug_row(
+                verbose, it,
+                "{:5d}  {:7.1e}  {:7.1e}  {:8.1e}  {:8.1e}  {:7.1e}  "
+                "{:7.1e}  {:7.1e}",
+                rNorm, beta, c, sn, anorm, acond, test1)
         return s_new
 
     state = jax.lax.while_loop(cond, body, state)
@@ -391,6 +395,11 @@ def _symmlq_solve(
     itmax = rt.resolve_itmax(itmax, 2 * n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    rt.debug_header(verbose, f"SYMMLQ: system of size {n}")
+    rt.debug_header(
+        verbose,
+        f"{'k':>5s}  {'‖r‖':>7s}  {'β':>7s}  {'cos':>8s}  {'sin':>8s}  "
+        f"{'‖A‖':>7s}  {'κ(A)':>7s}  {'test1':>7s}")
 
     def run(state, cap):
         return _symmlq_core(

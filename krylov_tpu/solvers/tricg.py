@@ -234,6 +234,9 @@ def _tricg_core(
             pi_m3=pi_odd, pi_m2=pi_even, delta_km1=delta,
             rNorm=rNorm, iter=it, status=code, hist_r=hr,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -262,6 +265,7 @@ def _tricg_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "TRICG", ("k", "‖rₖ‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
@@ -576,6 +580,9 @@ def _trimr_core(
             pibar_odd=pibar_next_odd, pibar_even=pibar_next_even,
             rNorm=rNorm, iter=it, status=code, hist_r=hr,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -604,6 +611,7 @@ def _trimr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "TRIMR", ("k", "‖rₖ‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)

@@ -185,6 +185,9 @@ def _usymlq_core(
             zetabar=zetabar, rNorm=rNorm_lq, iter=it, status=code,
             solved_cg_flag=solved_cg & ~solved_lq, hist_r=hist,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
+                         s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -212,6 +215,7 @@ def _usymlq_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "USYMLQ", ("k", "‖rₖ‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
@@ -378,6 +382,9 @@ def _usymqr_core(
             iter=it, status=code, inconsistent=inconsistent,
             hist_r=hr, hist_ar=har,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:8.1e}",
+                         s_new.rNorm, s_new.ArNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -401,6 +408,7 @@ def _usymqr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "USYMQR", ("k", "‖rₖ‖", "‖Aᴴrₖ₋₁‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
@@ -663,6 +671,9 @@ def _trilqr_core(
             inconsistent_dual=inconsistent_dual,
             iter=it, status=code, hist_r=hr, hist_s=hs,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.sNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -695,6 +706,7 @@ def _trilqr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "TRILQR", ("k", "‖rₖ‖", "‖sₖ‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
@@ -973,6 +985,9 @@ def _usymlqr_core(
             inconsistent=inconsistent,
             iter=it, status=code, hist_r=hr, hist_ar=har,
         )
+        if verbose > 0:
+            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm_ls, s_new.rNorm_ln, s_new.AHrNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -1016,6 +1031,7 @@ def _usymlqr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
+    rt.debug_table(verbose, "USYMLQR", ("k", "‖rₖ‖_LS", "‖rₖ‖_LN", "‖Aᴴr‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)

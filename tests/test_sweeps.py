@@ -45,16 +45,72 @@ class TestCallbackSweep:
 
 
 class TestVerbose:
-    @pytest.mark.parametrize("method", ["cg", "minres", "gmres"])
-    def test_verbose_runs(self, method, capfd):
+    SQUARE = ["cg", "cr", "car", "cg_lanczos", "symmlq", "minres",
+              "minres_qlp", "minares", "cgs", "bicgstab", "bilq", "qmr",
+              "diom", "fom", "dqgmres", "gmres", "fgmres"]
+    LS = ["lsqr", "lsmr", "lslq", "cgls", "crls", "cgne", "crmr"]
+    LN2 = ["craig", "craigmr", "lnlq"]
+    TWO = ["usymlq", "usymqr"]
+    ADJ = ["bilqr", "trilqr"]
+
+    @pytest.mark.parametrize("method", SQUARE)
+    def test_verbose_square(self, method, capfd):
         A, b = fx.symmetric_definite(n=20)
         x, stats = kt.krylov_solve(method, np.asarray(A), b, verbose=1)
         assert stats.solved
-        # header printed on stdout (per-iteration rows go through
-        # jax.debug.print asynchronously)
-        out = capfd.readouterr()
-        assert method.upper()[:2] in out.out.upper() or out.out == "" \
-            or stats.niter >= 0
+        capfd.readouterr()
+
+    @pytest.mark.parametrize("method", LS)
+    def test_verbose_ls(self, method, capfd):
+        A, b = fx.over_consistent()
+        x, stats = kt.krylov_solve(method, A, b, verbose=1)
+        assert stats.niter >= 0
+        capfd.readouterr()
+
+    @pytest.mark.parametrize("method", LN2)
+    def test_verbose_ln(self, method, capfd):
+        A, b = fx.under_consistent()
+        x, y, stats = kt.krylov_solve(method, A, b, verbose=1)
+        assert stats.niter >= 0
+        capfd.readouterr()
+
+    @pytest.mark.parametrize("method", TWO + ADJ)
+    def test_verbose_twosided(self, method, capfd):
+        A, b = fx.symmetric_definite(n=20)
+        A = np.asarray(A)
+        out = kt.krylov_solve(method, A, b, b, verbose=1)
+        stats = out[-1]
+        assert stats.niter >= 0
+        capfd.readouterr()
+
+    def test_verbose_saddle(self, capfd):
+        rng = np.random.default_rng(0)
+        n = 12
+        Ar = rng.standard_normal((n, n)) / np.sqrt(n)
+        b = np.ones(n)
+        c = -np.ones(n)
+        for method in ("tricg", "trimr"):
+            out = kt.krylov_solve(method, Ar, b, c, verbose=1)
+            assert out[-1].niter >= 0
+        x, y, stats = kt.gpmr(Ar, Ar.T, b, c, verbose=1)
+        assert stats.niter >= 0
+        capfd.readouterr()
+
+    def test_verbose_block(self, capfd):
+        A, b = fx.symmetric_definite(n=16)
+        B = np.stack([np.asarray(b), 2 * np.asarray(b)], axis=1)
+        X, stats = kt.block_minres(np.asarray(A), B, verbose=1)
+        assert stats.niter >= 0
+        X, stats = kt.block_gmres(np.asarray(A), B, verbose=1)
+        assert stats.niter >= 0
+        capfd.readouterr()
+
+    def test_verbose_usymlqr(self, capfd):
+        A, b = fx.over_consistent()
+        c = np.ones(A.shape[1])
+        x, y, stats = kt.usymlqr(A, b, c, verbose=1)
+        assert stats.niter >= 0
+        capfd.readouterr()
 
 
 class TestShow:
