@@ -251,6 +251,10 @@ def main():
             {"n": ncd, "rtol": rtol, "mem": 20},
             **measure("gmres_fused", adapters.make_gmres_fused(
                 pdcd, Dcd.offsets, bcd, rtol, 600, mem=20), s_cap=64))
+        configs["convdiff_bicgstab_fused"] = dict(
+            {"n": ncd, "rtol": rtol},
+            **measure("bicgstab_fused", adapters.make_bicgstab_fused(
+                pdcd, Dcd.offsets, bcd, rtol, 600), s_cap=64))
 
     # ------------------------------------------------------------------
     # 3. LSQR / LSMR on tall dense least squares, λ = 1

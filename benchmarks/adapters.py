@@ -189,6 +189,16 @@ def make_gmres_fused(pd, offsets, b, rtol, itmax, mem=20):
     return solve, (pd,), b
 
 
+def make_bicgstab_fused(pd, offsets, b, rtol, itmax):
+    from krylov_tpu.ops.pallas_fused import bicgstab_dia_fused
+    def solve(ops, rhs):
+        (pd_,) = ops
+        x, it, rn, stt = bicgstab_dia_fused(
+            pd_, offsets, rhs, 0.0, float(rtol), int(itmax))
+        return it, _chk(x)
+    return solve, (pd,), b
+
+
 def make_lsqr_fused(pd, pd_adj, offsets, offsets_adj, b, rtol, itmax,
                     lam=0.0, axtol=1e-8):
     from krylov_tpu.ops.pallas_fused import lsqr_dia_fused

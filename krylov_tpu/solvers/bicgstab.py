@@ -263,6 +263,31 @@ def _biortho_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (core is _bicgstab_core and M is None and N is None
+            and c is b and x0 is None and not history
+            and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (bicgstab_dia_fused,
+                                        bicgstab_dia_fused_supported)
+        if bicgstab_dia_fused_supported(A.dia.offsets, n, b.dtype):
+            x, niter, rnorm, status = bicgstab_dia_fused(
+                A._pd, A.dia.offsets, b, float(atol), float(rtol), itmax)
+            niter, code = jax.device_get([niter, status])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     name = "BICGSTAB" if core is _bicgstab_core else "CGS"
     rt.debug_header(verbose, f"{name}: system of size {n}")
     if core is _bicgstab_core:

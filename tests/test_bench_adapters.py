@@ -130,6 +130,7 @@ def test_fused_adapters_interpret():
     assert callable(adapters.make_minres_fused)
     assert callable(adapters.make_gmres_fused)
     assert callable(adapters.make_lsqr_fused)
+    assert callable(adapters.make_bicgstab_fused)
 
 
 def test_gmres_fused_adapter_counts(convdiff):
@@ -138,6 +139,16 @@ def test_gmres_fused_adapter_counts(convdiff):
     pd = DIAOperator(A.dia, use_pallas=True)._pd
     it = run_adapter(adapters.make_gmres_fused(pd, A.dia.offsets, b,
                                                RTOL, 4000, mem=20))
+    assert stats.solved and abs(it - stats.niter) <= 2
+
+
+def test_bicgstab_fused_adapter_counts(convdiff):
+    A, M, b = convdiff
+    op = DIAOperator(A.dia, use_pallas=False)
+    _, stats = kt.bicgstab(op, b, atol=0.0, rtol=RTOL)
+    pd = DIAOperator(A.dia, use_pallas=True)._pd
+    it = run_adapter(adapters.make_bicgstab_fused(pd, A.dia.offsets, b,
+                                                  RTOL, 4000))
     assert stats.solved and abs(it - stats.niter) <= 2
 
 

@@ -280,3 +280,32 @@ def test_gmres_history_falls_back_to_general():
     op = DIAOperator(D, use_pallas=True)
     x, stats = gmres(op, b, restart=True, memory=20, rtol=1e-8, history=True)
     assert stats.residuals.size > 0
+
+
+def test_fused_bicgstab_matches_general():
+    from krylov_tpu import bicgstab
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(8).standard_normal(n))
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = bicgstab(op_fast, b, atol=0.0, rtol=1e-8)
+    xr, stats_ref = bicgstab(op_ref, b, atol=0.0, rtol=1e-8)
+    assert stats.solved
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-10 * float(
+        jnp.max(jnp.abs(xr)) + 1)
+
+
+def test_fused_bicgstab_zero_rhs_and_fallbacks():
+    from krylov_tpu import bicgstab
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = bicgstab(op, jnp.zeros(n))
+    assert stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+    # history forces the general core
+    x, stats = bicgstab(op, b, atol=0.0, rtol=1e-8, history=True)
+    assert stats.residuals.size == stats.niter + 1
