@@ -409,14 +409,19 @@ def main():
         log(f"bench: hybrid convdiff 128^3 CSR = {hyb_gnnz:.1f} Gnnz/s")
 
         log("bench: sell fem-like...")
+        from krylov_tpu.ops.pallas_sell import (sell_bucketed_from_csr,
+                                                sell_bucketed_spmv,
+                                                SELLBucketed)
         nf, degf, wf = 1 << 17, 12, 300
         rngf = np.random.default_rng(0)
         fr = np.repeat(np.arange(nf, dtype=np.int64), degf)
         fc = np.clip(fr + rngf.integers(-wf, wf + 1, size=fr.size), 0, nf - 1)
-        Sf = sell_from_csr(csr_from_coo(
+        Sf = sell_bucketed_from_csr(csr_from_coo(
             fr, fc, rngf.standard_normal(fr.size).astype(np.float32),
             (nf, nf), dtype=np.float32))
-        t_s = spmv_time(sell_spmv, Sf, jnp.ones(nf, jnp.float32))
+        fn_s = (sell_bucketed_spmv if isinstance(Sf, SELLBucketed)
+                else sell_spmv)
+        t_s = spmv_time(fn_s, Sf, jnp.ones(nf, jnp.float32))
         sell_gnnz = Sf.nnz / t_s / 1e9
         log(f"bench: sell fem = {sell_gnnz:.1f} Gnnz/s (fill {Sf.fill:.2f})")
 

@@ -34,7 +34,9 @@ from .operators import (
 )
 from .ops.sparse import CSRMatrix, csr_from_dense, csr_from_coo
 from .ops.hybrid import HybridMatrix, hybrid_from_csr, split_diagonals
-from .ops.pallas_sell import SELLMatrix, sell_from_csr, sell_spmv
+from .ops.pallas_sell import (SELLBucketed, SELLMatrix,
+                              sell_bucketed_from_csr, sell_from_csr,
+                              sell_spmv)
 from .stats import (
     SimpleStats,
     LsmrStats,

@@ -23,7 +23,8 @@ from jax.tree_util import register_pytree_node_class
 
 from .dia import DIAMatrix, dia_spmv
 from .sparse import CSRMatrix, csr_from_coo
-from .pallas_sell import SELLMatrix, sell_from_csr, sell_spmv
+from .pallas_sell import (SELLBucketed, SELLMatrix, sell_bucketed_from_csr,
+                          sell_bucketed_spmv, sell_spmv)
 
 
 def split_diagonals(csr, diag_fill=0.5, max_diags=256):
@@ -140,9 +141,12 @@ def hybrid_from_csr(csr, diag_fill=0.5, max_diags=256):
     dia, rem = split_diagonals(csr, diag_fill, max_diags)
     sell = None
     if rem is not None:
-        sell = sell_from_csr(rem)
-        if (sell.data.size > 64 * max(rem.nnz, 1)
-                or 2 * sell.data.shape[0] + 1 > 240_000):
+        sell = sell_bucketed_from_csr(rem)
+        slots = (sell.slots if isinstance(sell, SELLBucketed)
+                 else sell.data.size)
+        pairs = (max((p.data.shape[0] for p in sell.parts), default=0)
+                 if isinstance(sell, SELLBucketed) else sell.data.shape[0])
+        if slots > 64 * max(rem.nnz, 1) or 2 * pairs + 1 > 240_000:
             # degenerate packing (no slice/chunk locality) or pair list
             # beyond the SMEM scalar-prefetch budget: keep CSR
             sell = rem
@@ -165,6 +169,8 @@ def hybrid_spmv(A: "HybridMatrix", x):
         if isinstance(A.sell, CSRMatrix):
             from .sparse import spmv
             ys = spmv(A.sell, x)
+        elif isinstance(A.sell, SELLBucketed):
+            ys = sell_bucketed_spmv(A.sell, x)
         else:
             ys = sell_spmv(A.sell, x)
         y = ys if y is None else y + ys

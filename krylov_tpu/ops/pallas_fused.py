@@ -193,7 +193,9 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, dinv=None,
         viol_ref[0, 0] = viol
 
     vec_bytes = rows * LANES * np.dtype(T).itemsize
-    vmem_bytes = (nd + 4 + (1 if precond else 0)) * vec_bytes \
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    vmem_bytes = nd * pd_bytes \
+        + (4 + (1 if precond else 0)) * vec_bytes \
         + 2 * P * LANES * np.dtype(T).itemsize
 
     in_specs = [
@@ -238,14 +240,21 @@ def cg_dia_fused(pd, offsets, b, atol, rtol, itmax, dinv=None,
             viol[0, 0])
 
 
-def cg_dia_fused_supported(offsets, n, dtype):
+def _fused_bytes(offsets, n, dtype, nvec, stencil_dtype=None):
+    """Working-set bytes of a fused kernel: nd diagonals (which may be
+    stored narrower, e.g. bf16) + ``nvec`` solve vectors."""
+    rows, P = _plan(tuple(offsets), n)
+    nd = len(tuple(offsets))
+    sd = jnp.dtype(dtype if stencil_dtype is None else stencil_dtype)
+    return rows * LANES * (nd * sd.itemsize
+                           + nvec * jnp.dtype(dtype).itemsize)
+
+
+def cg_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     """Static gate: does the whole working set fit in VMEM (~100 MB)?"""
     if jnp.dtype(dtype).kind != "f":
         return False
-    rows, P = _plan(offsets, n)
-    nd = len(offsets) if isinstance(offsets, tuple) else len(tuple(offsets))
-    bytes_ = (nd + 4) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 100 * (1 << 20)
+    return _fused_bytes(offsets, n, dtype, 4, stencil_dtype) < 100 * (1 << 20)
 
 
 # additional status codes used by MINRES (krylov_tpu/_runtime.py)
@@ -419,6 +428,7 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
         incon_ref[0, 0] = out[13]
 
     vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
     x, niter, rnorm, status, incon = pl.pallas_call(
         kernel,
         grid=(),
@@ -449,21 +459,23 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
             pltpu.VMEM((rows, LANES), T),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((nd + 7) * vec_bytes * 1.2) + (1 << 20)),
+            vmem_limit_bytes=int((nd * pd_bytes + 7 * vec_bytes) * 1.2)
+            + (1 << 20)),
         interpret=interpret,
     )(itmax_s, scal_s, bw, pdw)
     return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
             incon[0, 0])
 
 
-def minres_dia_fused_supported(offsets, n, dtype):
-    """Static gate: working set (pd + 6 vectors) fits in VMEM (~100 MB)."""
+def minres_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: working set (pd + 7 vectors) fits in VMEM (~100 MB).
+
+    A bf16-stored stencil halves the diagonal bytes, admitting 128³
+    7-point problems (2M unknowns) that the f32 stencil would not.
+    """
     if jnp.dtype(dtype).kind != "f":
         return False
-    rows, P = _plan(offsets, n)
-    nd = len(tuple(offsets))
-    bytes_ = (nd + 7) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 100 * (1 << 20)
+    return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
 
 
 # CR-specific status codes (krylov_tpu/solvers/cr.py)

@@ -381,7 +381,8 @@ def _cg_solve(
             and getattr(A, "use_pallas", False)
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import cg_dia_fused_supported
-        if cg_dia_fused_supported(A.dia.offsets, n, b.dtype):
+        if cg_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                  stencil_dtype=A._pd.dtype):
             dinv = None
             if diag_M:
                 dinv = (1.0 / M.d if ldiv else M.d).astype(b.dtype)

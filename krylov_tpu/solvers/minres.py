@@ -330,7 +330,8 @@ def _minres_solve(
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (minres_dia_fused,
                                         minres_dia_fused_supported)
-        if minres_dia_fused_supported(A.dia.offsets, n, b.dtype):
+        if minres_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                      stencil_dtype=A._pd.dtype):
             ctol = 1.0 / conlim if conlim > 0 else 0.0
             b_eff = b if x0 is None else \
                 b - (A.matvec(x0) + jnp.asarray(lam, b.dtype) * x0)

@@ -309,3 +309,31 @@ def test_fused_bicgstab_zero_rhs_and_fallbacks():
     # history forces the general core
     x, stats = bicgstab(op, b, atol=0.0, rtol=1e-8, history=True)
     assert stats.residuals.size == stats.niter + 1
+
+
+def test_bf16_stencil_minres_matches_f32():
+    """bf16-stored diagonals (exact for the Poisson stencil) must give the
+    same fused-MINRES result as f32 storage, at half the diagonal bytes."""
+    from krylov_tpu import minres
+    from krylov_tpu.ops.dia import DIAMatrix
+    D, pd, b, n = _problem(dtype=np.float32)
+    Dbf = DIAMatrix(D.data.astype(jnp.bfloat16), D.offsets, D.shape)
+    op32 = DIAOperator(D, use_pallas=True)
+    opbf = DIAOperator(Dbf, use_pallas=True)
+    assert opbf._pd.dtype == jnp.bfloat16
+    x32, s32 = minres(op32, b, atol=0.0, rtol=1e-6)
+    xbf, sbf = minres(opbf, b, atol=0.0, rtol=1e-6)
+    assert s32.niter == sbf.niter and s32.status == sbf.status
+    assert float(jnp.max(jnp.abs(x32 - xbf))) < 1e-5 * float(
+        jnp.max(jnp.abs(x32)) + 1)
+
+
+def test_bf16_stencil_admits_128cubed():
+    """The VMEM gate must admit 2M-unknown MINRES with a bf16 stencil
+    (f32 stencil + 7 vectors = 117 MB > gate; bf16 stencil = 87 MB)."""
+    from krylov_tpu.ops.pallas_fused import minres_dia_fused_supported
+    offsets = (-128 * 128, -128, -1, 0, 1, 128, 128 * 128)
+    n = 128 ** 3
+    assert not minres_dia_fused_supported(offsets, n, np.float32)
+    assert minres_dia_fused_supported(offsets, n, np.float32,
+                                      stencil_dtype=jnp.bfloat16)

@@ -170,3 +170,93 @@ class TestHybridOperator:
         xs, stats = kt.bicgstab(op, b, atol=0.0, rtol=1e-10)
         assert stats.solved
         assert np.linalg.norm(A @ np.asarray(xs) - 1.0) <= 1e-6
+
+
+class TestSELLBucketed:
+    """Depth-bucketed packing: per-bucket Kmax instead of a global one."""
+
+    def _skewed(self, n=1 << 14, w=300, seed=0, nheavy=150, hdeg=120):
+        """Uniform band + a clustered heavy-row block (constraint rows at
+        the end of a FEM system: a global Kmax poisons every slice for
+        the sake of the last one)."""
+        rng = np.random.default_rng(seed)
+        deg = np.full(n, 7)
+        heavy = n - 1 - rng.choice(2048, nheavy, replace=False)
+        deg[heavy] = hdeg
+        r = np.repeat(np.arange(n, dtype=np.int64), deg)
+        c = np.clip(r + rng.integers(-w, w + 1, size=r.size), 0, n - 1)
+        v = rng.standard_normal(r.size)
+        A = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+        A.sum_duplicates()
+        return A
+
+    def test_matches_scipy_and_improves_fill(self):
+        from krylov_tpu.ops.pallas_sell import (SELLBucketed,
+                                                sell_bucketed_from_csr)
+        A = self._skewed()
+        S1 = sell_from_csr(_csr(A))
+        SB = sell_bucketed_from_csr(_csr(A))
+        assert isinstance(SB, SELLBucketed)
+        assert SB.nnz == S1.nnz == A.nnz
+        assert SB.slots < 0.6 * S1.data.size      # padding materially cut
+        x = np.random.default_rng(1).standard_normal(A.shape[1])
+        y = SB @ jnp.asarray(x)
+        assert np.allclose(np.asarray(y), A @ x, atol=1e-10)
+
+    def test_fat_tailed_band_never_regresses(self):
+        # zipf degrees on a band: irreducibly deep — the plan chooser must
+        # not pick a packing worse than the single global-Kmax one
+        from krylov_tpu.ops.pallas_sell import sell_bucketed_from_csr
+        rng = np.random.default_rng(0)
+        n, w = 1 << 13, 300
+        deg = np.minimum(2 + rng.zipf(1.6, size=n), 200)
+        r = np.repeat(np.arange(n, dtype=np.int64), deg)
+        c = np.clip(r + rng.integers(-w, w + 1, size=r.size), 0, n - 1)
+        A = sp.coo_matrix((rng.standard_normal(r.size), (r, c)),
+                          shape=(n, n)).tocsr()
+        A.sum_duplicates()
+        S1 = sell_from_csr(_csr(A))
+        SB = sell_bucketed_from_csr(_csr(A))
+        slots = SB.slots if hasattr(SB, "slots") else SB.data.size
+        assert slots <= S1.data.size
+        x = np.random.default_rng(1).standard_normal(n)
+        assert np.allclose(np.asarray(SB @ jnp.asarray(x)), A @ x,
+                           atol=1e-10)
+
+    def test_heavy_row_isolated(self):
+        # one 100-deep row must not poison the padding of the whole matrix
+        from krylov_tpu.ops.pallas_sell import (SELLBucketed,
+                                                sell_bucketed_from_csr)
+        A = sp.eye(8192, format="lil")
+        A[3, :100] = np.arange(1.0, 101.0)
+        A = A.tocsr()
+        S1 = sell_from_csr(_csr(A))
+        SB = sell_bucketed_from_csr(_csr(A))
+        assert isinstance(SB, SELLBucketed)
+        assert SB.slots < 0.05 * S1.data.size     # 101-deep Kmax contained
+        x = np.random.default_rng(2).standard_normal(8192)
+        assert np.allclose(np.asarray(SB @ jnp.asarray(x)), A @ x,
+                           atol=1e-10)
+
+    def test_uniform_pattern_stays_single(self):
+        from krylov_tpu.ops.pallas_sell import sell_bucketed_from_csr
+        n = 2048
+        T = sp.diags([1.0, 4.0, 1.0], [-1, 0, 1], (n, n)).tocsr()
+        S = sell_bucketed_from_csr(_csr(T))
+        assert not hasattr(S, "parts")            # plain SELLMatrix
+
+    def test_hybrid_routes_bucketed_and_jits(self):
+        from krylov_tpu.ops.pallas_sell import SELLBucketed
+        A = self._skewed(n=1 << 13, seed=4)
+        A.setdiag(0)
+        A.eliminate_zeros()
+        H = hybrid_from_csr(_csr(A))
+        assert isinstance(H.sell, SELLBucketed)
+        x = jnp.asarray(np.random.default_rng(5).standard_normal(A.shape[1]))
+
+        @jax.jit
+        def f(H_, v):
+            return hybrid_spmv(H_, v)
+
+        assert np.allclose(np.asarray(f(H, x)), A @ np.asarray(x),
+                           atol=1e-10)
