@@ -285,6 +285,11 @@ def main():
             **measure("lsqr_fused", adapters.make_lsqr_fused(
                 pd_lf, pda_lf, Dcd.offsets, offs_adj, bcd, rtol, 1200),
                 s_cap=64))
+        configs["convdiff_lsmr_fused"] = dict(
+            {"n": ncd, "rtol": rtol},
+            **measure("lsmr_fused", adapters.make_lsmr_fused(
+                pd_lf, pda_lf, Dcd.offsets, offs_adj, bcd, rtol, 1200),
+                s_cap=64))
 
     # ------------------------------------------------------------------
     # 4. TriCG / TriMR / GPMR on SQD saddle-point systems

@@ -209,3 +209,15 @@ def make_lsqr_fused(pd, pd_adj, offsets, offsets_adj, b, rtol, itmax,
             float(axtol), 0.0, float(rtol), float(axtol), 1e8, int(itmax))
         return it, _chk(x)
     return solve, (pd, pd_adj), b
+
+
+def make_lsmr_fused(pd, pd_adj, offsets, offsets_adj, b, rtol, itmax,
+                    lam=0.0, axtol=1e-8):
+    from krylov_tpu.ops.pallas_fused import lsmr_dia_fused
+    def solve(ops, rhs):
+        pd_, pda_ = ops
+        (x, it, rn, arn, acond, anorm, xnorm, stt, zr) = lsmr_dia_fused(
+            pd_, pda_, offsets, offsets_adj, rhs, float(lam), float(axtol),
+            float(axtol), 0.0, float(rtol), float(axtol), 1e8, int(itmax))
+        return it, _chk(x)
+    return solve, (pd, pd_adj), b

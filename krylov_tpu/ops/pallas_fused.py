@@ -619,21 +619,20 @@ def cr_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
             pltpu.VMEM((rows, LANES), T),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((nd + 6) * vec_bytes * 1.3) + (1 << 20)),
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 6 * vec_bytes) * 1.3) + (1 << 20)),
         interpret=interpret,
     )(itmax_s, atol_s, rtol_s, bw, pdw)
     return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
             indef[0, 0])
 
 
-def cr_dia_fused_supported(offsets, n, dtype):
-    """Static gate: working set (pd + 5 vectors) fits in VMEM (~100 MB)."""
+def cr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: working set (pd + 6 vectors) fits in VMEM (~100 MB)."""
     if jnp.dtype(dtype).kind != "f":
         return False
-    rows, P = _plan(offsets, n)
-    nd = len(tuple(offsets))
-    bytes_ = (nd + 6) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 100 * (1 << 20)
+    return _fused_bytes(offsets, n, dtype, 6, stencil_dtype) < 100 * (1 << 20)
 
 
 # LSQR status codes (krylov_tpu/_runtime.py)
@@ -891,21 +890,296 @@ def lsqr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, axtol, btol,
             pltpu.VMEM((rows, LANES), T),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((2 * nd + 8) * vec_bytes * 1.2) + (1 << 20)),
+            vmem_limit_bytes=int((2 * nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 8 * vec_bytes) * 1.2) + (1 << 20)),
         interpret=interpret,
     )(itmax_s, scal_s, bw, pdw, pdaw)
     return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], arnorm[0, 0],
             status[0, 0], zr[0, 0])
 
 
-def lsqr_dia_fused_supported(offsets, n, dtype):
-    """Static gate: 2 stencils + 6 vectors fit in VMEM (~100 MB)."""
+def lsqr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 8 vectors fit in VMEM (~100 MB)."""
     if jnp.dtype(dtype).kind != "f":
         return False
-    rows, P = _plan(tuple(offsets) + tuple(-k for k in offsets), n)
-    nd = len(tuple(offsets))
-    bytes_ = (2 * nd + 8) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 100 * (1 << 20)
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 8, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "window",
+                                   "interpret"))
+def lsmr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, axtol, btol,
+                   atol, rtol, etol, conlim, itmax, window=5,
+                   interpret=None):
+    """Full LSMR solve of min ‖b − Ax‖ (+λ) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/lsmr.py:_lsmr_core on
+    the default path (M = N = I, radius = 0; reference src/lsmr.jl
+    Golub-Kahan + the ‖r‖/‖A‖/cond estimate recurrences).  Returns
+    (x, niter, rNorm, ArNorm, acond, anorm, xnorm, status, zero_resid).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    tiny = float(np.finfo(np.dtype(T)).tiny)
+    rows, P = _plan(tuple(offsets) + tuple(offsets_adj), n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    pdaw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd_adj).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+    shifts_a = tuple((int(k) // LANES, int(k) % LANES) for k in offsets_adj)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray(
+        [lam, axtol, btol, atol, rtol, etol, conlim], T).reshape(7, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, arnorm_ref, acond_ref,
+               anorm_ref, xnorm_ref, status_ref, zr_ref,
+               upad_ref, vpad_ref, h_ref, hbar_ref):
+        lam_v = s_ref[0, 0]
+        axtol_v = s_ref[1, 0]
+        btol_v = s_ref[2, 0]
+        atol_v = s_ref[3, 0]
+        rtol_v = s_ref[4, 0]
+        etol_v = s_ref[5, 0]
+        conlim_v = s_ref[6, 0]
+        ctol = jnp.where(conlim_v > 0, 1.0 / conlim_v, jnp.zeros((), T))
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+
+        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        safe_b1 = jnp.where(beta1 == 0, jnp.ones_like(beta1), beta1)
+        upad_ref[P: P + rows] = bv / safe_b1
+        Ahu = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+        alpha0 = jnp.sqrt(jnp.sum(Ahu * Ahu))
+        safe_a0 = jnp.where(alpha0 == 0, jnp.ones_like(alpha0), alpha0)
+        vpad_ref[P: P + rows] = Ahu / safe_a0
+        h_ref[:] = vpad_ref[P: P + rows]
+        hbar_ref[:] = jnp.zeros((rows, LANES), T)
+        ArNorm0 = alpha0 * beta1
+
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(alpha0 == 0, jnp.int32(_MIN_LSQ_X),
+                      jnp.where(beta1 <= axtol_v, jnp.int32(_SOLVED_LSQ),
+                                jnp.int32(_RUNNING))))
+
+        errs0 = (zero,) * window
+        big = jnp.asarray(np.finfo(np.dtype(T)).max, T)
+        # carry: it, alpha, beta, zetabar, alphabar, rho, rhobar, cbar,
+        #   sbar, betadd, betad, rhodold, tautildeold, thetatilde, zeta,
+        #   dd, anorm2, maxrbar, minrbar, xenorm2, rNorm, ArNorm, acond,
+        #   anorm, xnorm, status, zero_resid
+        carry0 = (jnp.int32(0), alpha0, beta1, alpha0 * beta1, alpha0,
+                  one, one, one, zero, beta1, zero, one, zero, zero,
+                  zero, zero, alpha0 * alpha0, zero, big, zero,
+                  beta1, ArNorm0, zero, alpha0, zero, status0,
+                  jnp.int32(0)) + errs0
+
+        def cond(c):
+            return (c[25] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, alpha, beta, zetabar_c, alphabar, rho_c, rhobar_c,
+             cbar_c, sbar_c, betadd, betad_c, rhodold_c, tautildeold_c,
+             thetatilde_c, zeta_c, dd_c, anorm2, maxrbar, minrbar,
+             xenorm2, rNorm, ArNorm, acond, anorm_c, xnorm,
+             status, zero_resid) = c[:27]
+            errs = c[27:]
+            it = it0 + 1
+
+            # Golub-Kahan step (M = N = I).
+            u_old = upad_ref[P: P + rows]
+            Av = _stencil(vpad_ref, pd_ref, shifts, P, rows, T)
+            u_un = Av - alpha * u_old
+            beta_n = jnp.sqrt(jnp.sum(u_un * u_un))
+            bnz = beta_n != 0
+            safe_b = jnp.where(bnz, beta_n, jnp.ones_like(beta_n))
+            upad_ref[P: P + rows] = jnp.where(bnz, u_un / safe_b, u_un)
+
+            v_old = vpad_ref[P: P + rows]
+            Ahu_ = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+            v_un = jnp.where(bnz, Ahu_ - beta_n * v_old, v_old)
+            alpha_n = jnp.where(bnz, jnp.sqrt(jnp.sum(v_un * v_un)), alpha)
+            anz = bnz & (alpha_n != 0)
+            safe_a = jnp.where(anz, alpha_n, jnp.ones_like(alpha_n))
+            vv = jnp.where(anz, v_un / safe_a, v_un)
+            vpad_ref[P: P + rows] = vv
+
+            # LSMR rotations (reference src/lsmr.jl; solvers/lsmr.py body).
+            chat, shat, alphahat = sym_givens(alphabar, lam_v)
+            rhoold = rho_c
+            cg, sg, rho = sym_givens(alphahat, beta_n)
+            thetanew = sg * alpha_n
+            alphabar_n = cg * alpha_n
+
+            rhobarold = rhobar_c
+            zetaold = zeta_c
+            thetabar = sbar_c * rho
+            rhotemp = cbar_c * rho
+            cbar_n, sbar_n, rhobar_n = sym_givens(rhotemp, thetanew)
+            zeta = cbar_n * zetabar_c
+            zetabar_n = -sbar_n * zetabar_c
+
+            xenorm2_n = xenorm2 + zeta * zeta
+            errs_n = errs[1:] + (zeta,)
+            err2 = zero
+            for e_ in errs_n:
+                err2 = err2 + e_ * e_
+            err_lbnd = jnp.sqrt(err2)
+
+            delta = thetabar * rho / jnp.maximum(rhoold * rhobarold, tiny)
+            hv = h_ref[:]
+            hbar_ref[:] = hv - delta * hbar_ref[:]
+
+            safe_rr = jnp.maximum(rho * rhobar_n, tiny)
+            sigma = zeta / safe_rr
+            x_ref[:] = x_ref[:] + sigma * hbar_ref[:]
+            h_ref[:] = vv - (thetanew / jnp.maximum(rho, tiny)) * hv
+
+            # ‖r‖ estimate recurrences.
+            betaacute = chat * betadd
+            betacheck = -shat * betadd
+            betahat = cg * betaacute
+            betadd_n = -sg * betaacute
+
+            thetatildeold = thetatilde_c
+            ctildeold, stildeold, rhotildeold = sym_givens(
+                rhodold_c, thetabar)
+            thetatilde_n = stildeold * rhobar_n
+            rhodold_n = ctildeold * rhobar_n
+            betad_n = -stildeold * betad_c + ctildeold * betahat
+
+            tautildeold_n = (zetaold - thetatildeold * tautildeold_c) \
+                / jnp.maximum(rhotildeold, tiny)
+            taud = (zeta - thetatilde_n * tautildeold_n) \
+                / jnp.maximum(rhodold_n, tiny)
+            dd_n = dd_c + betacheck * betacheck
+            rNorm_n = jnp.sqrt(dd_n + (betad_n - taud) ** 2
+                               + betadd_n * betadd_n)
+
+            anorm2_mid = anorm2 + beta_n * beta_n
+            anorm = jnp.sqrt(anorm2_mid)
+            anorm2_n = anorm2_mid + alpha_n * alpha_n
+
+            maxrbar_n = jnp.maximum(maxrbar, rhobarold)
+            minrbar_n = jnp.where(it > 1, jnp.minimum(minrbar, rhobarold),
+                                  minrbar)
+            acond_n = jnp.maximum(maxrbar_n, rhotemp) / jnp.maximum(
+                jnp.minimum(minrbar_n, rhotemp), tiny)
+
+            ArNorm_n = jnp.abs(zetabar_n)
+            xv = x_ref[:]
+            xNorm = jnp.sqrt(jnp.sum(xv * xv))
+
+            test1 = rNorm_n / beta1
+            test2 = ArNorm_n / jnp.maximum(anorm * rNorm_n, tiny)
+            test3 = 1.0 / jnp.maximum(acond_n, tiny)
+            t1 = test1 / (1.0 + anorm * xNorm / beta1)
+            rNormtol = btol_v + axtol_v * anorm * xNorm / beta1
+
+            ill_cond_mach = (1.0 + test3) <= 1.0
+            solved_mach = (1.0 + test2) <= 1.0
+            zero_resid_mach = (1.0 + t1) <= 1.0
+            ill_cond_lim = test3 <= ctol
+            solved_lim = test2 <= axtol_v
+            solved_opt = ArNorm_n <= atol_v + rtol_v * ArNorm0
+            zero_resid_lim = test1 <= rNormtol
+            fwd_err = (it >= window) & (
+                err_lbnd <= etol_v * jnp.sqrt(xenorm2_n))
+
+            zero_r = zero_resid_mach | zero_resid_lim
+            solved = (solved_mach | solved_lim | solved_opt | zero_r
+                      | fwd_err)
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(ill_cond_lim, jnp.int32(_COND_EXCEEDED), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED_LSQ), code)
+            code = jnp.where(solved & zero_r, jnp.int32(_SOLVED_ZERO), code)
+            code = jnp.where(solved & fwd_err, jnp.int32(_FWD_ERR), code)
+
+            return (it, alpha_n, beta_n, zetabar_n, alphabar_n, rho,
+                    rhobar_n, cbar_n, sbar_n, betadd_n, betad_n,
+                    rhodold_n, tautildeold_n, thetatilde_n, zeta,
+                    dd_n, anorm2_n, maxrbar_n, minrbar_n, xenorm2_n,
+                    rNorm_n, ArNorm_n, acond_n, anorm, xNorm, code,
+                    zero_r.astype(jnp.int32)) + errs_n
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[20]
+        arnorm_ref[0, 0] = out[21]
+        acond_ref[0, 0] = out[22]
+        anorm_ref[0, 0] = out[23]
+        xnorm_ref[0, 0] = out[24]
+        status_ref[0, 0] = out[25]
+        zr_ref[0, 0] = out[26]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    outs = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 8,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 9 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    (x, niter, rnorm, arnorm, acond, anorm, xnorm, status, zr) = outs
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], arnorm[0, 0],
+            acond[0, 0], anorm[0, 0], xnorm[0, 0], status[0, 0], zr[0, 0])
+
+
+def lsmr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 9 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 9, stencil_dtype) < 100 * (1 << 20)
 
 
 # GMRES status codes (krylov_tpu/_runtime.py)
@@ -1135,7 +1409,9 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             pltpu.SMEM((2,), T),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((mem + 4 + nd) * vec_bytes * 1.2)
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + (mem + 4) * vec_bytes) * 1.2)
             + (1 << 20)),
         interpret=interpret,
     )(itmax_s, scal_s, bw, pdw)
@@ -1143,14 +1419,12 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             incons[0, 0], npass[0, 0])
 
 
-def gmres_dia_fused_supported(offsets, n, dtype, mem):
+def gmres_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None):
     """Static gate: Krylov panel + stencil fit in VMEM (~100 MB)."""
     if jnp.dtype(dtype).kind != "f":
         return False
-    rows, P = _plan(tuple(offsets), n)
-    nd = len(tuple(offsets))
-    bytes_ = (mem + 4 + nd) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 100 * (1 << 20)
+    return _fused_bytes(offsets, n, dtype, mem + 4,
+                        stencil_dtype) < 100 * (1 << 20)
 
 
 # BiCGSTAB status codes (krylov_tpu/solvers/bicgstab.py)
@@ -1276,17 +1550,16 @@ def bicgstab_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
             pltpu.VMEM((rows, LANES), T),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((nd + 6) * vec_bytes * 1.2) + (1 << 20)),
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 6 * vec_bytes) * 1.2) + (1 << 20)),
         interpret=interpret,
     )(itmax_s, scal_s, bw, pdw)
     return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
 
 
-def bicgstab_dia_fused_supported(offsets, n, dtype):
+def bicgstab_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     """Static gate: stencil + 6 vectors fit in VMEM (~100 MB)."""
     if jnp.dtype(dtype).kind != "f":
         return False
-    rows, P = _plan(tuple(offsets), n)
-    nd = len(tuple(offsets))
-    bytes_ = (nd + 6) * rows * LANES * jnp.dtype(dtype).itemsize
-    return bytes_ < 100 * (1 << 20)
+    return _fused_bytes(offsets, n, dtype, 6, stencil_dtype) < 100 * (1 << 20)

@@ -272,7 +272,8 @@ def _biortho_solve(
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (bicgstab_dia_fused,
                                         bicgstab_dia_fused_supported)
-        if bicgstab_dia_fused_supported(A.dia.offsets, n, b.dtype):
+        if bicgstab_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                        stencil_dtype=A._pd.dtype):
             x, niter, rnorm, status = bicgstab_dia_fused(
                 A._pd, A.dia.offsets, b, float(atol), float(rtol), itmax)
             niter, code = jax.device_get([niter, status])

@@ -394,7 +394,8 @@ def _cr_solve(
             and getattr(A, "use_pallas", False)
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import cr_dia_fused, cr_dia_fused_supported
-        if cr_dia_fused_supported(A.dia.offsets, n, b.dtype):
+        if cr_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                  stencil_dtype=A._pd.dtype):
             b_eff = b if x0 is None else b - A.matvec(x0)
             x, niter, rnorm, status, indef = cr_dia_fused(
                 A._pd, A.dia.offsets, b_eff, atol, rtol, itmax)

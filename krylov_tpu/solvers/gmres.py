@@ -314,7 +314,8 @@ def _gmres_like_solve(
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (gmres_dia_fused,
                                         gmres_dia_fused_supported)
-        if gmres_dia_fused_supported(A.dia.offsets, n, b.dtype, mem):
+        if gmres_dia_fused_supported(A.dia.offsets, n, b.dtype, mem,
+                                     stencil_dtype=A._pd.dtype):
             b_eff = b if x0 is None else b - A.matvec(x0)
             x, niter, rnorm, status, incons, npass = gmres_dia_fused(
                 A._pd, A.dia.offsets, b_eff, float(atol), float(rtol),

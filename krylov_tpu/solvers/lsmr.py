@@ -283,6 +283,33 @@ def _lsmr_core(
     return jax.lax.while_loop(cond, body, state)
 
 
+def _lsmr_fused_path(A, b, lam, axtol, btol, atol, rtol, etol, conlim,
+                     itmax, window, start):
+    """Whole-solve-in-VMEM fused LSMR (ops/pallas_fused.lsmr_dia_fused)."""
+    from ..ops.pallas_fused import lsmr_dia_fused
+
+    pd_adj, offs_adj = A.aligned_adjoint()
+    (x, niter, rnorm, arnorm, acond, anorm, xnorm, status,
+     zr) = lsmr_dia_fused(
+        A._pd, pd_adj, A.dia.offsets, offs_adj, b, lam, axtol, btol,
+        atol, rtol, etol, conlim, itmax, window=window)
+    niter, code, zr = jax.device_get([niter, status, zr])
+    niter = int(niter)
+    code = rt.final_status_code(int(code), niter, itmax, False)
+    inconsistent = not bool(zr)
+    if code in (rt.ZERO_RESIDUAL, rt.MIN_LSQ_X):
+        inconsistent = False
+    stats = LsmrStats(
+        niter=niter, solved=rt.is_solved_code(code),
+        inconsistent=inconsistent,
+        residuals=np.zeros(0), Aresiduals=np.zeros(0),
+        residual=float(rnorm), Aresidual=float(arnorm),
+        Acond=float(acond), Anorm=float(anorm), xNorm=float(xnorm),
+        timer=time.perf_counter() - start, status=rt.decode_status(code),
+    )
+    return jnp.asarray(x), stats, None
+
+
 def _lsmr_solve(
     A, b, *, M=None, N=None, ldiv=False, sqd=False, lam=0.0, radius=0.0,
     axtol=None, btol=None, atol=0.0, rtol=0.0, etol=None, conlim=1.0e8,
@@ -312,6 +339,20 @@ def _lsmr_solve(
         verbose,
         f"{'k':>5s}  {'‖r‖':>7s}  {'‖Aᴴr‖':>7s}  {'β':>7s}  {'α':>7s}  "
         f"{'cos':>8s}  {'sin':>8s}  {'‖A‖²':>7s}")
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (Golub-Kahan over the stencil and its adjoint, all vectors in VMEM).
+    if (M is None and N is None and radius == 0 and not history
+            and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import lsmr_dia_fused_supported
+        if lsmr_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
+            return _lsmr_fused_path(
+                A, b, float(lam), axtol, btol, float(atol), float(rtol),
+                etol, float(conlim), itmax, int(window), start)
 
     def run(state, cap):
         return _lsmr_core(

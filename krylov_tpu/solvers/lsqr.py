@@ -337,7 +337,8 @@ def _lsqr_solve(
             and getattr(A, "use_pallas", False)
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import lsqr_dia_fused_supported
-        if lsqr_dia_fused_supported(A.dia.offsets, m, b.dtype):
+        if lsqr_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
             return _lsqr_fused_path(
                 A, b, float(lam), axtol, btol, float(atol), float(rtol),
                 etol, float(conlim), itmax, int(window), start)

@@ -222,6 +222,58 @@ def test_fused_lsqr_zero_rhs():
     assert not stats.inconsistent
 
 
+@pytest.mark.parametrize("lam", [0.0, 0.1])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_lsmr_matches_general(dtype, lam):
+    from krylov_tpu import lsmr
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = lsmr(op_fast, b, lam=lam)
+    xr, stats_ref = lsmr(op_ref, b, lam=lam)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    # both converge to the default sqrt(eps) tolerances; forward solution
+    # difference is bounded by that, not by machine eps
+    tol = 5e-3 if dtype == np.float32 else 1e-6
+    assert float(jnp.max(jnp.abs(x - xr))) < tol * float(jnp.max(jnp.abs(xr)))
+    # LsmrStats estimate recurrences must survive the fused port
+    assert abs(stats.Anorm - stats_ref.Anorm) < 1e-2 * stats_ref.Anorm + 1e-6
+    assert abs(stats.xNorm - stats_ref.xNorm) < 1e-2 * stats_ref.xNorm + 1e-6
+
+
+def test_fused_lsmr_unsymmetric_stencil():
+    from krylov_tpu import lsmr
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = lsmr(op_fast, b, atol=0.0, rtol=0.0)
+    xr, stats_ref = lsmr(op_ref, b, atol=0.0, rtol=0.0)
+    assert stats.niter == stats_ref.niter
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_lsmr_zero_rhs():
+    from krylov_tpu import lsmr
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = lsmr(op, jnp.zeros(n))
+    assert stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+    assert not stats.inconsistent
+
+
+def test_lsmr_history_falls_back_to_general():
+    from krylov_tpu import lsmr
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = lsmr(op, b, history=True)
+    assert stats.residuals.size == stats.niter + 1
+
+
 def test_lsqr_history_falls_back_to_general():
     from krylov_tpu import lsqr
     D, pd, b, n = _problem(dtype=np.float64)
@@ -309,6 +361,27 @@ def test_fused_bicgstab_zero_rhs_and_fallbacks():
     # history forces the general core
     x, stats = bicgstab(op, b, atol=0.0, rtol=1e-8, history=True)
     assert stats.residuals.size == stats.niter + 1
+
+
+@pytest.mark.parametrize("method", ["cg", "cr", "bicgstab", "gmres",
+                                    "lsqr"])
+def test_bf16_stencil_matches_f32_all_fused(method):
+    """Every fused method must accept bf16-stored diagonals (exact for the
+    Poisson stencil: 6 and -1 are representable) and reproduce the f32
+    result bit-for-bit, since the kernel upcasts the stencil in-register."""
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import DIAMatrix
+    D, pd, b, n = _problem(dtype=np.float32)
+    Dbf = DIAMatrix(D.data.astype(jnp.bfloat16), D.offsets, D.shape)
+    op32 = DIAOperator(D, use_pallas=True)
+    opbf = DIAOperator(Dbf, use_pallas=True)
+    assert opbf._pd.dtype == jnp.bfloat16
+    solve = getattr(kt, method)
+    x32, s32 = solve(op32, b, atol=0.0, rtol=1e-6)
+    xbf, sbf = solve(opbf, b, atol=0.0, rtol=1e-6)
+    assert s32.niter == sbf.niter and s32.status == sbf.status
+    assert float(jnp.max(jnp.abs(x32 - xbf))) < 1e-5 * float(
+        jnp.max(jnp.abs(x32)) + 1)
 
 
 def test_bf16_stencil_minres_matches_f32():
