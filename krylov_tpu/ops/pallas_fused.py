@@ -635,6 +635,307 @@ def cr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     return _fused_bytes(offsets, n, dtype, 6, stencil_dtype) < 100 * (1 << 20)
 
 
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def car_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
+    """Full CAR solve (min ‖Arₖ‖, Hermitian definite) for a DIA matrix.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/cr.py:_car_core on the
+    default path (M = I; reference src/car.jl).  One stencil application
+    per iteration; x, r, p, q, u VMEM-resident, s lives in the padded
+    stencil buffer.  Returns (x, niter, rNorm, ArNorm, status_code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, arnorm_ref, status_ref,
+               spad_ref, r_ref, p_ref, q_ref, u_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        rNorm0 = jnp.sqrt(jnp.sum(bv * bv))
+        spad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        spad_ref[P: P + rows] = bv                       # r₀
+        sv = _stencil(spad_ref, pd_ref, shifts, P, rows, T)   # s = A r
+        spad_ref[P: P + rows] = sv
+        tv = _stencil(spad_ref, pd_ref, shifts, P, rows, T)   # t = A s
+        r_ref[:] = bv
+        p_ref[:] = bv
+        q_ref[:] = sv
+        u_ref[:] = tv
+        rho0 = jnp.sum(tv * sv)
+        ArNorm0 = jnp.sqrt(jnp.sum(sv * sv))
+        eps_lim = atol_v + rtol_v * rNorm0
+        status0 = jnp.where(
+            rNorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rNorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(c):
+            return (c[4] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            it0, rho, rNorm, ArNorm, status = c
+            uv = u_ref[:]
+            uMu = jnp.sum(uv * uv)
+            alpha = rho / jnp.where(uMu == 0, jnp.ones_like(uMu), uMu)
+            x_ref[:] = x_ref[:] + alpha * p_ref[:]
+            rv = r_ref[:] - alpha * q_ref[:]
+            r_ref[:] = rv
+            s_new = spad_ref[P: P + rows] - alpha * uv
+            spad_ref[P: P + rows] = s_new
+            rNorm_n = jnp.sqrt(jnp.sum(rv * rv))
+            it = it0 + 1
+            solved = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+
+            tv_ = _stencil(spad_ref, pd_ref, shifts, P, rows, T)
+            rho_next = jnp.sum(tv_ * s_new)
+            beta = rho_next / jnp.where(rho == 0, jnp.ones_like(rho), rho)
+            p_ref[:] = jnp.where(solved, p_ref[:], rv + beta * p_ref[:])
+            q_ref[:] = jnp.where(solved, q_ref[:], s_new + beta * q_ref[:])
+            u_ref[:] = jnp.where(solved, u_ref[:], tv_ + beta * u_ref[:])
+            ArNorm_n = jnp.where(solved, ArNorm,
+                                 jnp.sqrt(jnp.sum(s_new * s_new)))
+            code = jnp.where(solved, jnp.int32(_SOLVED),
+                             jnp.int32(_RUNNING))
+            rho_n = jnp.where(solved, rho, rho_next)
+            return (it, rho_n, rNorm_n, ArNorm_n, code)
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), rho0, rNorm0, ArNorm0, status0))
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[2]
+        arnorm_ref[0, 0] = out[3]
+        status_ref[0, 0] = out[4]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, arnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 8 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], arnorm[0, 0],
+            status[0, 0])
+
+
+def car_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: stencil + 8 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 8, stencil_dtype) < 100 * (1 << 20)
+
+
+# CG-LANCZOS negative-curvature code (krylov_tpu/solvers/cg_lanczos.py)
+_NEG_CURV = 27
+
+
+@partial(jax.jit, static_argnames=("offsets", "check_curvature",
+                                   "interpret"))
+def cg_lanczos_dia_fused(pd, offsets, b, atol, rtol, itmax,
+                         check_curvature=False, interpret=None):
+    """Full CG-LANCZOS solve for a DIA matrix, one kernel launch.
+
+    Whole-solve-in-VMEM port of solvers/cg_lanczos.py:_cg_lanczos_core on
+    the default path (M = I; reference src/cg_lanczos.jl) including the
+    check_curvature exit (reference `continue`: the offending iteration
+    is not applied).  Returns (x, niter, rNorm, Anorm, status_code,
+    indefinite).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, anorm_ref, status_ref,
+               indef_ref, vpad_ref, vprev_ref, p_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * beta0
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+        safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
+        p_ref[:] = bv                                    # p₀ = r₀ (unnormalized)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe_b0
+        vprev_ref[:] = vpad_ref[P: P + rows]
+
+        # carry: it, beta, sigma, omega, gamma, anorm2, beta_prev,
+        #        rNorm, status, indefinite
+        carry0 = (jnp.int32(0), beta0, beta0, zero, one, zero, zero,
+                  beta0, status0, jnp.int32(0))
+
+        def cond(c):
+            return (c[8] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, beta, sigma, omega, gamma_old, anorm2, beta_prev,
+             rNorm, status, indef) = c
+            vv = vpad_ref[P: P + rows]
+            Mv_next = _stencil(vpad_ref, pd_ref, shifts, P, rows, T)
+            delta = jnp.sum(vv * Mv_next)
+
+            gamma = 1.0 / (delta - omega / gamma_old)
+            indef_n = (indef == 1) | (gamma <= 0)
+            if check_curvature:
+                skip = indef_n
+            else:
+                skip = jnp.zeros((), jnp.bool_)
+
+            Mv_next = Mv_next - delta * vv
+            Mv_next = jnp.where(it0 > 0,
+                                Mv_next - beta * vprev_ref[:], Mv_next)
+            beta_n = jnp.sqrt(jnp.sum(Mv_next * Mv_next))
+            safe_b = jnp.where(beta_n == 0, jnp.ones_like(beta_n), beta_n)
+            v_new = Mv_next / safe_b
+            anorm2_n = anorm2 + beta_prev * beta_prev + beta_n * beta_n \
+                + delta * delta
+
+            om = beta_n * gamma
+            sigma_n = -om * sigma
+            om2 = om * om
+            rNorm_n = jnp.abs(sigma_n)
+            solved = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+
+            x_ref[:] = jnp.where(skip, x_ref[:], x_ref[:] + gamma * p_ref[:])
+            p_ref[:] = jnp.where(skip, p_ref[:],
+                                 sigma_n * v_new + om2 * p_ref[:])
+            vprev_keep = vprev_ref[:]
+            vprev_ref[:] = jnp.where(skip, vprev_keep, vv)
+            vpad_ref[P: P + rows] = jnp.where(skip, vv, v_new)
+
+            it = jnp.where(skip, it0, it0 + 1)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(skip, jnp.int32(_NEG_CURV), code)
+            code = jnp.where((~skip) & solved, jnp.int32(_SOLVED), code)
+
+            return (it,
+                    jnp.where(skip, beta, beta_n),
+                    jnp.where(skip, sigma, sigma_n),
+                    jnp.where(skip, omega, om2),
+                    jnp.where(skip, gamma_old, gamma),
+                    jnp.where(skip, anorm2, anorm2_n),
+                    jnp.where(skip, beta_prev, beta_n),
+                    jnp.where(skip, rNorm, rNorm_n),
+                    code, indef_n.astype(jnp.int32))
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[7]
+        anorm_ref[0, 0] = jnp.sqrt(out[5])
+        status_ref[0, 0] = out[8]
+        indef_ref[0, 0] = out[9]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, anorm, status, indef = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 5,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 7 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], anorm[0, 0],
+            status[0, 0], indef[0, 0])
+
+
+def cg_lanczos_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: stencil + 7 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
+
+
 # LSQR status codes (krylov_tpu/_runtime.py)
 _TIRED = 3
 _MIN_LSQ_X_CODE = 24

@@ -190,6 +190,36 @@ def _cg_lanczos_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and callback is None and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (cg_lanczos_dia_fused,
+                                        cg_lanczos_dia_fused_supported)
+        if cg_lanczos_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                          stencil_dtype=A._pd.dtype):
+            b_eff = b if x0 is None else b - A.matvec(x0)
+            x, niter, rnorm, anorm, status, indef = cg_lanczos_dia_fused(
+                A._pd, A.dia.offsets, b_eff, atol, rtol, itmax,
+                check_curvature=bool(check_curvature))
+            niter, code, indef, anorm = jax.device_get(
+                [niter, status, indef, anorm])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if x0 is not None:
+                x = x + x0
+            stats = LanczosStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                residuals=np.zeros(0),
+                indefinite=bool(indef),
+                Anorm=float(anorm),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _CGL_STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _cg_lanczos_core(
             A, M, b, x0, state, jnp.int32(cap), atol, rtol,

@@ -222,6 +222,83 @@ def test_fused_lsqr_zero_rhs():
     assert not stats.inconsistent
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_car_matches_general(dtype):
+    from krylov_tpu import car
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = car(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = car(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_car_zero_rhs_and_warm_start():
+    from krylov_tpu import car
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = car(op, jnp.zeros(n))
+    assert stats.niter == 0 and not stats.solved or stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+    x1, _ = car(op, b, atol=0.0, rtol=1e-3)
+    x2, stats = car(op, b, x1, atol=0.0, rtol=1e-9)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.1
+
+
+def test_car_history_falls_back_to_general():
+    from krylov_tpu import car
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = car(op, b, history=True)
+    assert stats.residuals.size == stats.niter + 1
+    assert stats.Aresiduals.size == stats.niter + 1
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_cg_lanczos_matches_general(dtype):
+    from krylov_tpu import cg_lanczos
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = cg_lanczos(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = cg_lanczos(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert abs(stats.Anorm - stats_ref.Anorm) < 1e-3 * stats_ref.Anorm
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_cg_lanczos_curvature_exit():
+    """check_curvature on an indefinite stencil must exit with the
+    negative-curvature status, matching the general core's niter."""
+    from krylov_tpu import cg_lanczos
+    from krylov_tpu.ops.dia import DIAMatrix
+    D, pd, b, n = _problem(dtype=np.float64)
+    # flip the sign of the diagonal on part of the domain -> indefinite
+    data = np.asarray(D.data).copy()
+    data[D.offsets.index(0) if hasattr(D.offsets, "index")
+         else list(D.offsets).index(0)][: n // 2] *= -1.0
+    Di = DIAMatrix(jnp.asarray(data), D.offsets, D.shape)
+    op_fast = DIAOperator(Di, use_pallas=True)
+    op_ref = DIAOperator(Di, use_pallas=False)
+    x, stats = cg_lanczos(op_fast, b, check_curvature=True)
+    xr, stats_ref = cg_lanczos(op_ref, b, check_curvature=True)
+    assert stats.status == stats_ref.status
+    assert stats.niter == stats_ref.niter
+    assert stats.indefinite == stats_ref.indefinite
+
+
+def test_cg_lanczos_history_falls_back_to_general():
+    from krylov_tpu import cg_lanczos
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = cg_lanczos(op, b, history=True)
+    assert stats.residuals.size == stats.niter + 1
+
+
 @pytest.mark.parametrize("lam", [0.0, 0.1])
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 def test_fused_lsmr_matches_general(dtype, lam):
