@@ -37,6 +37,7 @@ from .ops.hybrid import HybridMatrix, hybrid_from_csr, split_diagonals
 from .ops.pallas_sell import (SELLBucketed, SELLMatrix,
                               sell_bucketed_from_csr, sell_from_csr,
                               sell_spmv)
+from .precond import ChebyshevPreconditioner, power_bound
 from .stats import (
     SimpleStats,
     LsmrStats,
