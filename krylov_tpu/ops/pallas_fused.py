@@ -936,6 +936,194 @@ def cg_lanczos_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
 
 
+@partial(jax.jit, static_argnames=("offsets", "nshifts", "check_curvature",
+                                   "interpret"))
+def cg_lanczos_shift_dia_fused(pd, offsets, b, shifts, nshifts, atol, rtol,
+                               itmax, check_curvature=False,
+                               interpret=None):
+    """All shifted systems (A + σᵢI)xᵢ = b from ONE in-VMEM Lanczos stream.
+
+    Whole-solve-in-VMEM port of solvers/cg_lanczos.py:
+    _cg_lanczos_shift_core on the default path (M = I; reference
+    src/cg_lanczos_shift.jl).  The shift recurrences are unrolled over
+    the static ``nshifts`` axis: per-shift x/p live as row-block panels
+    of one VMEM scratch, per-shift scalars ride the while-loop carry.
+    Returns (X (nshifts, n), niter, rNorms (nshifts,), status_code,
+    indefinite (nshifts,)).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts_s = jnp.asarray(shifts, T).reshape(nshifts, 1)
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+    shiftsT = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    NS = nshifts
+
+    def kernel(itmax_ref, s_ref, sh_ref, b_ref, pd_ref,
+               X_ref, niter_ref, rnorms_ref, status_ref, indef_ref,
+               vpad_ref, vprev_ref, P_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        bv = b_ref[:]
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * beta0
+        safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe_b0
+        vprev_ref[:] = vpad_ref[P: P + rows]
+        for i in range(NS):
+            X_ref[i * rows:(i + 1) * rows] = jnp.zeros((rows, LANES), T)
+            P_ref[i * rows:(i + 1) * rows] = bv       # p = r₀ unnormalized
+
+        conv0 = tuple(
+            (beta0 <= eps_lim).astype(jnp.int32) for _ in range(NS))
+        all0 = conv0[0]
+        for c_ in conv0[1:]:
+            all0 = all0 & c_
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(all0 == 1, jnp.int32(_SOLVED), jnp.int32(_RUNNING)))
+
+        # carry: it, beta, status, σᵢ…, ωᵢ…, γᵢ…, rNormᵢ…, convᵢ…, indefᵢ…
+        carry0 = ((jnp.int32(0), beta0, status0)
+                  + tuple(beta0 for _ in range(NS))
+                  + tuple(zero for _ in range(NS))
+                  + tuple(one for _ in range(NS))
+                  + tuple(beta0 for _ in range(NS))
+                  + conv0
+                  + tuple(jnp.int32(0) for _ in range(NS)))
+
+        def cond(c):
+            return (c[2] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            it0, beta, status = c[:3]
+            sig = c[3: 3 + NS]
+            om_ = c[3 + NS: 3 + 2 * NS]
+            gam = c[3 + 2 * NS: 3 + 3 * NS]
+            rn = c[3 + 3 * NS: 3 + 4 * NS]
+            cv = c[3 + 4 * NS: 3 + 5 * NS]
+            idf = c[3 + 5 * NS: 3 + 6 * NS]
+
+            vv = vpad_ref[P: P + rows]
+            Mv_next = _stencil(vpad_ref, pd_ref, shiftsT, P, rows, T)
+            delta = jnp.sum(vv * Mv_next)
+            Mv_next = Mv_next - delta * vv
+            Mv_next = jnp.where(it0 > 0,
+                                Mv_next - beta * vprev_ref[:], Mv_next)
+            beta_n = jnp.sqrt(jnp.sum(Mv_next * Mv_next))
+            safe_b = jnp.where(beta_n == 0, jnp.ones_like(beta_n), beta_n)
+            v_new = Mv_next / safe_b
+            vprev_ref[:] = vv
+            vpad_ref[P: P + rows] = v_new
+
+            sig_n, om_n, gam_n, rn_n, cv_n, idf_n = [], [], [], [], [], []
+            for i in range(NS):
+                delta_hat = delta + sh_ref[i, 0]
+                gamma_i = 1.0 / (delta_hat - om_[i] / gam[i])
+                indef_i = (idf[i] == 1) | (gamma_i <= 0)
+                if check_curvature:
+                    mask = ~((cv[i] == 1) | indef_i)
+                else:
+                    mask = ~(cv[i] == 1)
+                xi = X_ref[i * rows:(i + 1) * rows]
+                pi = P_ref[i * rows:(i + 1) * rows]
+                X_ref[i * rows:(i + 1) * rows] = jnp.where(
+                    mask, xi + gamma_i * pi, xi)
+                omg = beta_n * gamma_i
+                sig_i = jnp.where(mask, -omg * sig[i], sig[i])
+                om2 = jnp.where(mask, omg * omg, om_[i])
+                P_ref[i * rows:(i + 1) * rows] = jnp.where(
+                    mask, sig_i * v_new + om2 * pi, pi)
+                rn_i = jnp.where(mask, jnp.abs(sig_i), rn[i])
+                cv_i = jnp.where(mask, (rn_i <= eps_lim).astype(jnp.int32),
+                                 cv[i])
+                sig_n.append(sig_i)
+                om_n.append(om2)
+                gam_n.append(jnp.where(mask, gamma_i, gam[i]))
+                rn_n.append(rn_i)
+                cv_n.append(cv_i)
+                idf_n.append(indef_i.astype(jnp.int32))
+
+            done = jnp.ones((), jnp.bool_)
+            for i in range(NS):
+                if check_curvature:
+                    done = done & ((cv_n[i] == 1) | (idf_n[i] == 1))
+                else:
+                    done = done & (cv_n[i] == 1)
+            it = it0 + 1
+            code = jnp.where(done, jnp.int32(_SOLVED), jnp.int32(_RUNNING))
+            return ((it, beta_n, code) + tuple(sig_n) + tuple(om_n)
+                    + tuple(gam_n) + tuple(rn_n) + tuple(cv_n)
+                    + tuple(idf_n))
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        status_ref[0, 0] = out[2]
+        for i in range(NS):
+            rnorms_ref[i, 0] = out[3 + 3 * NS + i]
+            indef_ref[i, 0] = out[3 + 5 * NS + i]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    X, niter, rnorms, status, indef = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((NS * rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NS, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NS, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((NS * rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + (2 * NS + 4) * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, shifts_s, bw, pdw)
+    Xm = X.reshape(NS, rows * LANES)[:, :n]
+    return Xm, niter[0, 0], rnorms[:, 0], status[0, 0], indef[:, 0]
+
+
+def cg_lanczos_shift_dia_fused_supported(offsets, n, dtype, nshifts,
+                                         stencil_dtype=None):
+    """Static gate: stencil + 2·nshifts+4 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 2 * nshifts + 4,
+                        stencil_dtype) < 100 * (1 << 20)
+
+
 # LSQR status codes (krylov_tpu/_runtime.py)
 _TIRED = 3
 _MIN_LSQ_X_CODE = 24

@@ -415,6 +415,33 @@ def _cg_lanczos_shift_solve(
     itmax = rt.resolve_itmax(itmax, 2 * n)
     hist_len = itmax + 1 if history else 0
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (one Lanczos stream, all shifts' x/p panels VMEM-resident).
+    if (M is None and callback is None and verbose == 0 and not history
+            and timemax == float("inf") and b.dtype == T
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (cg_lanczos_shift_dia_fused,
+                                        cg_lanczos_shift_dia_fused_supported)
+        if cg_lanczos_shift_dia_fused_supported(
+                A.dia.offsets, n, b.dtype, nshifts,
+                stencil_dtype=A._pd.dtype):
+            x, niter, rnorms, status, indef = cg_lanczos_shift_dia_fused(
+                A._pd, A.dia.offsets, b, shifts, nshifts, atol, rtol,
+                itmax, check_curvature=bool(check_curvature))
+            niter, code, indef = jax.device_get([niter, status, indef])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = LanczosShiftStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                residuals=[],
+                indefinite=np.asarray(indef, bool),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _cg_lanczos_shift_core(
             A, M, b, shifts, state, jnp.int32(cap), atol, rtol,

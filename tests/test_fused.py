@@ -291,6 +291,51 @@ def test_fused_cg_lanczos_curvature_exit():
     assert stats.indefinite == stats_ref.indefinite
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_cg_lanczos_shift_matches_general(dtype):
+    from krylov_tpu import cg_lanczos_shift
+    D, pd, b, n = _problem(dtype=dtype)
+    shifts = jnp.asarray([0.0, 0.5, 2.0], dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    X, stats = cg_lanczos_shift(op_fast, b, shifts, atol=0.0, rtol=1e-6)
+    Xr, stats_ref = cg_lanczos_shift(op_ref, b, shifts, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert np.array_equal(stats.indefinite, stats_ref.indefinite)
+    assert float(jnp.max(jnp.abs(X - Xr))) < 1e-4 * float(jnp.max(jnp.abs(Xr)))
+    # each shifted system is actually solved
+    for i, sig in enumerate([0.0, 0.5, 2.0]):
+        r = b - (op_ref.matvec(X[i]) + sig * X[i])
+        assert float(jnp.linalg.norm(r)) <= 2e-6 * float(jnp.linalg.norm(b))
+
+
+def test_fused_cg_lanczos_shift_curvature_mask():
+    """With check_curvature, a shift that makes A+sigma*I indefinite is
+    frozen (marked indefinite) while the SPD shifts still converge."""
+    from krylov_tpu import cg_lanczos_shift
+    D, pd, b, n = _problem(dtype=np.float64)
+    shifts = jnp.asarray([-12.5, 0.0, 1.0])   # lambda_min(A) > -12 ⇒ first is indefinite
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    X, stats = cg_lanczos_shift(op_fast, b, shifts, check_curvature=True)
+    Xr, stats_ref = cg_lanczos_shift(op_ref, b, shifts, check_curvature=True)
+    assert np.array_equal(stats.indefinite, stats_ref.indefinite)
+    assert stats.indefinite[0] and not stats.indefinite[2]
+    assert stats.niter == stats_ref.niter
+    assert float(jnp.max(jnp.abs(X - Xr))) < 1e-8 * float(
+        jnp.max(jnp.abs(Xr)) + 1)
+
+
+def test_cg_lanczos_shift_history_falls_back():
+    from krylov_tpu import cg_lanczos_shift
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    X, stats = cg_lanczos_shift(op, b, jnp.asarray([0.0, 1.0]),
+                                history=True)
+    assert len(stats.residuals) == 2
+
+
 def test_cg_lanczos_history_falls_back_to_general():
     from krylov_tpu import cg_lanczos
     D, pd, b, n = _problem(dtype=np.float64)
