@@ -335,6 +335,13 @@ def main():
         {"n": n, "nshifts": 3},
         **measure("cg_lanczos_shift", adapters.make_cg_lanczos_shift(
             op, b, shifts, rtol, 500)))
+    if on_tpu:
+        configs["cg_lanczos_shift_fused"] = dict(
+            {"n": n, "nshifts": 3},
+            **measure("cg_lanczos_shift_fused",
+                      adapters.make_cg_lanczos_shift_fused(
+                          op._pd, D.offsets, b, shifts, rtol, 500),
+                      s_cap=64))
 
     # ------------------------------------------------------------------
     # BELL (block-ELL) MXU kernel

@@ -145,6 +145,18 @@ def make_block_gmres(A, B, rtol, itmax, mem=16):
     return solve, (A,), B
 
 
+def make_cg_lanczos_shift_fused(pd, offsets, b, shifts, rtol, itmax):
+    from krylov_tpu.ops.pallas_fused import cg_lanczos_shift_dia_fused
+    shifts = jnp.asarray(shifts)
+    ns = int(shifts.shape[0])
+    def solve(ops, rhs):
+        pd_, sh = ops
+        X, it, rn, stt, idf = cg_lanczos_shift_dia_fused(
+            pd_, offsets, rhs, sh, ns, 0.0, float(rtol), int(itmax))
+        return it, _chk(X[0])
+    return solve, (pd, shifts), b
+
+
 def make_cg_lanczos_shift(A, b, shifts, rtol, itmax):
     shifts = jnp.asarray(shifts)
     def solve(ops, rhs):

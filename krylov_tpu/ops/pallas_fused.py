@@ -2052,3 +2052,138 @@ def bicgstab_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     if jnp.dtype(dtype).kind != "f":
         return False
     return _fused_bytes(offsets, n, dtype, 6, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def cgs_dia_fused(pd, offsets, b, atol, rtol, itmax, interpret=None):
+    """Full CGS solve of A x = b for a DIA matrix, one kernel launch.
+
+    Whole-solve-in-VMEM port of solvers/bicgstab.py:_cgs_core on the
+    default path (M = N = I, shadow c = b; reference src/cgs.jl).  Two
+    stencil applications per iteration sharing one padded buffer (p,
+    then u + q).  Returns (x, niter, rNorm, status_code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               ppad_ref, r_ref, u_ref, pold_ref):
+        cap = itmax_ref[0, 0]
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+
+        def _safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]                       # doubles as the shadow c
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        r_ref[:] = bv
+        u_ref[:] = bv
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        ppad_ref[P: P + rows] = bv          # p = u = r0 = b
+
+        rnorm0 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * rnorm0
+        rho0 = jnp.sum(bv * bv)             # ⟨c, r0⟩ with c = b
+        status0 = jnp.where(
+            rnorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rho0 == 0, jnp.int32(_BC_BREAKDOWN),
+                      jnp.where(rnorm0 <= eps_lim, jnp.int32(_SOLVED),
+                                jnp.int32(_RUNNING))))
+
+        def cond(carry):
+            it, rho, rnorm, status = carry
+            return (status == _RUNNING) & (it < cap)
+
+        def body(carry):
+            it, rho, rnorm, status = carry
+            pold_ref[:] = ppad_ref[P: P + rows]
+            t = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+            alpha = rho / _safe(jnp.sum(bv * t))
+            uv = u_ref[:]
+            q = uv - alpha * t
+            u_half = uv + q
+            x_ref[:] = x_ref[:] + alpha * u_half
+
+            ppad_ref[P: P + rows] = u_half
+            sv = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+            r_new = r_ref[:] - alpha * sv
+            r_ref[:] = r_new
+
+            rho_next = jnp.sum(bv * r_new)
+            beta = rho_next / _safe(rho)
+            u_new = r_new + beta * q
+            u_ref[:] = u_new
+            ppad_ref[P: P + rows] = u_new + beta * (q + beta * pold_ref[:])
+
+            rnorm_n = jnp.sqrt(jnp.sum(r_new * r_new))
+            it_n = it + 1
+            solved = (rnorm_n <= eps_lim) | ((rnorm_n + 1.0) <= 1.0)
+            breakdown = (alpha == 0) | jnp.isnan(alpha)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(breakdown, jnp.int32(_ALPHA_BREAKDOWN), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+            return (it_n, rho_next, rnorm_n, code)
+
+        it, rho, rnorm, status = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), rho0, rnorm0, status0))
+        niter_ref[0, 0] = it
+        rnorm_ref[0, 0] = rnorm
+        status_ref[0, 0] = status
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 7 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def cgs_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: stencil + 7 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)

@@ -264,17 +264,21 @@ def _biortho_solve(
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
     # Fast path: DIA stencil + default config → fused whole-solve kernel.
-    if (core is _bicgstab_core and M is None and N is None
+    if (core in (_bicgstab_core, _cgs_core) and M is None and N is None
             and c is b and x0 is None and not history
             and callback is None and verbose == 0
             and timemax == float("inf")
             and getattr(A, "use_pallas", False)
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (bicgstab_dia_fused,
-                                        bicgstab_dia_fused_supported)
-        if bicgstab_dia_fused_supported(A.dia.offsets, n, b.dtype,
-                                        stencil_dtype=A._pd.dtype):
-            x, niter, rnorm, status = bicgstab_dia_fused(
+                                        bicgstab_dia_fused_supported,
+                                        cgs_dia_fused,
+                                        cgs_dia_fused_supported)
+        fused, gate = ((bicgstab_dia_fused, bicgstab_dia_fused_supported)
+                       if core is _bicgstab_core
+                       else (cgs_dia_fused, cgs_dia_fused_supported))
+        if gate(A.dia.offsets, n, b.dtype, stencil_dtype=A._pd.dtype):
+            x, niter, rnorm, status = fused(
                 A._pd, A.dia.offsets, b, float(atol), float(rtol), itmax)
             niter, code = jax.device_get([niter, status])
             niter = int(niter)

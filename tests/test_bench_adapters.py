@@ -130,7 +130,23 @@ def test_fused_adapters_interpret():
     assert callable(adapters.make_minres_fused)
     assert callable(adapters.make_gmres_fused)
     assert callable(adapters.make_lsqr_fused)
+    assert callable(adapters.make_lsmr_fused)
     assert callable(adapters.make_bicgstab_fused)
+    assert callable(adapters.make_cg_lanczos_shift_fused)
+
+
+def test_cg_lanczos_shift_fused_adapter_counts():
+    from krylov_tpu.ops.dia import poisson_dia
+    D = poisson_dia(10, 10, 10, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.ones(n)
+    shifts = jnp.asarray([0.5, 1.0, 2.0])
+    A = DIAOperator(D, use_pallas=False)
+    _, stats = kt.cg_lanczos_shift(A, b, shifts, atol=0.0, rtol=RTOL)
+    pd = DIAOperator(D, use_pallas=True)._pd
+    it = run_adapter(adapters.make_cg_lanczos_shift_fused(
+        pd, D.offsets, b, shifts, RTOL, 2000))
+    assert it == stats.niter
 
 
 def test_gmres_fused_adapter_counts(convdiff):

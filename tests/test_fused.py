@@ -473,6 +473,40 @@ def test_fused_bicgstab_matches_general():
         jnp.max(jnp.abs(xr)) + 1)
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_cgs_matches_general(dtype):
+    from krylov_tpu import cgs
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=dtype)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = cgs(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = cgs(op_ref, b, atol=0.0, rtol=1e-6)
+    # CGS squares the residual polynomial, so f32 rounding can shift the
+    # stopping iteration by a couple (observed 2 on the real chip at
+    # 32³ conv-diff); f64 must match exactly
+    slack = 2 if dtype == np.float32 else 0
+    assert abs(stats.niter - stats_ref.niter) <= slack
+    assert stats.status == stats_ref.status
+    tol = 5e-3 if dtype == np.float32 else 1e-6
+    assert float(jnp.max(jnp.abs(x - xr))) < tol * float(jnp.max(jnp.abs(xr)))
+    r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+    assert np.linalg.norm(r) <= 1.1e-6 * np.linalg.norm(np.asarray(b))
+
+
+def test_fused_cgs_zero_rhs_and_fallbacks():
+    from krylov_tpu import cgs
+    D, pd, b, n = _problem()
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = cgs(op, jnp.zeros(n, np.float32))
+    assert stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+    x, stats = cgs(op, b, atol=0.0, rtol=1e-8, history=True)
+    assert stats.residuals.size == stats.niter + 1
+
+
 def test_fused_bicgstab_zero_rhs_and_fallbacks():
     from krylov_tpu import bicgstab
     D, pd, b, n = _problem(dtype=np.float64)
