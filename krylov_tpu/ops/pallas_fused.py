@@ -2187,3 +2187,435 @@ def cgs_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     if jnp.dtype(dtype).kind != "f":
         return False
     return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
+
+
+# normal-equation family status codes (krylov_tpu/solvers/cgne.py, cgls.py)
+_INCONS_CGNE = 32
+_INCONS_CRMR = 33
+
+
+def _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax, scal):
+    """Shared host-side packing for the normal-equation fused kernels."""
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(tuple(offsets) + tuple(offsets_adj), n)
+    npad = rows * LANES
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    pdaw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd_adj).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+    shifts_a = tuple((int(k) // LANES, int(k) % LANES) for k in offsets_adj)
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray(scal, T).reshape(len(scal), 1)
+    return (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a,
+            itmax_s, scal_s)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "interpret"))
+def cgls_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, atol, rtol,
+                   itmax, interpret=None):
+    """Full CGLS solve of min ‖b − Ax‖ (+λ) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of solvers/cgls.py:_cgls_core on the default
+    path (M = I, radius = 0; reference src/cgls.jl).  One A and one Aᴴ
+    stencil application per iteration; p and r live in the two padded
+    buffers.  Returns (x, niter, rNorm, ArNorm, status_code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, arnorm_ref, status_ref,
+               ppad_ref, rpad_ref):
+        lam_v = s_ref[0, 0]
+        atol_v = s_ref[1, 0]
+        rtol_v = s_ref[2, 0]
+        cap = itmax_ref[0, 0]
+
+        def _safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        rpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        rpad_ref[P: P + rows] = bv
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        sv0 = _stencil(rpad_ref, pda_ref, shifts_a, P, rows, T)
+        gamma0 = jnp.sum(sv0 * sv0)
+        ArNorm0 = jnp.sqrt(gamma0)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        ppad_ref[P: P + rows] = sv0
+        eps_lim = atol_v + rtol_v * ArNorm0
+        status0 = jnp.where(
+            bNorm == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(ArNorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(c):
+            return (c[4] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            it0, gamma, rNorm, ArNorm, status = c
+            pv = ppad_ref[P: P + rows]
+            q = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+            delta = jnp.sum(q * q) + jnp.where(
+                lam_v > 0, lam_v * jnp.sum(pv * pv), 0)
+            alpha = gamma / _safe(delta)
+            xv = x_ref[:] + alpha * pv
+            x_ref[:] = xv
+            rv = rpad_ref[P: P + rows] - alpha * q
+            rpad_ref[P: P + rows] = rv
+            sv = _stencil(rpad_ref, pda_ref, shifts_a, P, rows, T) \
+                - jnp.where(lam_v > 0, lam_v, 0) * xv
+            gamma_n = jnp.sum(sv * sv)
+            beta = gamma_n / _safe(gamma)
+            ppad_ref[P: P + rows] = sv + beta * pv
+            rNorm_n = jnp.sqrt(jnp.sum(rv * rv))
+            ArNorm_n = jnp.sqrt(gamma_n)
+            it = it0 + 1
+            solved = ArNorm_n <= eps_lim
+            code = jnp.where(solved, jnp.int32(_SOLVED),
+                             jnp.int32(_RUNNING))
+            return (it, gamma_n, rNorm_n, ArNorm_n, code)
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), gamma0, bNorm, ArNorm0, status0))
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[2]
+        arnorm_ref[0, 0] = out[3]
+        status_ref[0, 0] = out[4]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, arnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 6 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], arnorm[0, 0],
+            status[0, 0])
+
+
+def cgls_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 6 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 6, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "interpret"))
+def crls_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, atol, rtol,
+                   itmax, interpret=None):
+    """Full CRLS solve of min ‖b − Ax‖ (+λ) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of solvers/cgls.py:_crls_core on the default
+    path (M = I, radius = 0; reference src/crls.jl).  One A and one Aᴴ
+    stencil application per iteration (on Ar and Ap respectively).
+    Returns (x, niter, rNorm, ArNorm, status_code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, arnorm_ref, status_ref,
+               arpad_ref, appad_ref, r_ref, p_ref, q_ref):
+        lam_v = s_ref[0, 0]
+        atol_v = s_ref[1, 0]
+        rtol_v = s_ref[2, 0]
+        cap = itmax_ref[0, 0]
+
+        def _safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        r_ref[:] = bv
+        rNorm0 = jnp.sqrt(jnp.sum(bv * bv))
+        arpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        arpad_ref[P: P + rows] = bv            # temp: r for the adjoint
+        Ar0 = _stencil(arpad_ref, pda_ref, shifts_a, P, rows, T)
+        arpad_ref[P: P + rows] = Ar0
+        sv0 = _stencil(arpad_ref, pd_ref, shifts, P, rows, T)   # A·Ar
+        p_ref[:] = Ar0
+        appad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        appad_ref[P: P + rows] = sv0           # Ap = A·Ar
+        q0 = _stencil(appad_ref, pda_ref, shifts_a, P, rows, T)
+        ArNorm0 = jnp.sqrt(jnp.sum(Ar0 * Ar0))
+        q0 = q0 + jnp.where(lam_v > 0, lam_v, 0) * p_ref[:]
+        q_ref[:] = q0
+        gamma0 = jnp.sum(sv0 * sv0) + jnp.where(
+            lam_v > 0, lam_v * ArNorm0 * ArNorm0, 0)
+        eps_lim = atol_v + rtol_v * ArNorm0
+        status0 = jnp.where(
+            rNorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(ArNorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(c):
+            return (c[4] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            it0, gamma, rNorm, ArNorm, status = c
+            qv = q_ref[:]
+            alpha = gamma / _safe(jnp.sum(qv * qv))
+            pv = p_ref[:]
+            xv = x_ref[:] + alpha * pv
+            x_ref[:] = xv
+            Ar = arpad_ref[P: P + rows] - alpha * qv
+            arpad_ref[P: P + rows] = Ar
+            ArNorm_n = jnp.sqrt(jnp.sum(Ar * Ar))
+            Apv = appad_ref[P: P + rows]
+            rv = r_ref[:] - alpha * Apv
+            r_ref[:] = rv
+            sv = _stencil(arpad_ref, pd_ref, shifts, P, rows, T)  # A·Ar
+            gamma_n = jnp.sum(sv * sv) + jnp.where(
+                lam_v > 0, lam_v * ArNorm_n * ArNorm_n, 0)
+            beta = gamma_n / _safe(gamma)
+            p_new = Ar + beta * pv
+            p_ref[:] = p_new
+            Ap_new = sv + beta * Apv
+            appad_ref[P: P + rows] = Ap_new
+            q_new = _stencil(appad_ref, pda_ref, shifts_a, P, rows, T) \
+                + jnp.where(lam_v > 0, lam_v, 0) * p_new
+            q_ref[:] = q_new
+            rNorm_n = jnp.where(
+                lam_v > 0,
+                jnp.sqrt(jnp.sum(rv * rv) + lam_v * jnp.sum(xv * xv)),
+                jnp.sqrt(jnp.sum(rv * rv)))
+            it = it0 + 1
+            solved = ArNorm_n <= eps_lim
+            code = jnp.where(solved, jnp.int32(_SOLVED),
+                             jnp.int32(_RUNNING))
+            return (it, gamma_n, rNorm_n, ArNorm_n, code)
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), gamma0, rNorm0, ArNorm0, status0))
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[2]
+        arnorm_ref[0, 0] = out[3]
+        status_ref[0, 0] = out[4]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, arnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 9 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], arnorm[0, 0],
+            status[0, 0])
+
+
+def crls_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 9 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 9, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "variant",
+                                   "interpret"))
+def cgne_crmr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, atol,
+                        rtol, itmax, variant="cgne", interpret=None):
+    """Full CGNE or CRMR solve (minimum-norm) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of solvers/cgne.py:_cgne_like_core on the
+    default path (N = I; reference src/cgne.jl, src/crmr.jl), including
+    the "probably inconsistent" detection.  Returns
+    (x, niter, rNorm, status_code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cgne = variant == "cgne"
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, atol, rtol])
+    incons_code = _INCONS_CGNE if cgne else _INCONS_CRMR
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               ppad_ref, rpad_ref, s_vref):
+        lam_v = s_ref[0, 0]
+        atol_v = s_ref[1, 0]
+        rtol_v = s_ref[2, 0]
+        cap = itmax_ref[0, 0]
+
+        def _safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        rpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        rpad_ref[P: P + rows] = bv
+        s_vref[:] = bv
+        rNorm0 = jnp.sqrt(jnp.sum(bv * bv))
+        p0 = _stencil(rpad_ref, pda_ref, shifts_a, P, rows, T)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        ppad_ref[P: P + rows] = p0
+        if cgne:
+            gamma0 = rNorm0 * rNorm0
+            indNorm0 = jnp.sqrt(jnp.sum(p0 * p0))
+        else:
+            gamma0 = jnp.sum(p0 * p0) + jnp.where(
+                lam_v > 0, lam_v * rNorm0 * rNorm0, 0)
+            indNorm0 = jnp.sqrt(gamma0)
+        eps_c = atol_v + rtol_v * rNorm0
+        eps_i = atol_v + rtol_v * indNorm0
+        incons0 = (rNorm0 > 100 * eps_c) & (indNorm0 <= eps_i)
+        status0 = jnp.where(
+            rNorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rNorm0 <= eps_c, jnp.int32(_SOLVED),
+                      jnp.where(incons0, jnp.int32(incons_code),
+                                jnp.int32(_RUNNING))))
+
+        def cond(c):
+            return (c[2] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            it0, gamma, status, rNorm = c
+            pv = ppad_ref[P: P + rows]
+            q = _stencil(ppad_ref, pd_ref, shifts, P, rows, T) \
+                + jnp.where(lam_v > 0, lam_v, 0) * s_vref[:]
+            if cgne:
+                delta = jnp.sum(pv * pv) + jnp.where(
+                    lam_v > 0, lam_v * jnp.sum(s_vref[:] * s_vref[:]), 0)
+                alpha = gamma / _safe(delta)
+                x_ref[:] = x_ref[:] + alpha * pv
+                rv = rpad_ref[P: P + rows] - alpha * q
+                rpad_ref[P: P + rows] = rv
+                gamma_n = jnp.sum(rv * rv)
+                beta = gamma_n / _safe(gamma)
+                Ahz = _stencil(rpad_ref, pda_ref, shifts_a, P, rows, T)
+                p_new = Ahz + beta * pv
+                indNorm = jnp.sqrt(jnp.sum(p_new * p_new))
+                rNorm_n = jnp.sqrt(jnp.maximum(gamma_n, 0))
+            else:
+                alpha = gamma / _safe(jnp.sum(q * q))
+                x_ref[:] = x_ref[:] + alpha * pv
+                rv = rpad_ref[P: P + rows] - alpha * q
+                rpad_ref[P: P + rows] = rv
+                rNorm_n = jnp.sqrt(jnp.sum(rv * rv))
+                Ahr = _stencil(rpad_ref, pda_ref, shifts_a, P, rows, T)
+                gamma_n = jnp.sum(Ahr * Ahr) + jnp.where(
+                    lam_v > 0, lam_v * rNorm_n * rNorm_n, 0)
+                beta = gamma_n / _safe(gamma)
+                p_new = Ahr + beta * pv
+                indNorm = jnp.sqrt(jnp.maximum(gamma_n, 0))
+            ppad_ref[P: P + rows] = p_new
+            s_vref[:] = rv + beta * s_vref[:]
+            it = it0 + 1
+            solved = (rNorm_n <= eps_c) | ((rNorm_n + 1.0) <= 1.0)
+            incons = (rNorm_n > 100 * eps_c) & (indNorm <= eps_i)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(incons, jnp.int32(incons_code), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+            return (it, gamma_n, code, rNorm_n)
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), gamma0, status0, rNorm0))
+        niter_ref[0, 0] = out[0]
+        status_ref[0, 0] = out[2]
+        rnorm_ref[0, 0] = out[3]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 3,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + 7 * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def cgne_crmr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 7 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)

@@ -156,6 +156,31 @@ def _cgls_solve(
     rt.debug_table(verbose, "CGLS", ("k", "‖Aᴴr‖", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and radius == 0 and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (cgls_dia_fused,
+                                        cgls_dia_fused_supported)
+        if cgls_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, arnorm, status = cgls_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                atol, rtol, itmax)
+            niter, code = jax.device_get([niter, status])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter, solved=rt.is_solved_code(code),
+                inconsistent=False,
+                residuals=np.zeros(0), Aresiduals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _cgls_core(
             A, M, b, state, jnp.int32(cap), atol, rtol, float(lam),
@@ -350,6 +375,31 @@ def _crls_solve(
     itmax = rt.resolve_itmax(itmax, m + n)
     rt.debug_table(verbose, "CRLS", ("k", "‖Aᴴr‖", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and radius == 0 and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (crls_dia_fused,
+                                        crls_dia_fused_supported)
+        if crls_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, arnorm, status = crls_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                atol, rtol, itmax)
+            niter, code = jax.device_get([niter, status])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter, solved=rt.is_solved_code(code),
+                inconsistent=False,
+                residuals=np.zeros(0), Aresiduals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _CRLS_STATUS),
+            )
+            return jnp.asarray(x), stats, None
 
     def run(state, cap):
         return _crls_core(

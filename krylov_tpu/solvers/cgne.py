@@ -168,6 +168,31 @@ def _cgne_like_solve(
     rt.debug_table(verbose, variant.upper(), ("k", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (N is None and not history and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (cgne_crmr_dia_fused,
+                                        cgne_crmr_dia_fused_supported)
+        if cgne_crmr_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                         stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, status = cgne_crmr_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                atol, rtol, itmax, variant=variant)
+            niter, code = jax.device_get([niter, status])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter, solved=rt.is_solved_code(code),
+                inconsistent=code in (INCONS_CGNE, INCONS_CRMR),
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _cgne_like_core(
             A, N, b, state, jnp.int32(cap), atol, rtol, float(lam),

@@ -473,6 +473,42 @@ def test_fused_bicgstab_matches_general():
         jnp.max(jnp.abs(xr)) + 1)
 
 
+@pytest.mark.parametrize("method", ["cgls", "crls", "cgne", "crmr"])
+@pytest.mark.parametrize("lam", [0.0, 0.1])
+def test_fused_normal_equation_family_matches_general(method, lam):
+    """CGLS/CRLS (least-squares) and CGNE/CRMR (minimum-norm) fused
+    kernels vs their general cores on a square unsymmetric stencil."""
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(11).standard_normal(n))
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    solve = getattr(kt, method)
+    x, stats = solve(op_fast, b, lam=lam, atol=0.0, rtol=1e-8)
+    xr, stats_ref = solve(op_ref, b, lam=lam, atol=0.0, rtol=1e-8)
+    # reductions run in different orders (padded tiles vs flat vector), so
+    # the stopping test can flip by one iteration at the threshold
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(
+        jnp.max(jnp.abs(xr)) + 1)
+
+
+@pytest.mark.parametrize("method", ["cgls", "crls", "cgne", "crmr"])
+def test_fused_normal_equation_zero_rhs_and_fallback(method):
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    solve = getattr(kt, method)
+    x, stats = solve(op, jnp.zeros(n))
+    assert stats.niter == 0
+    assert stats.status == "x is a zero-residual solution"
+    x, stats = solve(op, b, history=True)
+    assert stats.residuals.size == stats.niter + 1
+
+
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 def test_fused_cgs_matches_general(dtype):
     from krylov_tpu import cgs
