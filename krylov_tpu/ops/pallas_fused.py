@@ -2619,3 +2619,824 @@ def cgne_crmr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
         return False
     both = tuple(offsets) + tuple(-int(k) for k in offsets)
     return _fused_bytes(both, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
+
+
+# SYMMLQ-specific status codes (krylov_tpu/solvers/symmlq.py)
+_SOLVED_GEN_SYMMLQ = 34
+_SOLVED_LQ_SYMMLQ = 35
+_SOLVED_CG_SYMMLQ = 36
+
+
+@partial(jax.jit, static_argnames=("offsets", "transfer_to_cg", "interpret"))
+def symmlq_dia_fused(pd, offsets, b, atol, rtol, ctol, lam, itmax,
+                     transfer_to_cg=True, interpret=None):
+    """Full SYMMLQ solve of (A + λI) x = b for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/symmlq.py:_symmlq_core
+    on the default path (M = I, λest = 0; reference src/symmlq.jl): the
+    unnormalized Lanczos stream, LQ Givens chain, CG-point transfer test
+    and conlim / machine-precision stops.  Returns (x, niter, rNorm,
+    status_code, anorm2, gmax, gmin) — status codes follow
+    krylov_tpu._runtime plus the SYMMLQ-specific 34/35/36.
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    tiny = float(jnp.finfo(T).tiny)
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol, ctol, lam], T).reshape(4, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, out_ref, status_ref,
+               vpad_ref, vold_ref, wbar_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        ctol_v = s_ref[2, 0]
+        lam_v = s_ref[3, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        tol = atol_v + rtol_v * beta1
+
+        vold = bv / safe(beta1)
+        vold_ref[:] = vold
+        wbar_ref[:] = vold
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = vold
+        y = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) + lam_v * vold
+        alpha = jnp.sum(vold * y)
+        y = y - alpha * vold
+        beta = jnp.sqrt(jnp.sum(y * y))
+        vpad_ref[P: P + rows] = y / safe(beta)
+
+        gbar0 = alpha
+        eta0 = beta1
+        zetabar0 = eta0 / safe(gbar0)
+        rcg0 = beta1 * jnp.abs(zetabar0)
+        solved_lq0 = beta1 <= tol
+        solved_cg0 = ((gbar0 != 0) & transfer_to_cg
+                      & (rcg0 <= tol)) if transfer_to_cg else (beta1 < -1)
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(solved_lq0, jnp.int32(_SOLVED_LQ_SYMMLQ),
+                      jnp.where(solved_cg0, jnp.int32(_SOLVED_CG_SYMMLQ),
+                                jnp.int32(_RUNNING))))
+
+        carry0 = (jnp.int32(0), beta, gbar0, beta, zero, jnp.ones((), T),
+                  eta0, zero, zetabar0,
+                  alpha * alpha + beta * beta,
+                  jnp.asarray(-jnp.inf, T), jnp.asarray(jnp.inf, T),
+                  zero, beta1, rcg0,
+                  solved_cg0.astype(jnp.int32), status0)
+        # (it, beta, gbar, dbar, eps_old, cold, eta, zold, zetabar,
+        #  anorm2, gmax, gmin, xnorm2, rNorm, rcgNorm, cgflag, status)
+
+        def cond(c):
+            return (c[16] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, beta, gbar, dbar, eps_old, cold, eta, zold, zetabar,
+             anorm2, gmax, gmin, xnorm2, rNorm, rcgNorm, cgflag,
+             status) = c
+            it = it0 + 1
+
+            cs, sn, gamma = sym_givens(gbar, beta)
+            zeta = eta / safe(gamma)
+            v = vpad_ref[P: P + rows]
+            x_ref[:] = x_ref[:] + (cs * zeta) * wbar_ref[:] \
+                + (sn * zeta) * v
+            wbar_ref[:] = sn * wbar_ref[:] - cs * v
+
+            y = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) + lam_v * v
+            alpha = jnp.sum(v * y)
+            y = y - beta * vold_ref[:] - alpha * v
+            vold_ref[:] = v
+            beta_n = jnp.sqrt(jnp.sum(y * y))
+            vpad_ref[P: P + rows] = y / safe(beta_n)
+
+            anorm2_n = anorm2 + alpha * alpha + beta * beta \
+                + beta_n * beta_n
+
+            delta = dbar * cs + alpha * sn
+            gbar_n = dbar * sn - alpha * cs
+            eps_new = beta_n * sn
+            dbar_n = -beta_n * cs
+            eta_n = -eps_old * zold - delta * zeta
+
+            rNorm_n = jnp.sqrt(gamma * gamma * zeta * zeta
+                               + eps_old * eps_old * zold * zold)
+            xnorm2_n = xnorm2 + zeta * zeta
+
+            gbar_nz = gbar_n != 0
+            zetabar_n = jnp.where(gbar_nz, eta_n / safe(gbar_n), zetabar)
+            rcg_n = jnp.where(
+                gbar_nz, beta_n * jnp.abs(sn * zeta - cs * zetabar_n),
+                rcgNorm)
+
+            gmax_n = jnp.maximum(gmax, gamma)
+            gmin_n = jnp.minimum(gmin, gamma)
+            acond = gmax_n / jnp.maximum(gmin_n, tiny)
+            anorm = jnp.sqrt(anorm2_n)
+            test1 = rNorm_n / jnp.maximum(anorm * jnp.sqrt(xnorm2_n), tiny)
+
+            resid_decrease_mach = (1.0 + rNorm_n) <= 1.0
+            ill_cond_mach = (1.0 + 1.0 / jnp.maximum(acond, tiny)) <= 1.0
+            zero_resid_mach = (1.0 + test1) <= 1.0
+            ill_cond_lim = (1.0 / jnp.maximum(acond, tiny)) <= ctol_v
+            zero_resid_lim = test1 <= tol
+            solved_lq = rNorm_n <= tol
+            solved_cg = (gbar_nz & (rcg_n <= tol)) if transfer_to_cg \
+                else (rNorm_n < -1)
+            zero_resid = solved_lq | solved_cg
+            solved = (resid_decrease_mach | zero_resid | zero_resid_mach
+                      | zero_resid_lim)
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(ill_cond_lim, jnp.int32(_COND_EXCEEDED), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED_GEN_SYMMLQ), code)
+            code = jnp.where(solved & solved_lq,
+                             jnp.int32(_SOLVED_LQ_SYMMLQ), code)
+            code = jnp.where(solved & solved_cg,
+                             jnp.int32(_SOLVED_CG_SYMMLQ), code)
+
+            return (it, beta_n, gbar_n, dbar_n, eps_new, cs, eta_n, zeta,
+                    zetabar_n, anorm2_n, gmax_n, gmin_n, xnorm2_n,
+                    rNorm_n, rcg_n, solved_cg.astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        # CG-point transfer when the CG test triggered the stop
+        # (reference src/symmlq.jl:437-440).
+        @pl.when(out[15] == 1)
+        def _():
+            x_ref[:] = x_ref[:] + out[8] * wbar_ref[:]
+
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[13]
+        out_ref[1, 0] = out[9]
+        out_ref[2, 0] = out[10]
+        out_ref[3, 0] = out[11]
+        status_ref[0, 0] = out[16]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, scal_out, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((4, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * pd_bytes + 6 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], scal_out[0, 0], status[0, 0],
+            scal_out[1, 0], scal_out[2, 0], scal_out[3, 0])
+
+
+def symmlq_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: stencil + 6 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 6, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def minres_qlp_dia_fused(pd, offsets, b, atol, rtol, artol, lam, itmax,
+                         interpret=None):
+    """Full MINRES-QLP solve of (A + λI) x = b for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/minres_qlp.py:_minres_qlp_core on the default path
+    (M = I, linesearch = False; reference src/minres_qlp.jl): Lanczos
+    stream, QR+LQ (QLP) factorization with the iter==1/2/≥3 register
+    selects, Artol inconsistency test, μmin/μmax condition estimates and
+    the in-kernel final x correction.  Returns
+    (x, niter, rNorm, ArNorm, status_code, inconsistent).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    eps_T = float(jnp.finfo(T).eps)
+    btol = eps_T ** 0.75
+    tiny = float(jnp.finfo(T).tiny)
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol, artol, lam], T).reshape(4, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, out_ref, status_ref, incon_ref,
+               vpad_ref, vkm1_ref, wkm1_ref, wk_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        artol_v = s_ref[2, 0]
+        lam_v = s_ref[3, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        vkm1_ref[:] = jnp.zeros((rows, LANES), T)
+        wkm1_ref[:] = jnp.zeros((rows, LANES), T)
+        wk_ref[:] = jnp.zeros((rows, LANES), T)
+        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(beta1)
+        eps_lim = atol_v + rtol_v * beta1
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta1 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), beta1, beta1, zero, zero, zero, zero,
+                  zero, zero, zero, one, one, zero, zero,
+                  zero, zero, zero, beta1, zero, zero,
+                  jnp.int32(0), status0)
+        # (it, beta_k, zetabar, xi_km1, tau_km2, tau_km1, tau_k,
+        #  psibar_km2, mubis_km2, mubar_km1, c_km2, c_km1, s_km2, s_km1,
+        #  mumin, mumax, anorm2, rNorm, ArNorm, kappa, incon, status)
+
+        def cond(c):
+            return (c[21] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, beta_k, zetabar, xi_km1, tau_km2, tau_km1, tau_k,
+             psibar_km2, mubis_km2, mubar_km1, c_km2, c_km1, s_km2,
+             s_km1, mumin, mumax, anorm2, rNorm, ArNorm, kappa,
+             incon, status) = c
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+            ge3 = it >= 3
+
+            vk = vpad_ref[P: P + rows]
+            p = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) + lam_v * vk
+            p = p - jnp.where(ge2, beta_k, zero) * vkm1_ref[:]
+            alpha = jnp.sum(vk * p)
+            p = p - alpha * vk
+            beta_kp1 = jnp.sqrt(jnp.sum(p * p))
+            norm_ok = beta_kp1 > btol
+            vkp1 = jnp.where(norm_ok, p / safe(beta_kp1), p)
+            anorm2_n = anorm2 + alpha * alpha + beta_k * beta_k \
+                + beta_kp1 * beta_kp1
+
+            eps_km2 = jnp.where(ge3, s_km2 * beta_k, zero)
+            gbar_km1 = jnp.where(ge3, -c_km2 * beta_k,
+                                 jnp.where(is2, beta_k, zero))
+            g_km1 = c_km1 * gbar_km1 + s_km1 * alpha
+            lbar_k = jnp.where(is1, alpha,
+                               s_km1 * gbar_km1 - c_km1 * alpha)
+
+            ck, sk, l_k = sym_givens(lbar_k, beta_kp1)
+            zeta = ck * zetabar
+            zetabar_next = sk * zetabar
+
+            cp2, sp2, mubis2 = sym_givens(mubar_km1, g_km1)
+            cp3, sp3, mu_km2 = sym_givens(mubis_km2, eps_km2)
+            psi_km2 = cp3 * psibar_km2 + sp3 * g_km1
+            theta_k = sp3 * psibar_km2 - cp3 * g_km1
+            rho_km2 = sp3 * l_k
+            eta_k = -cp3 * l_k
+            cd, sd, mubis3 = sym_givens(mubar_km1, theta_k)
+            psibar3 = sd * eta_k
+            mubar3 = -cd * eta_k
+
+            mubar_k = jnp.where(is1, l_k,
+                                jnp.where(is2, -cp2 * l_k, mubar3))
+            psibar_km1 = jnp.where(is2, sp2 * l_k,
+                                   jnp.where(ge3, psibar3, zero))
+            mubis_km1 = jnp.where(is2, mubis2,
+                                  jnp.where(ge3, mubis3, zero))
+            cp = jnp.where(is2, cp2, cp3)
+            sp = jnp.where(is2, sp2, sp3)
+
+            tau_km2_new = jnp.where(
+                ge3, tau_km1 * mubis_km2 / safe(mu_km2), tau_km2)
+            tau_km1_new = jnp.where(
+                is2, tau_k * mubar_km1 / safe(mubis2),
+                jnp.where(ge3,
+                          (xi_km1 - psi_km2 * tau_km2_new) / safe(mubis3),
+                          tau_km1))
+            xi_k = jnp.where(ge3, zeta - rho_km2 * tau_km2_new, zeta)
+            tau_k_new = jnp.where(
+                is1, zeta / safe(mubar_k),
+                (xi_k - psibar_km1 * tau_km1_new) / safe(mubar_k))
+
+            wkm1_old = wkm1_ref[:]
+            wk_old = wk_ref[:]
+            waux = sp * wkm1_old - cp * vk
+            wkm1_new = jnp.where(
+                is1, wkm1_old,
+                jnp.where(is2, cp * wk_old + sp * vk,
+                          cd * wk_old + sd * waux))
+            wk_new = jnp.where(
+                is1, vk,
+                jnp.where(is2, sp * wk_old - cp * vk,
+                          sd * wk_old - cd * waux))
+            x_add = jnp.where(ge3, tau_km2_new, zero)
+            x_ref[:] = x_ref[:] + (x_add * cp) * wkm1_old \
+                + (x_add * sp) * vk
+            wkm1_ref[:] = wkm1_new
+            wk_ref[:] = wk_new
+            vkm1_ref[:] = vk
+            vpad_ref[P: P + rows] = vkp1
+
+            rNorm_n = jnp.abs(zetabar_next)
+            ArNorm_n = jnp.abs(zetabar) * jnp.sqrt(
+                lbar_k * lbar_k + (c_km1 * beta_kp1) ** 2)
+            kappa_n = jnp.where(is1, atol_v + artol_v * ArNorm_n, kappa)
+
+            abs_mubar = jnp.abs(mubar_k)
+            mumin_n = jnp.where(
+                is1, abs_mubar,
+                jnp.where(is2,
+                          jnp.minimum(mumin,
+                                      jnp.minimum(mubis_km1, abs_mubar)),
+                          jnp.minimum(mumin,
+                                      jnp.minimum(mu_km2,
+                                                  jnp.minimum(mubis_km1,
+                                                              abs_mubar)))))
+            mumax_n = jnp.where(
+                is1, abs_mubar,
+                jnp.where(is2,
+                          jnp.maximum(mumax,
+                                      jnp.maximum(mubis_km1, abs_mubar)),
+                          jnp.maximum(mumax,
+                                      jnp.maximum(mu_km2,
+                                                  jnp.maximum(mubis_km1,
+                                                              abs_mubar)))))
+            acond = mumax_n / jnp.maximum(mumin_n, tiny)
+            anorm = jnp.sqrt(anorm2_n)
+            xv = x_ref[:]
+            xnorm = jnp.sqrt(jnp.sum(xv * xv))
+            backward = rNorm_n / jnp.maximum(anorm * xnorm, tiny)
+
+            ill_cond_mach = (1.0 + 1.0 / jnp.maximum(acond, tiny)) <= 1.0
+            resid_decrease_mach = (1.0 + rNorm_n) <= 1.0
+            zero_resid_mach = (1.0 + backward) <= 1.0
+            resid_decrease_lim = rNorm_n <= eps_lim
+            zero_resid_lim = backward <= eps_T          # MisI path
+            breakdown = beta_kp1 <= btol
+            zero_resid = zero_resid_mach | zero_resid_lim
+            solved = (resid_decrease_mach | resid_decrease_lim
+                      | zero_resid)
+            incon_b = ((ArNorm_n <= kappa_n) & (abs_mubar <= artol_v)) \
+                | (breakdown & ~solved)
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(incon_b, jnp.int32(_SOLVED_LSQ), code)
+            code = jnp.where(zero_resid, jnp.int32(_SOLVED_ZERO), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+
+            return (it, beta_kp1, zetabar_next, xi_k, tau_km2_new,
+                    tau_km1_new, tau_k_new,
+                    jnp.where(ge2, psibar_km1, psibar_km2),
+                    jnp.where(ge2, mubis_km1, mubis_km2),
+                    mubar_k,
+                    jnp.where(ge2, c_km1, c_km2),
+                    ck,
+                    jnp.where(ge2, s_km1, s_km2),
+                    sk,
+                    mumin_n, mumax_n, anorm2_n, rNorm_n, ArNorm_n,
+                    kappa_n, incon_b.astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        nit, tau_km1_f, tau_k_f, incon_f = out[0], out[5], out[6], out[20]
+        # Final x correction (reference src/minres_qlp.jl:509-515).
+        add1 = jnp.where(nit >= 2, tau_km1_f, jnp.zeros((), T))
+        add2 = jnp.where(incon_f == 0, tau_k_f, jnp.zeros((), T))
+        @pl.when(nit >= 1)
+        def _():
+            x_ref[:] = x_ref[:] + add1 * wkm1_ref[:] + add2 * wk_ref[:]
+
+        niter_ref[0, 0] = nit
+        out_ref[0, 0] = out[17]
+        out_ref[1, 0] = out[18]
+        status_ref[0, 0] = out[21]
+        incon_ref[0, 0] = incon_f
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, scal_out, status, incon = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * pd_bytes + 7 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], scal_out[0, 0], status[0, 0],
+            incon[0, 0], scal_out[1, 0])
+
+
+def minres_qlp_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: stencil + 7 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
+
+
+_BREAKDOWN = 7
+_SOLVED_ARTOL = 37   # krylov_tpu/solvers/minares.py
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def minares_dia_fused(pd, offsets, b, atol, rtol, artol, lam, itmax,
+                      interpret=None):
+    """Full MINARES solve of (A + λI) x = b for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/minares.py:_minares_core
+    (reference src/minares.jl): the QR-within-QR reflection cascade, W/D
+    direction recurrences, π/τ residual estimates and the ℓ breakdown
+    bookkeeping, with every iter==1/2/≥3 branch a scalar where-select.
+    The unified direction formulas w = (v − γw₁ − εw₂)/ℓ and
+    d = (w − φd₁ − ρd₂)/μ are bit-identical to the core's selects because
+    the gating scalars and buffers are zero before they activate.
+    Returns (x, niter, rNorm, ArNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    btol = float(jnp.finfo(T).eps) ** 0.75
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shiftsT = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol, artol, lam], T).reshape(4, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, out_ref, status_ref,
+               vpad_ref, vk_ref, wkm2_ref, wkm1_ref, dkm2_ref, dkm1_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        artol_v = s_ref[2, 0]
+        lam_v = s_ref[3, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        wkm2_ref[:] = jnp.zeros((rows, LANES), T)
+        wkm1_ref[:] = jnp.zeros((rows, LANES), T)
+        dkm2_ref[:] = jnp.zeros((rows, LANES), T)
+        dkm1_ref[:] = jnp.zeros((rows, LANES), T)
+
+        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        vk = bv / safe(beta1)
+        vk_ref[:] = vk
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = vk
+        q = _stencil(vpad_ref, pd_ref, shiftsT, P, rows, T) + lam_v * vk
+        alpha1 = jnp.sum(vk * q)
+        q = q - alpha1 * vk
+        beta2 = jnp.sqrt(jnp.sum(q * q))
+        vpad_ref[P: P + rows] = jnp.where(beta2 != 0, q / safe(beta2), q)
+
+        b1a1 = beta1 * alpha1
+        b1b2 = beta1 * beta2
+        ArNorm0 = jnp.sqrt(b1a1 * b1a1 + b1b2 * b1b2)
+        eps_lim = atol_v + rtol_v * beta1
+        kappa = atol_v + artol_v * ArNorm0
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where((beta1 <= eps_lim) | (ArNorm0 <= kappa),
+                      jnp.int32(_SOLVED_ARTOL), jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), alpha1, beta1, beta2,
+                  zero, zero, zero, zero, zero, zero,
+                  zero, zero, zero, zero, zero, zero,
+                  zero, zero, zero, b1a1, b1b2,
+                  zero, zero, zero, zero, zero, zero,
+                  cap + jnp.int32(2),
+                  beta1, ArNorm0, status0)
+        # (it, alpha_k, beta_k, beta_kp1, gamma_km1, lambdabar_k,
+        #  gammabar_k, eps_km2, eps_km1, xi_km1, tau_km2, tau_km1, tau_k,
+        #  thetabar_km2, psibis_km2, psibar_km1, pi_km2, pi_km1, chibar_k,
+        #  zetabis_k, zetabar_kp1, ct4, st4, ct3, st3, ct2, st2, ell,
+        #  rNorm, ArNorm, status)
+
+        def cond(c):
+            return (c[30] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, alpha_k, beta_k, beta_kp1, gamma_km1, lambdabar_k0,
+             gammabar_k0, eps_km2, eps_km1, xi_km1, tau_km2, tau_km1,
+             tau_k, thetabar_km2, psibis_km2, psibar_km1, pi_km2, pi_km1,
+             chibar_k0, zetabis_k, zetabar_kp1, ct4, st4, ct3, st3, ct2,
+             st2, ell0, rNorm0, ArNorm0_, status) = c
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+            ge3 = it >= 3
+
+            lambdabar_k = jnp.where(is1, alpha_k, lambdabar_k0)
+            gammabar_k = jnp.where(is1, beta_kp1, gammabar_k0)
+            chibar_k = jnp.where(is1, beta_k, chibar_k0)
+
+            ck, sk, l_k = sym_givens(lambdabar_k, beta_kp1)
+
+            vk = vk_ref[:]
+            w_k = (vk - gamma_km1 * wkm1_ref[:]
+                   - eps_km2 * wkm2_ref[:]) / safe(l_k)
+
+            # Continue the Lanczos process (when it ≤ ℓ-1).
+            lan_ok = it <= ell0 - 1
+            vkp1 = vpad_ref[P: P + rows]
+            q = _stencil(vpad_ref, pd_ref, shiftsT, P, rows, T) \
+                + lam_v * vkp1 - beta_kp1 * vk
+            alpha_kp1 = jnp.sum(q * vkp1)
+            q = q - alpha_kp1 * vkp1
+            beta_kp2 = jnp.sqrt(jnp.sum(q * q))
+            brk = beta_kp2 <= btol
+            ell = jnp.where(lan_ok & brk, it + 1, ell0)
+            v_next = jnp.where(lan_ok & ~brk, q / safe(beta_kp2), q)
+            alpha_kp1 = jnp.where(lan_ok, alpha_kp1, alpha_k)
+            beta_kp2 = jnp.where(lan_ok, beta_kp2, zero)
+
+            two_ok = it <= ell - 2
+            one_ok = it <= ell - 1
+            eps_k = jnp.where(two_ok, sk * beta_kp2, zero)
+            gammabar_kp1 = jnp.where(two_ok, -ck * beta_kp2, zero)
+            gamma_k = jnp.where(one_ok, ck * gammabar_k + sk * alpha_kp1,
+                                zero)
+            lambdabar_kp1 = jnp.where(one_ok,
+                                      sk * gammabar_k - ck * alpha_kp1,
+                                      zero)
+
+            rho_km2 = jnp.where(ge3, st4 * l_k, zero)
+            lhat_k = jnp.where(ge3, -ct4 * l_k, jnp.where(is2, l_k, zero))
+            phibar_km1 = jnp.where(ge2, st3 * lhat_k, zero)
+            mubar_k = jnp.where(ge2, -ct3 * lhat_k, l_k)
+            phi_km1 = jnp.where(
+                ge2,
+                jnp.where(one_ok, ct2 * phibar_km1 + st2 * gamma_k,
+                          phibar_km1),
+                zero)
+            ghat_k = jnp.where(ge2,
+                               jnp.where(one_ok,
+                                         st2 * phibar_km1 - ct2 * gamma_k,
+                                         zero),
+                               gamma_k)
+
+            ct1n, st1n, mubis_k_g = sym_givens(mubar_k, ghat_k)
+            ct1 = jnp.where(one_ok, ct1n, one)
+            st1 = jnp.where(one_ok, st1n, zero)
+            mubis_k = jnp.where(one_ok, mubis_k_g, mubar_k)
+
+            ct0n, st0n, mu_k_g = sym_givens(mubis_k, eps_k)
+            ct0 = jnp.where(two_ok, ct0n, one)
+            st0 = jnp.where(two_ok, st0n, zero)
+            mu_k = jnp.where(two_ok, mu_k_g, mubis_k)
+
+            zring_k = jnp.where(one_ok,
+                                ct1 * zetabis_k + st1 * zetabar_kp1,
+                                zetabis_k)
+            zetabis_kp1 = jnp.where(one_ok,
+                                    st1 * zetabis_k - ct1 * zetabar_kp1,
+                                    zero)
+            zeta_k = jnp.where(two_ok, ct0 * zring_k, zring_k)
+            zetabar_kp2 = jnp.where(two_ok, st0 * zring_k, zero)
+
+            d_k = (w_k - phi_km1 * dkm1_ref[:]
+                   - rho_km2 * dkm2_ref[:]) / safe(mu_k)
+            x_ref[:] = x_ref[:] + zeta_k * d_k
+
+            ArNorm = jnp.where(
+                two_ok, jnp.sqrt(zetabis_kp1 ** 2 + zetabar_kp2 ** 2),
+                jnp.where(it == ell - 1, jnp.abs(zetabis_kp1), zero))
+
+            chm3_2, shm3_2, psibis2 = sym_givens(psibar_km1, phi_km1)
+            chm4, shm4, psi_km2 = sym_givens(psibis_km2, rho_km2)
+            theta_km2 = chm4 * thetabar_km2 + shm4 * phi_km1
+            delta_k = shm4 * thetabar_km2 - chm4 * phi_km1
+            omega_km2 = shm4 * mu_k
+            eta_k = -chm4 * mu_k
+            chm3_3, shm3_3, psibis3 = sym_givens(psibar_km1, delta_k)
+
+            psibar_k = jnp.where(is1, mu_k,
+                                 jnp.where(is2, -chm3_2 * mu_k,
+                                           -chm3_3 * eta_k))
+            thetabar_km1 = jnp.where(is2, shm3_2 * mu_k,
+                                     jnp.where(ge3, shm3_3 * eta_k, zero))
+            psibis_km1 = jnp.where(is2, psibis2,
+                                   jnp.where(ge3, psibis3, zero))
+
+            tau_km2_new = jnp.where(ge3,
+                                    tau_km1 * psibis_km2 / safe(psi_km2),
+                                    tau_km2)
+            tau_km1_new = jnp.where(
+                is2, tau_k * psibar_km1 / safe(psibis2),
+                jnp.where(ge3,
+                          (xi_km1 - theta_km2 * tau_km2_new)
+                          / safe(psibis3),
+                          tau_km1))
+            xi_k = jnp.where(ge3, zeta_k - omega_km2 * tau_km2_new, zeta_k)
+            tau_k_new = jnp.where(
+                is1, zeta_k / safe(psibar_k),
+                (xi_k - thetabar_km1 * tau_km1_new) / safe(psibar_k))
+
+            chi_k = ck * chibar_k
+            chibar_kp1 = sk * chibar_k
+
+            pi2_km1 = chm3_2 * pi_km1 + shm3_2 * chi_k
+            pi2_k = shm3_2 * pi_km1 - chm3_2 * chi_k
+            pi3a_km2 = chm4 * pi_km2 + shm4 * chi_k
+            pi3a_k = shm4 * pi_km2 - chm4 * chi_k
+            pi3_km1 = chm3_3 * pi_km1 + shm3_3 * pi3a_k
+            pi3_k = shm3_3 * pi_km1 - chm3_3 * pi3a_k
+            pi_km2_new = jnp.where(ge3, pi3a_km2, pi_km2)
+            pi_km1_mid = jnp.where(is2, pi2_km1,
+                                   jnp.where(ge3, pi3_km1, pi_km1))
+            pi_k_new = jnp.where(is1, chi_k,
+                                 jnp.where(is2, pi2_k, pi3_k))
+            pi_kp1 = chibar_kp1
+
+            rNorm = jnp.where(
+                is1,
+                jnp.sqrt((pi_k_new - tau_k_new) ** 2 + pi_kp1 ** 2),
+                jnp.sqrt((pi_km1_mid - tau_km1_new) ** 2
+                         + (pi_k_new - tau_k_new) ** 2 + pi_kp1 ** 2))
+
+            solved = (rNorm <= eps_lim) | (ArNorm <= kappa)
+            breakdown = beta_kp1 <= btol
+            code = jnp.where(solved, jnp.int32(_SOLVED_ARTOL),
+                             jnp.where(breakdown, jnp.int32(_BREAKDOWN),
+                                       jnp.int32(_RUNNING)))
+
+            # Shift the vector registers (read-olds captured above).
+            wkm2_ref[:] = jnp.where(ge2, wkm1_ref[:], wkm2_ref[:])
+            wkm1_ref[:] = w_k
+            dkm2_ref[:] = jnp.where(ge2, dkm1_ref[:], dkm2_ref[:])
+            dkm1_ref[:] = d_k
+            vk_ref[:] = vkp1
+            vpad_ref[P: P + rows] = v_next
+
+            return (it,
+                    jnp.where(one_ok, alpha_kp1, alpha_k),
+                    beta_kp1,
+                    jnp.where(one_ok, beta_kp2, beta_kp1),
+                    jnp.where(one_ok, gamma_k, gamma_km1),
+                    jnp.where(one_ok, lambdabar_kp1, lambdabar_k),
+                    jnp.where(two_ok, gammabar_kp1, gammabar_k),
+                    jnp.where(ge2, eps_km1, eps_km2),
+                    jnp.where(two_ok, eps_k, eps_km1),
+                    xi_k, tau_km2_new, tau_km1_new, tau_k_new,
+                    jnp.where(ge2, thetabar_km1, thetabar_km2),
+                    jnp.where(ge2, psibis_km1, psibis_km2),
+                    psibar_k,
+                    jnp.where(ge2, pi_km1_mid, pi_km2_new),
+                    pi_k_new, chibar_kp1,
+                    jnp.where(one_ok, zetabis_kp1, zetabis_k),
+                    jnp.where(two_ok, zetabar_kp2, zetabar_kp1),
+                    jnp.where(ge2, ct2, ct4),
+                    jnp.where(ge2, st2, st4),
+                    ct1, st1, ct0, st0,
+                    ell, rNorm, ArNorm, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[28]
+        out_ref[1, 0] = out[29]
+        status_ref[0, 0] = out[30]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, scal_out, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * pd_bytes + 9 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], scal_out[0, 0],
+            scal_out[1, 0], status[0, 0])
+
+
+def minares_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: stencil + 9 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 9, stencil_dtype) < 100 * (1 << 20)

@@ -354,6 +354,35 @@ def _minares_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (callback is None and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (minares_dia_fused,
+                                        minares_dia_fused_supported)
+        if minares_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                       stencil_dtype=A._pd.dtype):
+            b_eff = b if x0 is None else \
+                b - (A.matvec(x0) + jnp.asarray(lam, b.dtype) * x0)
+            x, niter, rnorm, arnorm, code_d = minares_dia_fused(
+                A._pd, A.dia.offsets, b_eff, atol, rtol, Artol, float(lam),
+                itmax)
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if x0 is not None:
+                x = x + x0
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code == SOLVED_ARTOL,
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _minares_core(
             A, b, x0, state, jnp.int32(cap), jnp.int32(itmax),

@@ -401,6 +401,43 @@ def _symmlq_solve(
         f"{'k':>5s}  {'‖r‖':>7s}  {'β':>7s}  {'cos':>8s}  {'sin':>8s}  "
         f"{'‖A‖':>7s}  {'κ(A)':>7s}  {'test1':>7s}")
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and lambda_est == 0 and callback is None and verbose == 0
+            and not history and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (symmlq_dia_fused,
+                                        symmlq_dia_fused_supported)
+        if symmlq_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                      stencil_dtype=A._pd.dtype):
+            ctol = 1.0 / conlim if conlim > 0 else 0.0
+            b_eff = b if x0 is None else \
+                b - (A.matvec(x0) + jnp.asarray(lam, b.dtype) * x0)
+            x, niter, rnorm, code_d, anorm2, gmax, gmin = symmlq_dia_fused(
+                A._pd, A.dia.offsets, b_eff, atol, rtol, ctol, float(lam),
+                itmax, transfer_to_cg=bool(transfer_to_cg))
+            niter, code, anorm2, gmax, gmin = jax.device_get(
+                [niter, code_d, anorm2, gmax, gmin])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if x0 is not None:
+                x = x + x0
+            gmax, gmin = float(gmax), float(gmin)
+            stats = SymmlqStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code in (
+                    SOLVED_GEN, SOLVED_LQ, SOLVED_CG_PT),
+                residuals=np.zeros(0), residualscg=np.zeros(0),
+                errors=np.zeros(0), errorscg=np.zeros(0),
+                Anorm=float(np.sqrt(anorm2)),
+                Acond=(gmax / max(gmin, 1e-300)
+                       if np.isfinite(gmax) and gmax >= 0
+                       else float("nan")),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _symmlq_core(
             A, M, b, x0, state, jnp.int32(cap), jnp.int32(itmax),

@@ -602,3 +602,136 @@ def test_bf16_stencil_admits_128cubed():
     assert not minres_dia_fused_supported(offsets, n, np.float32)
     assert minres_dia_fused_supported(offsets, n, np.float32,
                                       stencil_dtype=jnp.bfloat16)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_symmlq_matches_general(dtype):
+    from krylov_tpu import symmlq
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = symmlq(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = symmlq(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+    assert np.isclose(stats.Anorm, stats_ref.Anorm, rtol=1e-3)
+
+
+def test_fused_symmlq_lambda_shift_and_no_transfer():
+    from krylov_tpu import symmlq
+    D, pd, b, n = _problem(dtype=np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = symmlq(op_fast, b, lam=0.7, atol=0.0, rtol=1e-8)
+    xr, stats_ref = symmlq(op_ref, b, lam=0.7, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+    x, stats = symmlq(op_fast, b, transfer_to_cg=False, atol=0.0, rtol=1e-8)
+    xr, stats_ref = symmlq(op_ref, b, transfer_to_cg=False, atol=0.0,
+                           rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+
+
+def test_fused_symmlq_zero_rhs_warm_and_fallbacks():
+    from krylov_tpu import symmlq
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = symmlq(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    # warm start via the residual-system path
+    x1, _ = symmlq(op, b, atol=0.0, rtol=1e-3)
+    x2, stats = symmlq(op, b, x1, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.2
+    # history / λest requests must fall back to the general core
+    x, stats = symmlq(op, b, history=True, atol=0.0, rtol=1e-6)
+    assert stats.residuals.size == stats.niter + 1
+    x, stats = symmlq(op, b, lambda_est=0.1, history=True,
+                      atol=0.0, rtol=1e-6)
+    assert stats.errors.size > 0
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_minres_qlp_matches_general(dtype):
+    from krylov_tpu import minres_qlp
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = minres_qlp(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = minres_qlp(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert stats.inconsistent == stats_ref.inconsistent
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_minres_qlp_indefinite_shift():
+    from krylov_tpu import minres_qlp
+    D, pd, b, n = _problem(dtype=np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    # λ = -2 makes A + λI indefinite — exercises the QLP registers.
+    x, stats = minres_qlp(op_fast, b, lam=-2.0, atol=0.0, rtol=1e-8)
+    xr, stats_ref = minres_qlp(op_ref, b, lam=-2.0, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_minres_qlp_zero_rhs_and_fallbacks():
+    from krylov_tpu import minres_qlp
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = minres_qlp(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    assert float(jnp.linalg.norm(x)) == 0.0
+    # warm start via the residual-system path
+    x1, _ = minres_qlp(op, b, atol=0.0, rtol=1e-3)
+    x2, stats = minres_qlp(op, b, x1, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.2
+    # history / linesearch requests must fall back to the general core
+    x, stats = minres_qlp(op, b, history=True, atol=0.0, rtol=1e-6)
+    assert stats.residuals.size == stats.niter + 1
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_minares_matches_general(dtype):
+    from krylov_tpu import minares
+    D, pd, b, n = _problem(dtype=dtype)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = minares(op_fast, b, atol=0.0, rtol=1e-6)
+    xr, stats_ref = minares(op_ref, b, atol=0.0, rtol=1e-6)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_minares_indefinite_shift():
+    from krylov_tpu import minares
+    D, pd, b, n = _problem(dtype=np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = minares(op_fast, b, lam=-2.0, atol=0.0, rtol=1e-8)
+    xr, stats_ref = minares(op_ref, b, lam=-2.0, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_fused_minares_zero_rhs_warm_and_fallbacks():
+    from krylov_tpu import minares
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = minares(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x1, _ = minares(op, b, atol=0.0, rtol=1e-3)
+    x2, stats = minares(op, b, x1, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.2
+    x, stats = minares(op, b, history=True, atol=0.0, rtol=1e-6)
+    assert stats.residuals.size == stats.niter + 1
+    assert stats.Aresiduals.size == stats.niter + 1
