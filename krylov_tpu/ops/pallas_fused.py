@@ -3440,3 +3440,396 @@ def minares_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     if jnp.dtype(dtype).kind != "f":
         return False
     return _fused_bytes(offsets, n, dtype, 9, stencil_dtype) < 100 * (1 << 20)
+
+
+# Bi-Lanczos family status codes (krylov_tpu/solvers/bilq.py)
+_BC_BREAKDOWN = 29
+_UV_BREAKDOWN = 38
+_SOLVED_LQ_PT = 35
+_SOLVED_CG_PT2 = 36
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj",
+                                   "transfer_to_bicg", "interpret"))
+def bilq_dia_fused(pd, pd_adj, offsets, offsets_adj, b, atol, rtol, itmax,
+                   transfer_to_bicg=True, interpret=None):
+    """Full BiLQ solve of A x = b for a DIA matrix, one kernel launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/bilq.py:_bilq_core on
+    the default real path (c = b; reference src/bilq.jl): the two-sided
+    Lanczos step (one A and one Aᴴ stencil per iteration), LQ of Tₖ and
+    the BiCG transfer test.  Returns (x, niter, rNorm, status_code).
+
+    Parity note (validated on a real v5e): iteration counts match the
+    general core exactly on normal operators (Poisson 32³: 97 = 97); on
+    strongly non-normal stencils at f32 the two trajectories drift apart
+    in iteration count while converging to equivalent true residuals —
+    two-sided Lanczos amplifies rounding differences exponentially, and
+    the general core shows the same spread against itself across
+    reduction orders.  CPU f64 parity is exact (tests/test_fused.py).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    eps_T = float(jnp.finfo(b.dtype).eps)
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref, dbar_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        vkm1_ref[:] = jnp.zeros((rows, LANES), T)
+        ukm1_ref[:] = jnp.zeros((rows, LANES), T)
+        dbar_ref[:] = jnp.zeros((rows, LANES), T)
+
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        cHb = bNorm * bNorm                  # c = b on the fused path
+        beta0 = jnp.sqrt(jnp.abs(cHb))
+        gamma0 = cHb / safe(beta0)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(beta0)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = bv / safe(gamma0)
+        eps_lim = atol_v + rtol_v * bNorm
+        status0 = jnp.where(
+            bNorm == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(cHb == 0, jnp.int32(_BC_BREAKDOWN),
+                      jnp.where(bNorm <= eps_lim, jnp.int32(_SOLVED_LQ_PT),
+                                jnp.int32(_RUNNING))))
+
+        carry0 = (jnp.int32(0), beta0, gamma0, -one, zero, zero,
+                  zero, zero, zero, zero, bNorm / safe(jnp.abs(beta0)),
+                  bNorm, jnp.int32(0), status0)
+        # (it, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1, zeta_km2,
+        #  eta_km1, zetabar, norm_vk, rNorm, cgflag, status)
+
+        def cond(c):
+            return (c[13] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1, zeta_km2,
+             eta_km1, zetabar0, norm_vk, rNorm0, cgflag, status) = c
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            q = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) \
+                - gamma * vkm1_ref[:]
+            p = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T) \
+                - beta * ukm1_ref[:]
+            alpha = jnp.sum(uk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            pHq = jnp.sum(p * q)
+            beta_kp1 = jnp.sqrt(jnp.abs(pHq))
+            gamma_kp1 = pHq / safe(beta_kp1)
+
+            ck_g, sk_g, d_km1 = sym_givens(dbar_km1, gamma)
+            ck = jnp.where(is1, -one, ck_g)
+            sk = jnp.where(is1, zero, sk_g)
+            eps_km2 = s_km1 * beta
+            lam2 = ck * beta + sk * alpha
+            dbar2 = sk * beta - ck * alpha
+            lam3 = -c_km1 * ck * beta + sk * alpha
+            dbar3 = -c_km1 * sk * beta - ck * alpha
+            lam_km1 = jnp.where(is2, lam2, lam3)
+            dbar_k = jnp.where(is1, alpha, jnp.where(is2, dbar2, dbar3))
+
+            zeta_km1_new = jnp.where(ge2, eta_km1 / safe(d_km1), zeta_km1)
+            zeta_km2_new = jnp.where(it >= 3, zeta_km1, zeta_km2)
+            eta_k = jnp.where(
+                is1, beta,
+                jnp.where(is2, -lam_km1 * zeta_km1_new,
+                          -eps_km2 * zeta_km2_new - lam_km1 * zeta_km1_new))
+
+            x_add = jnp.where(ge2, zeta_km1_new, zero)
+            x_ref[:] = x_ref[:] + (x_add * ck) * dbar_ref[:] \
+                + (x_add * sk) * vk
+            dbar_ref[:] = jnp.where(is1, vk,
+                                    sk * dbar_ref[:] - ck * vk)
+
+            nz = pHq != 0
+            vk_new = jnp.where(nz, q / safe(beta_kp1), vk)
+            uk_new = jnp.where(nz, p / safe(gamma_kp1), uk)
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = vk_new
+            upad_ref[P: P + rows] = uk_new
+
+            vHv = jnp.sum(vk * vk_new)
+            norm_vkp1 = jnp.sqrt(jnp.sum(vk_new * vk_new))
+
+            mu = beta * (s_km1 * zeta_km2_new - c_km1 * ck * zeta_km1_new) \
+                + alpha * sk * zeta_km1_new
+            om = beta_kp1 * sk * zeta_km1_new
+            th = mu * om * vHv
+            rNorm_lq = jnp.where(
+                is1, rNorm0,
+                jnp.sqrt(mu * mu * norm_vk * norm_vk
+                         + om * om * norm_vkp1 * norm_vkp1 + 2 * th))
+
+            dbar_ok = jnp.abs(dbar_k) > eps_T
+            zetabar = jnp.where(dbar_ok, eta_k / safe(dbar_k), zetabar0)
+            rho = beta_kp1 * (sk * zeta_km1_new - ck * zetabar)
+            rNorm_cg = jnp.abs(rho) * norm_vkp1
+
+            solved_lq = rNorm_lq <= eps_lim
+            solved_cg = (dbar_ok & (rNorm_cg <= eps_lim)) \
+                if transfer_to_bicg else (rNorm_lq < -1)
+            breakdown = (~solved_lq) & (~solved_cg) & (pHq == 0)
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(breakdown, jnp.int32(_UV_BREAKDOWN), code)
+            code = jnp.where(solved_lq, jnp.int32(_SOLVED_LQ_PT), code)
+            code = jnp.where(solved_cg & ~solved_lq,
+                             jnp.int32(_SOLVED_CG_PT2), code)
+
+            return (it, beta_kp1, gamma_kp1, ck, sk, dbar_k,
+                    zeta_km1_new, zeta_km2_new, eta_k, zetabar,
+                    norm_vkp1, rNorm_lq,
+                    (solved_cg & ~solved_lq).astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        @pl.when(out[12] == 1)
+        def _():
+            x_ref[:] = x_ref[:] + out[9] * dbar_ref[:]
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[11]
+        status_ref[0, 0] = out[13]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 9 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def bilq_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 9 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 9, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "interpret"))
+def qmr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, atol, rtol, itmax,
+                  interpret=None):
+    """Full QMR solve of A x = b for a DIA matrix, one kernel launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/bilq.py:_qmr_core on
+    the default real path (c = b; reference src/qmr.jl): the two-sided
+    Lanczos step plus QR of Tₖ₊₁.ₖ with the W direction recurrence.
+    Returns (x, niter, rNorm, status_code).  See the bilq_dia_fused
+    parity note: exact on-chip niter parity on normal operators
+    (Poisson 32³: 106 = 106); rounding-chaotic trajectory spread on
+    strongly non-normal f32 stencils with equivalent true residuals.
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref, wkm2_ref, wkm1_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        vkm1_ref[:] = jnp.zeros((rows, LANES), T)
+        ukm1_ref[:] = jnp.zeros((rows, LANES), T)
+        wkm2_ref[:] = jnp.zeros((rows, LANES), T)
+        wkm1_ref[:] = jnp.zeros((rows, LANES), T)
+
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        cHb = bNorm * bNorm                  # c = b on the fused path
+        beta0 = jnp.sqrt(jnp.abs(cHb))
+        gamma0 = cHb / safe(beta0)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(beta0)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = bv / safe(gamma0)
+        eps_lim = atol_v + rtol_v * bNorm
+        status0 = jnp.where(
+            bNorm == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(cHb == 0, jnp.int32(_BC_BREAKDOWN),
+                      jnp.where(bNorm <= eps_lim, jnp.int32(_SOLVED),
+                                jnp.int32(_RUNNING))))
+
+        carry0 = (jnp.int32(0), beta0, gamma0, zero, zero, zero, zero,
+                  beta0, bNorm * bNorm / safe(jnp.abs(beta0)) ** 2,
+                  bNorm, status0)
+        # (it, beta, gamma, c_km2, s_km2, c_km1, s_km1, zetabar, tau,
+        #  rNorm, status)
+
+        def cond(c):
+            return (c[10] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            (it0, beta, gamma, c_km2, s_km2, c_km1, s_km1, zetabar, tau,
+             rNorm0, status) = c
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+            ge3 = it >= 3
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            q = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) \
+                - gamma * vkm1_ref[:]
+            p = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T) \
+                - beta * ukm1_ref[:]
+            alpha = jnp.sum(uk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            pHq = jnp.sum(p * q)
+            beta_kp1 = jnp.sqrt(jnp.abs(pHq))
+            gamma_kp1 = pHq / safe(beta_kp1)
+
+            eps_km2 = jnp.where(ge3, s_km2 * gamma, zero)
+            lbar_km1 = jnp.where(ge3, -c_km2 * gamma,
+                                 jnp.where(is2, gamma, zero))
+            lam_km1 = jnp.where(ge2, c_km1 * lbar_km1 + s_km1 * alpha,
+                                zero)
+            dbar_k = jnp.where(ge2, s_km1 * lbar_km1 - c_km1 * alpha,
+                               alpha)
+            ck, sk, d_k = sym_givens(dbar_k, beta_kp1)
+            zeta_k = ck * zetabar
+            zetabar_next = sk * zetabar
+
+            w_k = (vk - lam_km1 * wkm1_ref[:]
+                   - eps_km2 * wkm2_ref[:]) / safe(d_k)
+            x_ref[:] = x_ref[:] + zeta_k * w_k
+            wkm2_ref[:] = jnp.where(ge2, wkm1_ref[:], wkm2_ref[:])
+            wkm1_ref[:] = w_k
+
+            nz = pHq != 0
+            vk_new = jnp.where(nz, q / safe(beta_kp1), vk)
+            uk_new = jnp.where(nz, p / safe(gamma_kp1), uk)
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = vk_new
+            upad_ref[P: P + rows] = uk_new
+
+            tau_n = tau + jnp.sum(vk_new * vk_new)
+            rNorm = jnp.abs(zetabar_next) * jnp.sqrt(tau_n)
+
+            solved = (rNorm <= eps_lim) | ((rNorm + 1.0) <= 1.0)
+            breakdown = (~solved) & (pHq == 0)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(breakdown, jnp.int32(_UV_BREAKDOWN), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+
+            return (it, beta_kp1, gamma_kp1, c_km1, s_km1, ck, sk,
+                    zetabar_next, tau_n, rNorm, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[9]
+        status_ref[0, 0] = out[10]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 10 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def qmr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 10 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 10, stencil_dtype) < 100 * (1 << 20)

@@ -249,6 +249,35 @@ def _bilq_solve(
     rt.debug_table(verbose, "BILQ", ("k", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    # Fast path: DIA stencil + default config (c = b, no warm start:
+    # the kernel's shadow vector is its initial residual) → fused kernel.
+    if (c is None and x0 is None and callback is None and verbose == 0
+            and not history and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (bilq_dia_fused,
+                                        bilq_dia_fused_supported)
+        if bilq_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, code_d = bilq_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, atol, rtol,
+                itmax, transfer_to_bicg=bool(transfer_to_bicg))
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code in (SOLVED_LQ_PT,
+                                                           SOLVED_CG_PT2),
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
 
     def run(state, cap):
@@ -437,6 +466,34 @@ def _qmr_solve(
     rt.debug_table(verbose, "QMR", ("k", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    # Fast path: DIA stencil + default config (c = b, no warm start) →
+    # fused whole-solve kernel.
+    if (c is None and x0 is None and callback is None and verbose == 0
+            and not history and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (qmr_dia_fused,
+                                        qmr_dia_fused_supported)
+        if qmr_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                   stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, code_d = qmr_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, atol, rtol,
+                itmax)
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     c = b if c is None else jnp.asarray(c, dtype=b.dtype)
 
     def run(state, cap):
