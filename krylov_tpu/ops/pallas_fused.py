@@ -3833,3 +3833,476 @@ def qmr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
         return False
     both = tuple(offsets) + tuple(-int(k) for k in offsets)
     return _fused_bytes(both, n, dtype, 10, stencil_dtype) < 100 * (1 << 20)
+
+
+_INCONS_FOM = 28   # krylov_tpu/solvers/fom.py
+
+
+@partial(jax.jit, static_argnames=("offsets", "mem", "interpret"))
+def fom_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
+                  interpret=None):
+    """Full restarted FOM(mem) solve of A x = b for a DIA matrix in one
+    kernel launch.
+
+    Whole-solve-in-VMEM port of solvers/fom.py:_fom_core on the default
+    path (M = N = I; reference src/fom.jl): the Krylov panel lives in
+    VMEM scratch, the Arnoldi step uses sequential MGS, and the LU of
+    the Hessenberg (l/U recurrences, reference src/fom.jl:274-280) runs
+    on SMEM scalars with in-kernel restarts re-seeded from the true
+    residual.  Returns (x, niter, rNorm, status_code, inconsistent,
+    npass).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    eps_T = float(np.finfo(np.dtype(T)).eps)
+    btol = eps_T ** 0.75
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref, incons_ref,
+               npass_ref,
+               V_ref, ppad_ref, h_ref, l_ref, zz_ref, U_ref, y_ref,
+               tmp_ref):
+        cap = itmax_ref[0, 0]
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        zero = jnp.zeros((), T)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * beta0
+        safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
+        V_ref[pl.ds(0, rows), :] = bv / safe_b0
+        zz_ref[0] = beta0
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(carry):
+            it, k, rNorm, status, incons, npass = carry
+            return (status == _RUNNING) & (it < cap)
+
+        def body(carry):
+            it, k, rNorm, status, incons, npass = carry
+
+            # --- Arnoldi step: w = A·V[k], MGS against V[0..k] ----------
+            vk = V_ref[pl.ds(k * rows, rows), :]
+            ppad_ref[P: P + rows] = vk
+            w = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+
+            def mgs(i, w):
+                vi = V_ref[pl.ds(i * rows, rows), :]
+                hij = jnp.sum(vi * w)
+                h_ref[i] = hij
+                return w - hij * vi
+
+            w = jax.lax.fori_loop(0, k + 1, mgs, w)
+            Hbis = jnp.sqrt(jnp.sum(w * w))
+            safe_H = jnp.where(Hbis == 0, jnp.ones_like(Hbis), Hbis)
+            V_ref[pl.ds((k + 1) * rows, rows), :] = w / safe_H
+
+            # --- LU column update on SMEM (src/fom.jl:274-280) ----------
+            def lu(i, _):
+                h_ref[i] = h_ref[i] - l_ref[i - 1] * h_ref[i - 1]
+                return 0
+
+            jax.lax.fori_loop(1, k + 1, lu, 0)
+            ukk = h_ref[k]
+            safe_u = jnp.where(ukk == 0, jnp.ones_like(ukk), ukk)
+
+            @pl.when(k >= 1)
+            def _z():
+                zz_ref[k] = -l_ref[k - 1] * zz_ref[k - 1]
+
+            l_ref[k] = Hbis / safe_u
+
+            def wcol(i, _):
+                U_ref[k * mem + i] = h_ref[i]
+                return 0
+
+            jax.lax.fori_loop(0, k + 1, wcol, 0)
+
+            rNorm_n = Hbis * jnp.abs(zz_ref[k] / safe_u)
+            it_n = it + 1
+            kk = k + 1
+
+            resid_decrease = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+            breakdown = Hbis <= btol
+            tired = it_n >= cap
+            inner_tired = kk >= mem
+            inner_done = resid_decrease | breakdown | tired | inner_tired
+            glob_done = resid_decrease | breakdown | tired
+
+            tmp_ref[0] = rNorm_n                     # beta after restart
+
+            @pl.when(inner_done)
+            def _finalize():
+                # back substitution U[0:kk,0:kk] y = zz[0:kk] on SMEM
+                def bs(idx, _):
+                    i = kk - 1 - idx
+
+                    def inner(j, acc):
+                        return acc - U_ref[j * mem + i] * y_ref[j]
+
+                    acc = jax.lax.fori_loop(i + 1, kk, inner, zz_ref[i])
+                    diag = U_ref[i * mem + i]
+                    safe = jnp.where(diag == 0, jnp.ones_like(diag), diag)
+                    y_ref[i] = acc / safe
+                    return 0
+
+                jax.lax.fori_loop(0, kk, bs, 0)
+
+                def xacc(i, _):
+                    vi = V_ref[pl.ds(i * rows, rows), :]
+                    x_ref[:] = x_ref[:] + y_ref[i] * vi
+                    return 0
+
+                jax.lax.fori_loop(0, kk, xacc, 0)
+
+                @pl.when(~glob_done)
+                def _restart():
+                    ppad_ref[P: P + rows] = x_ref[:]
+                    Ax = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+                    r = b_ref[:] - Ax
+                    beta_r = jnp.sqrt(jnp.sum(r * r))
+                    safe = jnp.where(beta_r == 0, jnp.ones_like(beta_r),
+                                     beta_r)
+                    V_ref[pl.ds(0, rows), :] = r / safe
+                    zz_ref[0] = beta_r
+                    tmp_ref[0] = beta_r
+
+            incons_n = incons | (inner_done & breakdown & ~resid_decrease)
+            code = jnp.int32(_TIRED_K)
+            code = jnp.where(breakdown, jnp.int32(_INCONS_FOM), code)
+            code = jnp.where(resid_decrease, jnp.int32(_SOLVED), code)
+            code = jnp.where(~glob_done, jnp.int32(_RUNNING), code)
+            status_n = jnp.where(inner_done, code, jnp.int32(_RUNNING))
+
+            k_n = jnp.where(inner_done, jnp.int32(0), kk)
+            npass_n = npass + jnp.where(inner_done & ~glob_done,
+                                        jnp.int32(1), jnp.int32(0))
+            rN_out = jnp.where(inner_done & ~glob_done, tmp_ref[0], rNorm_n)
+            return (it_n, k_n, rN_out, status_n, incons_n, npass_n)
+
+        carry0 = (jnp.int32(0), jnp.int32(0), beta0, status0,
+                  jnp.zeros((), jnp.bool_), jnp.int32(1))
+        it, k, rNorm, status, incons, npass = jax.lax.while_loop(
+            cond, body, carry0)
+        niter_ref[0, 0] = it
+        rnorm_ref[0, 0] = rNorm
+        status_ref[0, 0] = status
+        incons_ref[0, 0] = incons.astype(jnp.int32)
+        npass_ref[0, 0] = npass
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status, incons, npass = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((mem + 1) * rows, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.SMEM((mem + 1,), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((mem + 1,), T),
+            pltpu.SMEM((mem * mem,), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((2,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + (mem + 4) * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
+            incons[0, 0], npass[0, 0])
+
+
+def fom_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None):
+    """Static gate: Krylov panel + stencil fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, mem + 4,
+                        stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "mem", "variant", "interpret"))
+def trunc_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
+                    variant="dqgmres", interpret=None):
+    """Full DIOM or DQGMRES solve of A x = b for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of solvers/fom.py:_trunc_core on the default
+    path (M = N = I; reference src/diom.jl, src/dqgmres.jl): the circular
+    V basis and P direction rings live as VMEM row-block panels indexed
+    by dynamic slices, window orthogonalization is CGS over the valid
+    ring slots (matching the general core's masked formulation), and the
+    diagonal-indexed Hessenberg column with the LU pivots (DIOM) or the
+    rotation ring (DQGMRES) runs on SMEM.
+    Returns (x, niter, rNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    diom = variant == "diom"
+    mP = (mem - 1) if diom else mem
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               V_ref, P_ref, ppad_ref, hs_ref, H_ref, L_ref, S_ref):
+        cap = itmax_ref[0, 0]
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        zero = jnp.zeros((), T)
+
+        bv = b_ref[:]
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        # Zero the rings: the window loops read every slot with masked
+        # (zero) coefficients, and 0·garbage from uninitialized VMEM
+        # scratch can be NaN.
+        V_ref[:] = jnp.zeros((mem * rows, LANES), T)
+        P_ref[:] = jnp.zeros((mP * rows, LANES), T)
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        eps_lim = atol_v + rtol_v * beta0
+        safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
+        V_ref[pl.ds(0, rows), :] = bv / safe_b0
+        for i in range(mem):
+            L_ref[i] = zero
+            S_ref[i] = zero
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(carry):
+            k, xi, rNorm, status = carry
+            return (status == _RUNNING) & (k < cap)
+
+        def body(carry):
+            k, xi, rNorm, status = carry
+            it1 = k + 1
+            pos = jnp.mod(k, mem)
+            vk = V_ref[pl.ds(pos * rows, rows), :]
+            ppad_ref[P: P + rows] = vk
+            w = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+
+            # Window CGS: dots against the unmodified w, then subtract
+            # (matches the general core's masked-CGS formulation).
+            def dots(j, _):
+                i_idx = k - jnp.mod(pos - j, mem)
+                vj = V_ref[pl.ds(j * rows, rows), :]
+                hj = jnp.sum(vj * w)
+                hs_ref[j] = jnp.where(i_idx >= 0, hj, zero)
+                return 0
+
+            jax.lax.fori_loop(0, mem, dots, 0)
+
+            def sub(j, w):
+                vj = V_ref[pl.ds(j * rows, rows), :]
+                return w - hs_ref[j] * vj
+
+            w = jax.lax.fori_loop(0, mem, sub, w)
+            Haux = jnp.sqrt(jnp.sum(w * w))
+
+            # Diagonal-indexed Hessenberg column on SMEM:
+            # H[diag], diag = k - i + 1 for slot value i.
+            for d in range(mem + 2):
+                H_ref[d] = zero
+
+            def hcol(j, _):
+                i_idx = k - jnp.mod(pos - j, mem)
+                diag = k - i_idx + 1
+
+                @pl.when(i_idx >= 0)
+                def _():
+                    H_ref[diag] = H_ref[diag] + hs_ref[j]
+                return 0
+
+            jax.lax.fori_loop(0, mem, hcol, 0)
+
+            if diom:
+                # LU column update (reference src/diom.jl:251-266).
+                def lu(o, xi):
+                    i = jnp.maximum(2, it1 - mem + 2) + o
+                    active = i <= it1
+                    lslot = jnp.mod(i - 1, mem - 1)
+                    diag = it1 - i + 1
+
+                    @pl.when(active)
+                    def _():
+                        H_ref[diag] = H_ref[diag] \
+                            - L_ref[lslot] * H_ref[diag + 1]
+                    return jnp.where(active & (i == it1),
+                                     -L_ref[lslot] * xi, xi)
+
+                xi_m = jax.lax.fori_loop(0, mem, lu, xi)
+                ukk = H_ref[1]
+                safe_u = jnp.where(ukk == 0, jnp.ones_like(ukk), ukk)
+                L_ref[jnp.mod(it1, mem - 1)] = Haux / safe_u
+                gamma_step = xi_m
+                rNorm_n = Haux * jnp.abs(xi_m / safe_u)
+                xi_next = xi_m
+                denom = safe_u
+            else:
+                # Apply previous rotations (reference src/dqgmres.jl:257-266).
+                def rot(o, _):
+                    i = jnp.maximum(1, it1 - mem) + o
+                    active = i <= it1 - 1
+                    slot = jnp.mod(i - 1, mem)
+                    diag = it1 - i
+
+                    @pl.when(active)
+                    def _():
+                        ci = L_ref[slot]
+                        si = S_ref[slot]
+                        hi1 = H_ref[diag + 1]
+                        hi0 = H_ref[diag]
+                        H_ref[diag] = si * hi1 - ci * hi0
+                        H_ref[diag + 1] = ci * hi1 + si * hi0
+                    return 0
+
+                jax.lax.fori_loop(0, mem, rot, 0)
+                ck, sk, rkk = sym_givens(H_ref[1], Haux)
+                H_ref[1] = rkk
+                L_ref[pos] = ck
+                S_ref[pos] = sk
+                gamma_next = sk * xi
+                gamma_step = ck * xi
+                rNorm_n = jnp.abs(gamma_next)
+                xi_next = gamma_next
+                denom = jnp.where(rkk == 0, jnp.ones_like(rkk), rkk)
+
+            # Direction pₖ from the P ring (masked window sum).
+            def pacc(jp, acc):
+                iP = (k - 1) - jnp.mod((k - 1) - jp, mP)
+                lowP = (k - mem + 1) if diom else (k - mem)
+                validP = (iP >= 0) & (iP >= lowP) & (iP <= k - 1)
+                diagP = jnp.where(validP, k - iP + 1, 0)
+                coef = jnp.where(validP, H_ref[diagP], zero)
+                pj = P_ref[pl.ds(jp * rows, rows), :]
+                return acc + coef * pj
+
+            psum = jax.lax.fori_loop(
+                0, mP, pacc, jnp.zeros((rows, LANES), T))
+            p_new = (vk - psum) / denom
+            ppos = jnp.mod(k, mP)
+            P_ref[pl.ds(ppos * rows, rows), :] = p_new
+            x_ref[:] = x_ref[:] + gamma_step * p_new
+
+            next_pos = jnp.mod(k + 1, mem)
+
+            @pl.when(Haux != 0)
+            def _():
+                V_ref[pl.ds(next_pos * rows, rows), :] = w / Haux
+
+            solved = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+            code = jnp.where(solved, jnp.int32(_SOLVED),
+                             jnp.int32(_RUNNING))
+            return (it1, xi_next, rNorm_n, code)
+
+        carry0 = (jnp.int32(0), beta0, beta0, status0)
+        k, xi, rNorm, status = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = k
+        rnorm_ref[0, 0] = rNorm
+        status_ref[0, 0] = status
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    x, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((mem * rows, LANES), T),
+            pltpu.VMEM((mP * rows, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((mem + 2,), T),
+            pltpu.SMEM((mem,), T),
+            pltpu.SMEM((mem,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + (mem + mP + 5) * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw)
+    return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def trunc_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None):
+    """Static gate: V + P rings + stencil fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 2 * mem + 5,
+                        stencil_dtype) < 100 * (1 << 20)

@@ -270,6 +270,36 @@ def _fom_solve(
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     eff_restart = bool(restart) or mem < itmax
 
+    # Fast path: DIA stencil + default config → fused whole-solve FOM(mem)
+    # kernel (Arnoldi panel in VMEM, SMEM LU, in-kernel restarts).
+    if (M is None and N is None and not history and callback is None
+            and verbose == 0 and not reorthogonalization
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (fom_dia_fused,
+                                        fom_dia_fused_supported)
+        if fom_dia_fused_supported(A.dia.offsets, n, b.dtype, mem,
+                                   stencil_dtype=A._pd.dtype):
+            b_eff = b if x0 is None else b - A.matvec(x0)
+            x, niter, rnorm, status, incons, npass = fom_dia_fused(
+                A._pd, A.dia.offsets, b_eff, float(atol), float(rtol),
+                itmax, mem=mem)
+            niter, code, incons = jax.device_get([niter, status, incons])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if x0 is not None:
+                x = x + x0
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=bool(incons),
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _FOM_STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _fom_core(
             A, M, N, b, x0, state, jnp.int32(cap), jnp.int32(itmax),
@@ -524,6 +554,36 @@ def _trunc_solve(
     mem = max(int(memory), 2)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (V/P rings as VMEM panels, window CGS, SMEM LU / rotation ring).
+    if (M is None and N is None and not history and callback is None
+            and verbose == 0 and not reorthogonalization
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (trunc_dia_fused,
+                                        trunc_dia_fused_supported)
+        if trunc_dia_fused_supported(A.dia.offsets, n, b.dtype, mem,
+                                     stencil_dtype=A._pd.dtype):
+            b_eff = b if x0 is None else b - A.matvec(x0)
+            x, niter, rnorm, status = trunc_dia_fused(
+                A._pd, A.dia.offsets, b_eff, float(atol), float(rtol),
+                itmax, mem=mem, variant=variant)
+            niter, code = jax.device_get([niter, status])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if x0 is not None:
+                x = x + x0
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return jnp.asarray(x), stats, None
 
     def run(state, cap):
         return _trunc_core(

@@ -799,3 +799,70 @@ def test_fused_bi_lanczos_zero_rhs_and_fallbacks(method):
     x2, stats = solve(op, b, x0, atol=0.0, rtol=1e-8)
     r = b - op.matvec(x2)
     assert float(jnp.linalg.norm(r)) <= 1e-6 * float(jnp.linalg.norm(b))
+
+
+@pytest.mark.parametrize("mem", [8, 20])
+def test_fused_fom_matches_general(mem):
+    from krylov_tpu import fom
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = fom(op_fast, b, memory=mem, restart=True, atol=0.0, rtol=1e-8)
+    xr, stats_ref = fom(op_ref, b, memory=mem, restart=True, atol=0.0,
+                        rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+    assert np.linalg.norm(r) <= 1.1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_fused_fom_warm_zero_and_fallbacks():
+    from krylov_tpu import fom
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = fom(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x1, _ = fom(op, b, memory=10, restart=True, atol=0.0, rtol=1e-3)
+    x2, stats = fom(op, b, x1, memory=10, restart=True, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 2e-8 * float(jnp.linalg.norm(b))
+    x, stats = fom(op, b, history=True, memory=10, restart=True,
+                   atol=0.0, rtol=1e-6)
+    assert stats.residuals.size == stats.niter + 1
+
+
+@pytest.mark.parametrize("method", ["diom", "dqgmres"])
+@pytest.mark.parametrize("mem", [6, 20])
+def test_fused_trunc_matches_general(method, mem):
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    solve = getattr(kt, method)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = solve(op_fast, b, memory=mem, atol=0.0, rtol=1e-8)
+    xr, stats_ref = solve(op_ref, b, memory=mem, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+@pytest.mark.parametrize("method", ["diom", "dqgmres"])
+def test_fused_trunc_zero_warm_and_fallbacks(method):
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    solve = getattr(kt, method)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = solve(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x1, _ = solve(op, b, memory=10, atol=0.0, rtol=1e-3)
+    x2, stats = solve(op, b, x1, memory=10, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 2e-8 * float(jnp.linalg.norm(b))
+    x, stats = solve(op, b, history=True, memory=10, atol=0.0, rtol=1e-6)
+    assert stats.residuals.size == stats.niter + 1
