@@ -312,6 +312,20 @@ def main():
         {"n": 2 * nsp, "mem": 20},
         **measure("gpmr", adapters.make_gpmr(Asp, AspT, bsp, csp, rtol, 500,
                                              mem=20), s_cap=64))
+    if on_tpu:
+        # fused saddle kernels on the Poisson stencil (48³ per block)
+        Dtri = poisson_dia(48, 48, 48, dtype=dtype)
+        op_tri = DIAOperator(Dtri, use_pallas=True)
+        pda_tri, offs_adj_tri = op_tri.aligned_adjoint()
+        ntri = Dtri.shape[0]
+        btri = jnp.asarray(rng.standard_normal(ntri).astype(dtype))
+        ctri = jnp.asarray(rng.standard_normal(ntri).astype(dtype))
+        for v in ("tricg", "trimr"):
+            configs[f"saddle_{v}_fused"] = dict(
+                {"n": 2 * ntri},
+                **measure(f"{v}_fused", adapters.make_tri_fused(
+                    v, op_tri._pd, pda_tri, Dtri.offsets, offs_adj_tri,
+                    btri, ctri, rtol, 2 * ntri), s_cap=64))
 
     # ------------------------------------------------------------------
     # 5. Block-GMRES (multi-RHS) + CG-LANCZOS-SHIFT (multi-shift)

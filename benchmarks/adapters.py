@@ -233,3 +233,17 @@ def make_lsmr_fused(pd, pd_adj, offsets, offsets_adj, b, rtol, itmax,
             float(axtol), 0.0, float(rtol), float(axtol), 1e8, int(itmax))
         return it, _chk(x)
     return solve, (pd, pd_adj), b
+
+
+def make_tri_fused(variant, pd, pd_adj, offsets, offsets_adj, b, c, rtol,
+                   itmax, tau=1.0, nu=-1.0):
+    from krylov_tpu.ops.pallas_fused import (tricg_dia_fused,
+                                             trimr_dia_fused)
+    fn = tricg_dia_fused if variant == "tricg" else trimr_dia_fused
+    def solve(ops, rhs):
+        pd_, pda_, c_ = ops
+        x, y, it, rn, stt = fn(
+            pd_, pda_, offsets, offsets_adj, rhs, c_, float(tau),
+            float(nu), 0.0, float(rtol), int(itmax))
+        return it, _chk(x, y)
+    return solve, (pd, pd_adj, c), b

@@ -4306,3 +4306,517 @@ def trunc_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None):
         return False
     return _fused_bytes(offsets, n, dtype, 2 * mem + 5,
                         stencil_dtype) < 100 * (1 << 20)
+
+
+_INCONS_TRI = 28   # krylov_tpu/solvers/tricg.py (shared with fom)
+
+
+def _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax, scal):
+    """Host-side packing for the saddle-point fused kernels (b AND c)."""
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    rows, P = _plan(tuple(offsets) + tuple(offsets_adj), n)
+    npad = rows * LANES
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    cw = jnp.zeros((npad,), T).at[:n].set(c).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    pdaw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd_adj).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+    shifts_a = tuple((int(k) // LANES, int(k) % LANES) for k in offsets_adj)
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray(scal, T).reshape(len(scal), 1)
+    return (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a,
+            itmax_s, scal_s)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "interpret"))
+def tricg_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, tau, nu,
+                    atol, rtol, itmax, interpret=None):
+    """Full TriCG solve of [τI A; Aᴴ νI][x;y]=[b;c], one kernel launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/tricg.py:_tricg_core
+    on the default real path (M = N = I, square A; reference
+    src/tricg.jl): the orthogonal SSY tridiagonalization (one A and one
+    Aᴴ stencil per iteration), the LDLᴴ factorization of Sₖ.ₖ and the
+    two-term gx/gy direction recurrences.
+    Returns (x, y, niter, rNorm, status_code).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [tau, nu, atol, rtol])
+    btol = float(jnp.finfo(T).eps) ** 0.75
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref,
+               gxo_ref, gxe_ref, gyo_ref, gye_ref):
+        tau_v = s_ref[0, 0]
+        nu_v = s_ref[1, 0]
+        atol_v = s_ref[2, 0]
+        rtol_v = s_ref[3, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        gxo_ref[:] = zv
+        gxe_ref[:] = zv
+        gyo_ref[:] = zv
+        gye_ref[:] = zv
+
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        gamma0 = jnp.sqrt(jnp.sum(cv * cv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = jnp.where(beta0 != 0, bv / safe(beta0), zv)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = jnp.where(gamma0 != 0, cv / safe(gamma0), zv)
+        rNorm0 = jnp.sqrt(gamma0 * gamma0 + beta0 * beta0)
+        eps_lim = atol_v + rtol_v * rNorm0
+        status0 = jnp.where(
+            rNorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rNorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), beta0, gamma0, zero, zero, zero, zero,
+                  zero, rNorm0, status0)
+        # (it, beta, gamma, d_m3, d_m2, pi_m3, pi_m2, delta_km1,
+        #  rNorm, status)
+
+        def cond(cr):
+            return (cr[9] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, d_m3, d_m2, pi_m3, pi_m2, delta_km1,
+             rNorm0_, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            q = _stencil(upad_ref, pd_ref, shifts, P, rows, T)
+            p = _stencil(vpad_ref, pda_ref, shifts_a, P, rows, T)
+            g2 = jnp.where(ge2, jnp.ones((), T), zero)
+            q = q - (g2 * gamma) * vkm1_ref[:]
+            p = p - (g2 * beta) * ukm1_ref[:]
+            alpha = jnp.sum(vk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+
+            # LDLᴴ update of Sₖ.ₖ (reference src/tricg.jl:331-349).
+            delta1 = alpha / safe(tau_v)
+            d_even1 = nu_v - delta1 * delta1 * tau_v
+            sigma = beta / safe(d_m2)
+            eta = gamma / safe(d_m3)
+            lam = -(eta * delta_km1 * d_m3) / safe(d_m2)
+            d_oddk = tau_v - sigma * sigma * d_m2
+            deltak = (alpha - lam * sigma * d_m2) / safe(d_oddk)
+            d_evenk = nu_v - eta * eta * d_m3 - lam * lam * d_m2 \
+                - deltak * deltak * d_oddk
+            d_odd = jnp.where(is1, tau_v, d_oddk)
+            delta = jnp.where(is1, delta1, deltak)
+            d_even = jnp.where(is1, d_even1, d_evenk)
+
+            # Solve LₖDₖpₖ = β₁e₁ + γ₁e₂ (reference :351-372).
+            pi_odd1 = beta / safe(d_odd)
+            pi_even1 = (gamma - delta * beta) / safe(d_even)
+            pi_oddk = -(sigma * d_m2 * pi_m2) / safe(d_odd)
+            pi_evenk = -(delta * d_odd * pi_oddk + lam * d_m2 * pi_m2
+                         + eta * d_m3 * pi_m3) / safe(d_even)
+            pi_odd = jnp.where(is1, pi_odd1, pi_oddk)
+            pi_even = jnp.where(is1, pi_even1, pi_evenk)
+
+            # Direction updates (reference :374-410).
+            gxo_old = gxo_ref[:]
+            gxe_old = gxe_ref[:]
+            gyo_old = gyo_ref[:]
+            gye_old = gye_ref[:]
+            gx_mid = eta * gxo_old + lam * gxe_old
+            gy_mid = eta * gyo_old + lam * gye_old
+            gx_evenk = vk - sigma * gxe_old
+            gy_evenk = -sigma * gye_old
+            gx_oddk = -gx_mid - delta * gx_evenk
+            gy_oddk = uk - gy_mid - delta * gy_evenk
+            gx_odd = jnp.where(is1, vk, gx_evenk)
+            gx_even = jnp.where(is1, -delta * vk, gx_oddk)
+            gy_odd = jnp.where(is1, zv, gy_evenk)
+            gy_even = jnp.where(is1, uk, gy_oddk)
+            gxo_ref[:] = gx_odd
+            gxe_ref[:] = gx_even
+            gyo_ref[:] = gy_odd
+            gye_ref[:] = gy_even
+
+            x_ref[:] = x_ref[:] + pi_odd * gx_odd + pi_even * gx_even
+            y_ref[:] = y_ref[:] + pi_odd * gy_odd + pi_even * gy_even
+
+            beta_kp1 = jnp.sqrt(jnp.maximum(jnp.sum(q * q), 0))
+            gamma_kp1 = jnp.sqrt(jnp.maximum(jnp.sum(p * p), 0))
+            bok = beta_kp1 > btol
+            gok = gamma_kp1 > btol
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = jnp.where(bok, q / safe(beta_kp1), q)
+            upad_ref[P: P + rows] = jnp.where(gok, p / safe(gamma_kp1), p)
+
+            zeta_odd = pi_odd - delta * pi_even
+            zeta_even = pi_even
+            rNorm = jnp.sqrt((gamma_kp1 * zeta_odd) ** 2
+                             + (beta_kp1 * zeta_even) ** 2)
+
+            solved = (rNorm <= eps_lim) | ((rNorm + 1.0) <= 1.0)
+            breakdown = (beta_kp1 <= btol) & (gamma_kp1 <= btol)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(breakdown, jnp.int32(_INCONS_TRI), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+
+            return (it, beta_kp1, gamma_kp1, d_odd, d_even, pi_odd,
+                    pi_even, delta, rNorm, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[8]
+        status_ref[0, 0] = out[9]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 14 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            rnorm[0, 0], status[0, 0])
+
+
+def tricg_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 14 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 14, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "interpret"))
+def trimr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, tau, nu,
+                    atol, rtol, itmax, interpret=None):
+    """Full TriMR solve of [τI A; Aᴴ νI][x;y]=[b;c], one kernel launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/tricg.py:_trimr_core
+    on the default real path (M = N = I, square A; reference
+    src/trimr.jl): the SSY process plus the four-reflection QR cascade
+    of Sₖ₊₂.ₖ with the 4-deep gx/gy direction recurrences.
+    Returns (x, y, niter, rNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [tau, nu, atol, rtol])
+    btol = float(jnp.finfo(T).eps) ** 0.75
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref,
+               gx_ref, gy_ref):
+        tau_v = s_ref[0, 0]
+        nu_v = s_ref[1, 0]
+        atol_v = s_ref[2, 0]
+        rtol_v = s_ref[3, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        gx_ref[:] = jnp.zeros((4 * rows, LANES), T)
+        gy_ref[:] = jnp.zeros((4 * rows, LANES), T)
+
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        gamma0 = jnp.sqrt(jnp.sum(cv * cv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = jnp.where(beta0 != 0, bv / safe(beta0), zv)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = jnp.where(gamma0 != 0, cv / safe(gamma0), zv)
+        rNorm0 = jnp.sqrt(gamma0 * gamma0 + beta0 * beta0)
+        eps_lim = atol_v + rtol_v * rNorm0
+        status0 = jnp.where(
+            rNorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rNorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), beta0, gamma0,
+                  zero, zero, zero, zero, zero, zero, zero, zero,
+                  zero, zero, zero, zero, zero, zero,
+                  beta0, gamma0, rNorm0, status0)
+        # (it, beta, gamma, oc1, os1, oc2, os2, oc3, os3, oc4, os4,
+        #  sbar_m2, ebar_m3, lbar_m3, mu_m5, mu_m4, lam_m4,
+        #  pibar_odd, pibar_even, rNorm, status)
+
+        def cond(cr):
+            return (cr[20] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, oc1, os1, oc2, os2, oc3, os3, oc4, os4,
+             sbar_m2, ebar_m3, lbar_m3, mu_m5, mu_m4, lam_m4,
+             pibar_odd, pibar_even, rNorm0_, status) = cr
+            it = it0 + 1
+            first = it == 1
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            q = _stencil(upad_ref, pd_ref, shifts, P, rows, T)
+            p = _stencil(vpad_ref, pda_ref, shifts_a, P, rows, T)
+            g2 = jnp.where(ge2, jnp.ones((), T), zero)
+            q = q - (g2 * gamma) * vkm1_ref[:]
+            p = p - (g2 * beta) * ukm1_ref[:]
+            alpha = jnp.sum(vk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+
+            beta_kp1 = jnp.sqrt(jnp.maximum(jnp.sum(q * q), 0))
+            gamma_kp1 = jnp.sqrt(jnp.maximum(jnp.sum(p * p), 0))
+            bok = beta_kp1 > btol
+            gok = gamma_kp1 > btol
+            qn = jnp.where(bok, q / safe(beta_kp1), q)
+            pn = jnp.where(gok, p / safe(gamma_kp1), p)
+            bc_ = beta_kp1
+            gc_ = gamma_kp1
+
+            # iter ≥ 2: apply the four previous reflections
+            # (reference src/trimr.jl:370-404).
+            sbis_m2 = oc1 * sbar_m2 + os1 * alpha
+            ebis_m2 = os1 * nu_v
+            lbis_m2 = os1 * bc_
+            thbis = os1 * sbar_m2 - oc1 * alpha
+            dbis_even = -oc1 * nu_v
+            sbis_even = -oc1 * bc_
+
+            e_m3 = oc2 * ebar_m3 + os2 * sbis_m2
+            l_m3 = oc2 * lbar_m3 + os2 * ebis_m2
+            mu_m3 = os2 * lbis_m2
+            shat_m2 = os2 * ebar_m3 - oc2 * sbis_m2
+            ehat_m2 = os2 * lbar_m3 - oc2 * ebis_m2
+            lhat_m2 = -oc2 * lbis_m2
+
+            stmp_m2 = oc3 * shat_m2 + os3 * thbis
+            etmp_m2 = oc3 * ehat_m2 + os3 * dbis_even
+            ltmp_m2 = oc3 * lhat_m2 + os3 * sbis_even
+            thetabar_k = os3 * shat_m2 - oc3 * thbis
+            dbar_even_k = os3 * ehat_m2 - oc3 * dbis_even
+            sbar_even_k = os3 * lhat_m2 - oc3 * sbis_even
+
+            s_m2 = oc4 * stmp_m2 + os4 * tau_v
+            e_m2 = oc4 * etmp_m2 + os4 * alpha
+            l_m2 = oc4 * ltmp_m2
+            mu_m2 = os4 * gc_
+            dbar_odd_k = os4 * stmp_m2 - oc4 * tau_v
+            sbar_odd_k = os4 * etmp_m2 - oc4 * alpha
+            ebar_odd_k = os4 * ltmp_m2
+            lbar_odd_k = -oc4 * gc_
+
+            thetabar = jnp.where(first, alpha, thetabar_k)
+            dbar_odd = jnp.where(first, tau_v, dbar_odd_k)
+            dbar_even = jnp.where(first, nu_v, dbar_even_k)
+            sbar_odd = jnp.where(first, alpha, sbar_odd_k)
+            sbar_even = jnp.where(first, bc_, sbar_even_k)
+            lbar_odd = jnp.where(first, gc_, lbar_odd_k)
+            ebar_odd = jnp.where(first, zero, ebar_odd_k)
+            e_m3 = jnp.where(first, zero, e_m3)
+            l_m3 = jnp.where(first, zero, l_m3)
+            mu_m3 = jnp.where(first, zero, mu_m3)
+            s_m2 = jnp.where(first, zero, s_m2)
+            e_m2 = jnp.where(first, zero, e_m2)
+            l_m2 = jnp.where(first, zero, l_m2)
+            mu_m2 = jnp.where(first, zero, mu_m2)
+
+            # Current 4-reflection cascade (reference :406-443).
+            c1, s1, theta_k = sym_givens(thetabar, gc_)
+            g_k = s1 * dbar_even
+            dbar_even2 = c1 * dbar_even
+            c2, s2, d_odd = sym_givens(dbar_odd, theta_k)
+            s_odd = c2 * sbar_odd + s2 * dbar_even2
+            dbis_even2 = s2 * sbar_odd - c2 * dbar_even2
+            c3, s3, dhat_even = sym_givens(dbis_even2, g_k)
+            c4, s4, d_even = sym_givens(dhat_even, bc_)
+
+            sd_odd = safe(d_odd)
+            sd_even = safe(d_even)
+            gx0 = gx_ref[0 * rows: 1 * rows]
+            gx1 = gx_ref[1 * rows: 2 * rows]
+            gx2 = gx_ref[2 * rows: 3 * rows]
+            gx3 = gx_ref[3 * rows: 4 * rows]
+            gy0 = gy_ref[0 * rows: 1 * rows]
+            gy1 = gy_ref[1 * rows: 2 * rows]
+            gy2 = gy_ref[2 * rows: 3 * rows]
+            gy3 = gy_ref[3 * rows: 4 * rows]
+
+            # Unified window sums: the it==1/2 cases zero the inactive
+            # coefficients AND the panels start zeroed, so the it ≥ 3
+            # formula with masked scalars reproduces the general core's
+            # per-iteration selects bit-for-bit.
+            mu5 = jnp.where(first, zero, mu_m5)
+            mu4 = jnp.where(first, zero, mu_m4)
+            lam4 = jnp.where(first, zero, lam_m4)
+            gx_odd = (vk - mu5 * gx0 - lam4 * gx1
+                      - e_m3 * gx2 - s_m2 * gx3) / sd_odd
+            gx_even = (-mu4 * gx1 - l_m3 * gx2 - e_m2 * gx3
+                       - s_odd * gx_odd) / sd_even
+            gy_odd = (-mu5 * gy0 - lam4 * gy1
+                      - e_m3 * gy2 - s_m2 * gy3) / sd_odd
+            gy_even = (uk - mu4 * gy1 - l_m3 * gy2 - e_m2 * gy3
+                       - s_odd * gy_odd) / sd_even
+
+            # π updates (reference :482-494).
+            pibis_even = c1 * pibar_even
+            pibis_next_even = s1 * pibar_even
+            pi_odd = c2 * pibar_odd + s2 * pibis_even
+            pihat_even = s2 * pibar_odd - c2 * pibis_even
+            pitmp = c3 * pihat_even + s3 * pibis_next_even
+            pibar_next_even = s3 * pihat_even - c3 * pibis_next_even
+            pi_even = c4 * pitmp
+            pibar_next_odd = s4 * pitmp
+
+            x_ref[:] = x_ref[:] + pi_odd * gx_odd + pi_even * gx_even
+            y_ref[:] = y_ref[:] + pi_odd * gy_odd + pi_even * gy_even
+
+            # Shift the 4-deep panels.
+            gx_ref[0 * rows: 1 * rows] = gx2
+            gx_ref[1 * rows: 2 * rows] = gx3
+            gx_ref[2 * rows: 3 * rows] = gx_odd
+            gx_ref[3 * rows: 4 * rows] = gx_even
+            gy_ref[0 * rows: 1 * rows] = gy2
+            gy_ref[1 * rows: 2 * rows] = gy3
+            gy_ref[2 * rows: 3 * rows] = gy_odd
+            gy_ref[3 * rows: 4 * rows] = gy_even
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = qn
+            upad_ref[P: P + rows] = pn
+
+            rNorm = jnp.sqrt(pibar_next_odd ** 2 + pibar_next_even ** 2)
+            solved = (rNorm <= eps_lim) | ((rNorm + 1.0) <= 1.0)
+            breakdown = (beta_kp1 <= btol) & (gamma_kp1 <= btol)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(breakdown, jnp.int32(_INCONS_TRI), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+
+            return (it, beta_kp1, gamma_kp1, c1, s1, c2, s2, c3, s3,
+                    c4, s4, sbar_even, ebar_odd, lbar_odd,
+                    jnp.where(ge2, mu_m3, mu_m5),
+                    jnp.where(ge2, mu_m2, mu_m4),
+                    jnp.where(ge2, l_m2, lam_m4),
+                    pibar_next_odd, pibar_next_even, rNorm, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[19]
+        status_ref[0, 0] = out[20]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((4 * rows, LANES), T),
+            pltpu.VMEM((4 * rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 18 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            rnorm[0, 0], status[0, 0])
+
+
+def trimr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 18 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 18, stencil_dtype) < 100 * (1 << 20)

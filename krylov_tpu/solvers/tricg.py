@@ -270,6 +270,32 @@ def _tricg_solve(
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
 
+    # Fast path: square DIA stencil + default config → fused kernel.
+    if (M is None and N is None and x0 is None and y0 is None
+            and not history and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (tricg_dia_fused,
+                                        tricg_dia_fused_supported)
+        if tricg_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                     stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, y, niter, rnorm, code_d = tricg_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, c,
+                float(tau), float(nu), atol, rtol, itmax)
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter, solved=rt.is_solved_code(code),
+                inconsistent=code == INCONS_TRI,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
+
     def run(state, cap):
         return _tricg_core(
             A, M, N, b, c, x0, y0, state, jnp.int32(cap), atol, rtol,
@@ -615,6 +641,32 @@ def _trimr_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
+
+    # Fast path: square DIA stencil + default config → fused kernel.
+    if (M is None and N is None and x0 is None and y0 is None
+            and not history and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (trimr_dia_fused,
+                                        trimr_dia_fused_supported)
+        if trimr_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                     stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, y, niter, rnorm, code_d = trimr_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, c,
+                float(tau), float(nu), atol, rtol, itmax)
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter, solved=rt.is_solved_code(code),
+                inconsistent=code == INCONS_TRI,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
 
     def run(state, cap):
         return _trimr_core(

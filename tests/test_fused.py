@@ -866,3 +866,60 @@ def test_fused_trunc_zero_warm_and_fallbacks(method):
     assert float(jnp.linalg.norm(r)) <= 2e-8 * float(jnp.linalg.norm(b))
     x, stats = solve(op, b, history=True, memory=10, atol=0.0, rtol=1e-6)
     assert stats.residuals.size == stats.niter + 1
+
+
+@pytest.mark.parametrize("method", ["tricg", "trimr"])
+@pytest.mark.parametrize("preset", [{}, {"spd": True}, {"flip": True}])
+def test_fused_tri_matches_general(method, preset):
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(11).standard_normal(n),
+                    np.float64)
+    solve = getattr(kt, method)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    # Fixed-cap trajectory parity: the saddle recurrences amplify
+    # ulp-level summation-order differences over 100+ iterations (the
+    # stopping iteration can flip by 1-2 near-singular presets), so the
+    # sharp check is elementwise equality at a fixed iteration count.
+    x, y, stats = solve(op_fast, b, c, atol=0.0, rtol=1e-30, itmax=40,
+                        **preset)
+    xr, yr, stats_ref = solve(op_ref, b, c, atol=0.0, rtol=1e-30,
+                              itmax=40, **preset)
+    assert stats.niter == stats_ref.niter == 40
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-10 * (
+        float(jnp.max(jnp.abs(xr))) + 1)
+    assert float(jnp.max(jnp.abs(y - yr))) < 1e-10 * (
+        float(jnp.max(jnp.abs(yr))) + 1)
+    # Converged solve: statuses agree, niter within rounding slack.
+    x, y, stats = solve(op_fast, b, c, atol=0.0, rtol=1e-8, **preset)
+    xr, yr, stats_ref = solve(op_ref, b, c, atol=0.0, rtol=1e-8, **preset)
+    assert abs(stats.niter - stats_ref.niter) <= 3
+    assert stats.status == stats_ref.status
+    # true block residual: [τI A; Aᴴ νI][x;y] = [b;c]
+    tau, nu = (1.0, 1.0) if preset.get("spd") else \
+        ((-1.0, 1.0) if preset.get("flip") else (1.0, -1.0))
+    r1 = b - (tau * x + op_ref.matvec(y))
+    r2 = c - (op_ref.rmatvec(x) + nu * y)
+    rn = float(jnp.sqrt(jnp.linalg.norm(r1) ** 2 + jnp.linalg.norm(r2) ** 2))
+    b0 = float(jnp.sqrt(jnp.linalg.norm(b) ** 2 + jnp.linalg.norm(c) ** 2))
+    assert rn <= 1e-7 * b0
+
+
+@pytest.mark.parametrize("method", ["tricg", "trimr"])
+def test_fused_tri_zero_rhs_and_fallbacks(method):
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(11).standard_normal(n),
+                    np.float64)
+    solve = getattr(kt, method)
+    op = DIAOperator(D, use_pallas=True)
+    x, y, stats = solve(op, jnp.zeros(n, np.float64),
+                        jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x, y, stats = solve(op, b, c, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals.size == stats.niter + 1
+    # warm start falls back to the general core
+    x1, y1, _ = solve(op, b, c, atol=0.0, rtol=1e-3)
+    x2, y2, stats = solve(op, b, c, x1, y1, atol=0.0, rtol=1e-8)
+    assert stats.solved
