@@ -4820,3 +4820,650 @@ def trimr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
         return False
     both = tuple(offsets) + tuple(-int(k) for k in offsets)
     return _fused_bytes(both, n, dtype, 18, stencil_dtype) < 100 * (1 << 20)
+
+
+_SOLVED_CRAIG = 39
+_INCONS_CRAIG = 41   # krylov_tpu/solvers/craig.py
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "use_lam",
+                                   "interpret"))
+def craig_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, atol, rtol,
+                    btol_in, conlim, itmax, use_lam=False, interpret=None):
+    """Full CRAIG solve (min ‖x‖ s.t. Ax = b) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/craig.py:_craig_core
+    on the default path (M = N = I; reference src/craig.jl): the
+    Golub-Kahan process over the stencil and its adjoint, the λ-rotation
+    registers, backward-error and ill-conditioning stops and the
+    "system may be inconsistent" exit.
+    Returns (x, y, niter, rNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiny = float(jnp.finfo(b.dtype).tiny)
+    conlim_t = jnp.asarray(conlim, b.dtype)
+    ctol_in = jnp.where(conlim_t > 0,
+                        1.0 / jnp.where(conlim_t == 0, 1.0, conlim_t), 0.0)
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, atol, rtol, btol_in, ctol_in])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, w_ref, w2_ref):
+        lam_v = s_ref[0, 0]
+        atol_v = s_ref[1, 0]
+        rtol_v = s_ref[2, 0]
+        bt = s_ref[3, 0]
+        ctol = s_ref[4, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        w_ref[:] = zv
+        w2_ref[:] = zv
+        beta1 = jnp.sqrt(jnp.maximum(jnp.sum(bv * bv), 0))
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = bv / safe(beta1)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        eps_c = atol_v + rtol_v * beta1
+        status0 = jnp.where(beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+                            jnp.int32(_RUNNING))
+
+        carry0 = (jnp.int32(0), beta1, beta1, -one, lam_v, one,
+                  zero, zero, zero, beta1, status0)
+        # (it, beta, theta, xi, delta, rho_prev, anorm2, dnorm2, xnorm2,
+        #  rNorm, status)
+
+        def cond(cr):
+            return (cr[10] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, theta, xi0, delta0, rho_prev, anorm2, dnorm2,
+             xnorm2, rNorm0, status) = cr
+            it = it0 + 1
+
+            u = upad_ref[P: P + rows]
+            v_old = vpad_ref[P: P + rows]
+            nv = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T) \
+                - beta * v_old
+            alpha = jnp.sqrt(jnp.maximum(jnp.sum(nv * nv), 0))
+            incons = alpha == 0
+            v = jnp.where(~incons, nv / safe(alpha), nv)
+            vpad_ref[P: P + rows] = v
+
+            anorm2_n = anorm2 + alpha * alpha + lam_v * lam_v
+            if use_lam:
+                c1, s1, rho = sym_givens(alpha, delta0)
+            else:
+                c1 = one
+                s1 = zero
+                rho = alpha
+            xi = -theta / safe(rho) * xi0
+
+            x_old = x_ref[:]
+            w_old = w_ref[:]
+            w2_old = w2_ref[:]
+            if use_lam:
+                x_new = x_old + (xi * c1) * v + (xi * s1) * w2_old
+                w2_new = s1 * v - c1 * w2_old
+            else:
+                x_new = x_old + xi * v
+                w2_new = w2_old
+            w_new = u - (theta / rho_prev) * w_old
+            y_new = y_ref[:] + (xi / rho) * w_new
+            dnorm2_n = dnorm2 + jnp.sqrt(jnp.sum(w_new * w_new))
+
+            mu = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) - alpha * u
+            beta_n = jnp.sqrt(jnp.maximum(jnp.sum(mu * mu), 0))
+            bnz = beta_n != 0
+            u_new = jnp.where(bnz, mu / safe(beta_n), mu)
+            upad_ref[P: P + rows] = jnp.where(incons, u, u_new)
+
+            if use_lam:
+                theta_n = beta_n * c1
+                gamma = beta_n * s1
+                c2, s2, delta_n = sym_givens(lam_v, gamma)
+                w2_new = s2 * w2_new
+            else:
+                theta_n = beta_n
+                delta_n = delta0
+
+            anorm2_n = anorm2_n + beta_n * beta_n
+            anorm = jnp.sqrt(anorm2_n)
+            acond = anorm * jnp.sqrt(dnorm2_n)
+            xnorm2_n = xnorm2 + xi * xi
+            xnorm = jnp.sqrt(xnorm2_n)
+            rNorm = beta_n * jnp.abs(xi)
+            if use_lam:
+                rNorm = rNorm * jnp.abs(c1)
+
+            bkwerr = rNorm / jnp.sqrt(beta1 * beta1
+                                      + anorm2_n * xnorm2_n + tiny)
+            solved = ((1.0 + bkwerr) <= 1.0) | (bkwerr <= bt) \
+                | (rNorm <= eps_c) \
+                | (rNorm <= bt + atol_v * anorm * xnorm / safe(beta1))
+            ill_cond_mach = (1.0 + 1.0 / jnp.maximum(acond, tiny)) <= 1.0
+            ill_cond_lim = (1.0 / jnp.maximum(acond, tiny)) <= ctol
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(solved, jnp.int32(_SOLVED_CRAIG), code)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(ill_cond_lim, jnp.int32(_COND_EXCEEDED), code)
+            code = jnp.where(incons, jnp.int32(_INCONS_CRAIG), code)
+
+            # On the inconsistency exit the updates never happened.
+            x_ref[:] = jnp.where(incons, x_old, x_new)
+            y_ref[:] = jnp.where(incons, y_ref[:], y_new)
+            w_ref[:] = jnp.where(incons, w_old, w_new)
+            w2_ref[:] = jnp.where(incons, w2_old, w2_new)
+
+            return (jnp.where(incons, it0, it),
+                    jnp.where(incons, beta, beta_n),
+                    jnp.where(incons, theta, theta_n),
+                    jnp.where(incons, xi0, xi),
+                    jnp.where(incons, delta0, delta_n),
+                    jnp.where(incons, rho_prev, rho),
+                    jnp.where(incons, anorm2, anorm2_n),
+                    jnp.where(incons, dnorm2, dnorm2_n),
+                    jnp.where(incons, xnorm2, xnorm2_n),
+                    jnp.where(incons, rNorm0, rNorm), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[9]
+        status_ref[0, 0] = out[10]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 10 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            rnorm[0, 0], status[0, 0])
+
+
+def craig_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 10 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 10, stencil_dtype) < 100 * (1 << 20)
+
+
+_SOLVED_MN = 40   # krylov_tpu/solvers/craig.py
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "use_lam",
+                                   "interpret"))
+def craigmr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, atol, rtol,
+                      itmax, use_lam=False, interpret=None):
+    """Full CRAIGMR solve (min-norm, min ‖r‖) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/craig.py:_craigmr_core on the default path
+    (M = N = I; reference src/craigmr.jl): Golub-Kahan over the stencil
+    pair with the λ-regularization rotation registers and the
+    (rNorm, ArNorm) stopping pair.
+    Returns (x, y, niter, rNorm, ArNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, out_ref, status_ref,
+               vpad_ref, upad_ref, w_ref, wbar_ref, d_ref, q_ref):
+        lam_v = s_ref[0, 0]
+        atol_v = s_ref[1, 0]
+        rtol_v = s_ref[2, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(dd):
+            return jnp.where(dd == 0, jnp.ones_like(dd), dd)
+
+        bv = b_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        w_ref[:] = zv
+        d_ref[:] = zv
+
+        beta0 = jnp.sqrt(jnp.maximum(jnp.sum(bv * bv), 0))
+        u0 = bv / safe(beta0)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = u0
+        nv = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+        alpha0 = jnp.sqrt(jnp.maximum(jnp.sum(nv * nv), 0))
+        v0 = nv / safe(alpha0)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = v0
+        status0 = jnp.where(beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+                            jnp.where(alpha0 == 0, jnp.int32(_MIN_LSQ_X),
+                                      jnp.int32(_RUNNING)))
+        if use_lam:
+            cp0, sp0, alphahat0 = sym_givens(alpha0, lam_v)
+            q_ref[:] = sp0 * v0
+        else:
+            cp0 = one
+            sp0 = one
+            alphahat0 = alpha0
+            q_ref[:] = zv
+        rNorm0 = beta0
+        ArNorm0 = alpha0
+        eps_c = atol_v + rtol_v * rNorm0
+        eps_i = atol_v + rtol_v * ArNorm0
+        wbar_ref[:] = u0 / safe(alphahat0)
+
+        carry0 = (jnp.int32(0), alpha0, beta0, beta0, alphahat0, zero,
+                  cp0, sp0, lam_v, rNorm0, ArNorm0, status0)
+        # (it, alpha, beta, zetabar, rhobar, theta, cp, sp, lam_k,
+        #  rNorm, ArNorm, status)
+
+        def cond(cr):
+            return (cr[11] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, alpha, beta, zetabar0, rhobar, theta, cp, sp, lam_k,
+             rNorm0_, ArNorm0_, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+
+            u_old = upad_ref[P: P + rows]
+            v_old = vpad_ref[P: P + rows]
+            mu = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) \
+                - alpha * u_old
+            beta_n = jnp.sqrt(jnp.maximum(jnp.sum(mu * mu), 0))
+            bnz = beta_n != 0
+            u = jnp.where(bnz, mu / safe(beta_n), mu)
+            upad_ref[P: P + rows] = u
+
+            if use_lam:
+                betahat = cp * beta_n
+                lam_aux = sp * beta_n
+            else:
+                betahat = beta_n
+                lam_aux = zero
+
+            c, sg, rho = sym_givens(rhobar, betahat)
+            zeta = c * zetabar0
+            zetabar = sg * zetabar0
+            rNorm = jnp.abs(zetabar)
+
+            w = wbar_ref[:] / safe(rho) - (theta / safe(rho)) * w_ref[:]
+            w_ref[:] = w
+            y_ref[:] = y_ref[:] + zeta * w
+
+            if use_lam:
+                d1 = (cp / safe(rho)) * v_old
+                dk = (cp / safe(rho)) * v_old \
+                    - (theta / safe(rho)) * d_ref[:] \
+                    + (sp / safe(rho)) * q_ref[:]
+                d_new = jnp.where(is1, d1, dk)
+                q_ref[:] = jnp.where(is1, q_ref[:],
+                                     sp * v_old - cp * q_ref[:])
+            else:
+                d_new = v_old / safe(rho) \
+                    - (theta / safe(rho)) * d_ref[:]
+            d_ref[:] = d_new
+            x_ref[:] = x_ref[:] + zeta * d_new
+
+            nv = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T) \
+                - beta_n * v_old
+            alpha_n = jnp.sqrt(jnp.maximum(jnp.sum(nv * nv), 0))
+            ArNorm = alpha_n * beta_n * jnp.abs(zeta / safe(rho))
+
+            if use_lam:
+                cd, sd, lam_next = sym_givens(lam_k, lam_aux)
+                q_ref[:] = sd * q_ref[:]
+                cp_n, sp_n, alphahat = sym_givens(alpha_n, lam_next)
+            else:
+                cp_n, sp_n = cp, sp
+                lam_next = lam_k
+                alphahat = alpha_n
+
+            anz = alpha_n != 0
+            v = jnp.where(anz, nv / safe(alpha_n), nv)
+            vpad_ref[P: P + rows] = v
+            wbar_ref[:] = jnp.where(
+                anz, (u - betahat * wbar_ref[:]) / safe(alphahat),
+                wbar_ref[:])
+            theta_n = sg * alphahat
+            rhobar_n = -c * alphahat
+
+            solved = rNorm <= eps_c
+            inconsistent = (rNorm > 100 * eps_c) & (ArNorm <= eps_i)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(inconsistent, jnp.int32(_SOLVED_LSQ), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED_MN), code)
+
+            return (it, alpha_n, beta_n, zetabar, rhobar_n, theta_n,
+                    cp_n, sp_n, lam_next, rNorm, ArNorm, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[9]
+        out_ref[1, 0] = out[10]
+        status_ref[0, 0] = out[11]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, scal_out, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 12 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            scal_out[0, 0], scal_out[1, 0], status[0, 0])
+
+
+def craigmr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 12 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 12, stencil_dtype) < 100 * (1 << 20)
+
+
+_SOLVED_LNLQ_LQ = 42
+_SOLVED_LNLQ_CG = 43   # krylov_tpu/solvers/craig.py
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "use_lam",
+                                   "transfer_to_craig", "interpret"))
+def lnlq_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, atol, rtol,
+                   itmax, use_lam=False, transfer_to_craig=True,
+                   interpret=None):
+    """Full LNLQ solve (min-norm LQ) for a DIA matrix, one kernel launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/craig.py:_lnlq_core on
+    the default path (M = N = I; reference src/lnlq.jl): Golub-Kahan over
+    the stencil pair, LQ recurrences with the CRAIG-point transfer and
+    λ-regularization registers.
+    Returns (x, y, niter, rNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    eps_T = float(jnp.finfo(b.dtype).eps)
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, wbar_ref, q_ref):
+        lam_v = s_ref[0, 0]
+        atol_v = s_ref[1, 0]
+        rtol_v = s_ref[2, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(dd):
+            return jnp.where(dd == 0, jnp.ones_like(dd), dd)
+
+        bv = b_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+
+        beta0 = jnp.sqrt(jnp.maximum(jnp.sum(bv * bv), 0))
+        u0 = bv / safe(beta0)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = u0
+        nv = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+        alpha0 = jnp.sqrt(jnp.maximum(jnp.sum(nv * nv), 0))
+        v0 = jnp.where(alpha0 != 0, nv / safe(alpha0), nv)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = v0
+        wbar_ref[:] = u0
+        if use_lam:
+            cp0, sp0, alphahat0 = sym_givens(alpha0, lam_v)
+            q_ref[:] = sp0 * v0
+        else:
+            cp0 = one
+            sp0 = one
+            alphahat0 = alpha0
+            q_ref[:] = zv
+        epsbar0 = alphahat0
+        tau0 = beta0 / safe(alphahat0)
+        zetabar0 = tau0 / safe(epsbar0)
+        theta0 = tau0
+        eps_lim = atol_v + rtol_v * beta0
+        status0 = jnp.where(beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+                            jnp.int32(_RUNNING))
+
+        carry0 = (jnp.int32(0), alpha0, alphahat0, beta0, zero, zero,
+                  zero, zetabar0, zero, theta0, epsbar0, tau0,
+                  cp0, sp0, lam_v, beta0, jnp.int32(0), status0)
+        # (it, alpha, alphahat, beta, c_k, s_k, zeta_km1, zetabar, eta,
+        #  theta, epsbar, tau, cp, sp, lam_k, rNorm, cgflag, status)
+
+        def cond(cr):
+            return (cr[17] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, alpha, alphahat, beta, c_k, s_k, zeta_km1, zetabar,
+             eta, theta, epsbar, tau, cp, sp, lam_k, rNorm0_, cgflag,
+             status) = cr
+            it = it0 + 1
+            ge2 = it >= 2
+
+            v_old = vpad_ref[P: P + rows]
+            u_old = upad_ref[P: P + rows]
+            if use_lam:
+                x_ref[:] = x_ref[:] + (tau * cp) * v_old \
+                    + jnp.where(ge2, tau * sp, zero) * q_ref[:]
+                q_ref[:] = jnp.where(ge2, sp * v_old - cp * q_ref[:],
+                                     q_ref[:])
+            else:
+                x_ref[:] = x_ref[:] + tau * v_old
+
+            mu = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) \
+                - alpha * u_old
+            beta_kp1 = jnp.sqrt(jnp.maximum(jnp.sum(mu * mu), 0))
+            bnz = beta_kp1 != 0
+            u = jnp.where(bnz, mu / safe(beta_kp1), mu)
+            upad_ref[P: P + rows] = u
+
+            nv = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T) \
+                - beta_kp1 * v_old
+            alpha_kp1 = jnp.sqrt(jnp.maximum(jnp.sum(nv * nv), 0))
+            anz = alpha_kp1 != 0
+            v = jnp.where(anz, nv / safe(alpha_kp1), nv)
+            vpad_ref[P: P + rows] = v
+
+            if use_lam:
+                betahat = cp * beta_kp1
+                theta_kp1l = sp * beta_kp1
+                cd, sd, lam_next = sym_givens(lam_v, theta_kp1l)
+                q_ref[:] = sd * q_ref[:]
+                cp1, sp1, alphahat_kp1 = sym_givens(alpha_kp1, lam_next)
+            else:
+                betahat = beta_kp1
+                alphahat_kp1 = alpha_kp1
+                cp1, sp1 = cp, sp
+                lam_next = lam_k
+
+            tau_kp1 = -betahat * tau / safe(alphahat_kp1)
+            c_kp1, s_kp1, eps_k = sym_givens(epsbar, betahat)
+            eta_kp1 = alphahat_kp1 * s_kp1
+            epsbar_kp1 = -alphahat_kp1 * c_kp1
+            zeta_k = theta / safe(eps_k)
+            theta_kp1 = tau_kp1 - eta_kp1 * zeta_k
+            zetabar_kp1 = theta_kp1 / safe(epsbar_kp1)
+
+            y_ref[:] = y_ref[:] + (zeta_k * c_kp1) * wbar_ref[:] \
+                + (zeta_k * s_kp1) * u
+            wbar_ref[:] = s_kp1 * wbar_ref[:] - c_kp1 * u
+
+            rNorm_lq = jnp.where(
+                it == 1, rNorm0_,
+                jnp.abs(alphahat) * jnp.sqrt(
+                    (epsbar * zetabar) ** 2
+                    + (betahat * s_k * zeta_km1) ** 2))
+            rNorm_cg = jnp.abs(betahat * tau)
+
+            solved_lq = rNorm_lq <= eps_lim
+            solved_cg = ((jnp.abs(zetabar) > eps_T)
+                         & (rNorm_cg <= eps_lim)) if transfer_to_craig \
+                else (rNorm_lq < -1)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(solved_lq, jnp.int32(_SOLVED_LNLQ_LQ), code)
+            code = jnp.where(solved_cg & ~solved_lq,
+                             jnp.int32(_SOLVED_LNLQ_CG), code)
+
+            return (it, alpha_kp1, alphahat_kp1, beta_kp1, c_kp1, s_kp1,
+                    zeta_k, zetabar_kp1, eta_kp1, theta_kp1, epsbar_kp1,
+                    tau_kp1, cp1, sp1, lam_next, rNorm_lq,
+                    (solved_cg & ~solved_lq).astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        # CRAIG-point transfer (reference src/lnlq.jl:569-585).
+        tau_f = out[11]
+        zetabar_f = out[7]
+        cp_f, sp_f = out[12], out[13]
+
+        @pl.when((out[16] == 1) & (zetabar_f > eps_T))
+        def _():
+            v_f = vpad_ref[P: P + rows]
+            if use_lam:
+                x_ref[:] = x_ref[:] + (tau_f * cp_f) * v_f \
+                    + (tau_f * sp_f) * q_ref[:]
+            else:
+                x_ref[:] = x_ref[:] + tau_f * v_f
+            y_ref[:] = y_ref[:] + zetabar_f * wbar_ref[:]
+
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[15]
+        status_ref[0, 0] = out[17]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 10 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            rnorm[0, 0], status[0, 0])
+
+
+def lnlq_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 10 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 10, stencil_dtype) < 100 * (1 << 20)

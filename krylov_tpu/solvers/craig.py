@@ -261,6 +261,33 @@ def _craig_solve(
     rt.debug_table(verbose, "CRAIG", ("k", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and N is None and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (craig_dia_fused,
+                                        craig_dia_fused_supported)
+        if craig_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                     stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, y, niter, rnorm, code_d = craig_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                atol, rtol, btol, float(conlim), itmax,
+                use_lam=bool(lam > 0))
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code == SOLVED_CRAIG,
+                inconsistent=code == INCONS_CRAIG,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
+
     def run(state, cap):
         return _craig_core(
             A, M, N, b, state, jnp.int32(cap), jnp.int32(itmax),
@@ -514,6 +541,32 @@ def _craigmr_solve(
     itmax = rt.resolve_itmax(itmax, m + n)
     rt.debug_table(verbose, "CRAIGMR", ("k", "‖r‖", "‖Aᴴr‖"), m, n)
     hist_len = itmax + 1 if history else 0
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and N is None and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (craigmr_dia_fused,
+                                        craigmr_dia_fused_supported)
+        if craigmr_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                       stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, y, niter, rnorm, arnorm, code_d = craigmr_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                atol, rtol, itmax, use_lam=bool(lam > 0))
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code == SOLVED_MN,
+                inconsistent=code == rt.SOLVED_LSQ,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
 
     def run(state, cap):
         return _craigmr_core(
@@ -790,6 +843,34 @@ def _lnlq_solve(
     itmax = rt.resolve_itmax(itmax, m + n)
     rt.debug_table(verbose, "LNLQ", ("k", "‖rₖ‖"), m, n)
     hist_len = itmax + 1 if history else 0
+
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and N is None and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (lnlq_dia_fused,
+                                        lnlq_dia_fused_supported)
+        if lnlq_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, y, niter, rnorm, code_d = lnlq_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                atol, rtol, itmax, use_lam=bool(lam > 0),
+                transfer_to_craig=bool(transfer_to_craig))
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code in (
+                    SOLVED_LNLQ_LQ, SOLVED_LNLQ_CG),
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
 
     def run(state, cap):
         return _lnlq_core(

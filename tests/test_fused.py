@@ -923,3 +923,75 @@ def test_fused_tri_zero_rhs_and_fallbacks(method):
     x1, y1, _ = solve(op, b, c, atol=0.0, rtol=1e-3)
     x2, y2, stats = solve(op, b, c, x1, y1, atol=0.0, rtol=1e-8)
     assert stats.solved
+
+
+@pytest.mark.parametrize("method", ["craig", "craigmr"])
+@pytest.mark.parametrize("lam", [0.0, 0.3])
+def test_fused_craig_family_matches_general(method, lam):
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    solve = getattr(kt, method)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, y, stats = solve(op_fast, b, lam=lam, atol=0.0, rtol=1e-8)
+    xr, yr, stats_ref = solve(op_ref, b, lam=lam, atol=0.0, rtol=1e-8)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(xr))) + 1)
+    assert float(jnp.max(jnp.abs(y - yr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(yr))) + 1)
+    if lam == 0.0:
+        # CRAIG stops on the backward-error test (bkwerr <= btol = sqrt(eps)),
+        # so the true residual lands near sqrt(eps)*||b||, not rtol*||b||
+        r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+        assert np.linalg.norm(r) <= 1e-6 * np.linalg.norm(np.asarray(b))
+
+
+@pytest.mark.parametrize("method", ["craig", "craigmr"])
+def test_fused_craig_family_zero_rhs_and_fallbacks(method):
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    solve = getattr(kt, method)
+    op = DIAOperator(D, use_pallas=True)
+    x, y, stats = solve(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x, y, stats = solve(op, b, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals.size == stats.niter + 1
+    x, y, stats = solve(op, b, sqd=True, atol=0.0, rtol=1e-8)
+    assert stats.solved
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.3])
+def test_fused_lnlq_matches_general(lam):
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, y, stats = kt.lnlq(op_fast, b, lam=lam, atol=0.0, rtol=1e-8)
+    xr, yr, stats_ref = kt.lnlq(op_ref, b, lam=lam, atol=0.0, rtol=1e-8)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(xr))) + 1)
+    assert float(jnp.max(jnp.abs(y - yr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(yr))) + 1)
+
+
+def test_fused_lnlq_zero_rhs_and_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, y, stats = kt.lnlq(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x, y, stats = kt.lnlq(op, b, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals.size == stats.niter + 1
+    x, y, stats = kt.lnlq(op, b, transfer_to_craig=False, atol=0.0,
+                          rtol=1e-8)
+    assert stats.solved
