@@ -5467,3 +5467,375 @@ def lnlq_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
         return False
     both = tuple(offsets) + tuple(-int(k) for k in offsets)
     return _fused_bytes(both, n, dtype, 10, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj",
+                                   "transfer_to_usymcg", "interpret"))
+def usymlq_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, atol, rtol,
+                     itmax, transfer_to_usymcg=True, interpret=None):
+    """Full USYMLQ solve of A x = b for a DIA matrix, one kernel launch.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/usymlq.py:_usymlq_core on the real path
+    (reference src/usymlq.jl): the SSY orthogonal tridiagonalization
+    (A·u and Aᴴ·v stencils per iteration), LQ of Tₖ and the USYMCG
+    transfer test.  Returns (x, niter, rNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    eps_T = float(jnp.finfo(b.dtype).eps)
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref, dbar_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        dbar_ref[:] = zv
+
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        gamma0 = jnp.sqrt(jnp.sum(cv * cv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(bNorm)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = cv / safe(gamma0)
+        eps_lim = atol_v + rtol_v * bNorm
+        status0 = jnp.where(
+            bNorm == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(bNorm <= eps_lim, jnp.int32(_SOLVED_LQ_PT),
+                      jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), bNorm, gamma0, -one, zero, zero,
+                  zero, zero, zero, zero, bNorm, jnp.int32(0), status0)
+        # (it, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1, zeta_km2,
+        #  eta_km1, zetabar, rNorm, cgflag, status)
+
+        def cond(cr):
+            return (cr[12] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1,
+             zeta_km2, eta_km1, zetabar0, rNorm0, cgflag, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            g2 = jnp.where(ge2, one, zero)
+            q = _stencil(upad_ref, pd_ref, shifts, P, rows, T) \
+                - (g2 * gamma) * vkm1_ref[:]
+            p = _stencil(vpad_ref, pda_ref, shifts_a, P, rows, T) \
+                - (g2 * beta) * ukm1_ref[:]
+            alpha = jnp.sum(vk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            beta_kp1 = jnp.sqrt(jnp.sum(q * q))
+            gamma_kp1 = jnp.sqrt(jnp.sum(p * p))
+
+            ck_g, sk_g, d_km1 = sym_givens(dbar_km1, gamma)
+            ck = jnp.where(is1, -one, ck_g)
+            sk = jnp.where(is1, zero, sk_g)
+            eps_km2 = s_km1 * beta
+            lam2 = ck * beta + sk * alpha
+            dbar2 = sk * beta - ck * alpha
+            lam3 = -c_km1 * ck * beta + sk * alpha
+            dbar3 = -c_km1 * sk * beta - ck * alpha
+            lam_km1 = jnp.where(is2, lam2, lam3)
+            dbar_k = jnp.where(is1, alpha, jnp.where(is2, dbar2, dbar3))
+
+            zeta_km1_new = jnp.where(ge2, eta_km1 / safe(d_km1), zeta_km1)
+            zeta_km2_new = jnp.where(it >= 3, zeta_km1, zeta_km2)
+            eta_k = jnp.where(
+                is1, beta,
+                jnp.where(is2, -lam_km1 * zeta_km1_new,
+                          -eps_km2 * zeta_km2_new - lam_km1 * zeta_km1_new))
+
+            x_add = jnp.where(ge2, zeta_km1_new, zero)
+            x_ref[:] = x_ref[:] + (x_add * ck) * dbar_ref[:] \
+                + (x_add * sk) * uk
+            dbar_ref[:] = jnp.where(is1, uk, sk * dbar_ref[:] - ck * uk)
+
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = jnp.where(
+                beta_kp1 != 0, q / safe(beta_kp1), vk)
+            upad_ref[P: P + rows] = jnp.where(
+                gamma_kp1 != 0, p / safe(gamma_kp1), uk)
+
+            mu = beta * (s_km1 * zeta_km2_new - c_km1 * ck * zeta_km1_new) \
+                + alpha * sk * zeta_km1_new
+            om = beta_kp1 * sk * zeta_km1_new
+            rNorm_lq = jnp.where(is1, rNorm0,
+                                 jnp.sqrt(mu * mu + om * om))
+
+            dbar_ok = jnp.abs(dbar_k) > eps_T
+            zetabar = jnp.where(dbar_ok, eta_k / safe(dbar_k), zetabar0)
+            rho = beta_kp1 * (sk * zeta_km1_new - ck * zetabar)
+            rNorm_cg = jnp.abs(rho)
+
+            solved_lq = rNorm_lq <= eps_lim
+            solved_cg = (dbar_ok & (rNorm_cg <= eps_lim)) \
+                if transfer_to_usymcg else (rNorm_lq < -1)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(solved_lq, jnp.int32(_SOLVED_LQ_PT), code)
+            code = jnp.where(solved_cg & ~solved_lq,
+                             jnp.int32(_SOLVED_CG_PT2), code)
+
+            return (it, beta_kp1, gamma_kp1, ck, sk, dbar_k,
+                    zeta_km1_new, zeta_km2_new, eta_k, zetabar,
+                    rNorm_lq, (solved_cg & ~solved_lq).astype(jnp.int32),
+                    code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        @pl.when(out[11] == 1)
+        def _():
+            x_ref[:] = x_ref[:] + out[9] * dbar_ref[:]
+        niter_ref[0, 0] = out[0]
+        rnorm_ref[0, 0] = out[10]
+        status_ref[0, 0] = out[12]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 10 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def usymlq_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 10 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 10, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "interpret"))
+def usymqr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, atol, rtol,
+                     itmax, interpret=None):
+    """Full USYMQR solve of min ‖b − Ax‖ for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/usymlq.py:_usymqr_core on the real path
+    (reference src/usymqr.jl): SSY process, QR of Tₖ₊₁.ₖ with the W
+    direction recurrence and the ArNorm inconsistency test.
+    Returns (x, niter, rNorm, ArNorm, status_code, inconsistent).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, out_ref, status_ref, incon_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref, wkm2_ref, wkm1_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        wkm2_ref[:] = zv
+        wkm1_ref[:] = zv
+
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        gamma0 = jnp.sqrt(jnp.sum(cv * cv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(bNorm)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = cv / safe(gamma0)
+        eps_lim = atol_v + rtol_v * bNorm
+        status0 = jnp.where(
+            bNorm == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(bNorm <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), bNorm, gamma0, zero, zero, zero, zero,
+                  bNorm, zero, bNorm, zero, jnp.int32(0), status0)
+        # (it, beta, gamma, c_km2, s_km2, c_km1, s_km1, zetabar, kappa,
+        #  rNorm, ArNorm, incon, status)
+
+        def cond(cr):
+            return (cr[12] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, c_km2, s_km2, c_km1, s_km1, zetabar,
+             kappa, rNorm0, ArNorm0, incon, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+            ge3 = it >= 3
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            g2 = jnp.where(ge2, one, zero)
+            q = _stencil(upad_ref, pd_ref, shifts, P, rows, T) \
+                - (g2 * gamma) * vkm1_ref[:]
+            p = _stencil(vpad_ref, pda_ref, shifts_a, P, rows, T) \
+                - (g2 * beta) * ukm1_ref[:]
+            alpha = jnp.sum(vk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            beta_kp1 = jnp.sqrt(jnp.sum(q * q))
+            gamma_kp1 = jnp.sqrt(jnp.sum(p * p))
+
+            eps_km2 = jnp.where(ge3, s_km2 * gamma, zero)
+            lbar_km1 = jnp.where(ge3, -c_km2 * gamma,
+                                 jnp.where(is2, gamma, zero))
+            lam_km1 = jnp.where(ge2, c_km1 * lbar_km1 + s_km1 * alpha,
+                                zero)
+            dbar_k = jnp.where(ge2, s_km1 * lbar_km1 - c_km1 * alpha,
+                               alpha)
+            ck, sk, d_k = sym_givens(dbar_k, beta_kp1)
+            zeta_k = ck * zetabar
+            zetabar_next = sk * zetabar
+
+            w_k = (uk - lam_km1 * wkm1_ref[:]
+                   - eps_km2 * wkm2_ref[:]) / safe(d_k)
+            x_ref[:] = x_ref[:] + zeta_k * w_k
+            wkm2_ref[:] = jnp.where(ge2, wkm1_ref[:], wkm2_ref[:])
+            wkm1_ref[:] = w_k
+
+            rNorm = jnp.abs(zetabar_next)
+            ArNorm = jnp.abs(zetabar) * jnp.sqrt(
+                dbar_k * dbar_k + (c_km1 * gamma_kp1) ** 2)
+            kappa_n = jnp.where(is1, atol_v + rtol_v * ArNorm, kappa)
+
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = jnp.where(
+                beta_kp1 != 0, q / safe(beta_kp1), vk)
+            upad_ref[P: P + rows] = jnp.where(
+                gamma_kp1 != 0, p / safe(gamma_kp1), uk)
+
+            solved = rNorm <= eps_lim
+            incon_n = (~solved) & (ArNorm <= kappa_n)
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(incon_n, jnp.int32(_INCONSISTENT), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+
+            return (it, beta_kp1, gamma_kp1, c_km1, s_km1, ck, sk,
+                    zetabar_next, kappa_n, rNorm, ArNorm,
+                    incon_n.astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[9]
+        out_ref[1, 0] = out[10]
+        status_ref[0, 0] = out[12]
+        incon_ref[0, 0] = out[11]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, scal_out, status, incon = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 11 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return (x.reshape(-1)[:n], niter[0, 0], scal_out[0, 0],
+            scal_out[1, 0], status[0, 0], incon[0, 0])
+
+
+def usymqr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 11 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 11, stencil_dtype) < 100 * (1 << 20)

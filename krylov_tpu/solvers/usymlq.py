@@ -219,6 +219,34 @@ def _usymlq_solve(
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
+    # Fast path: square DIA stencil + default config (no warm start:
+    # the kernel seeds v₁ from b directly) → fused whole-solve kernel.
+    if (x0 is None and not history and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (usymlq_dia_fused,
+                                        usymlq_dia_fused_supported)
+        if usymlq_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                      stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, code_d = usymlq_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, c, atol, rtol,
+                itmax, transfer_to_usymcg=bool(transfer_to_usymcg))
+            niter, code = jax.device_get([niter, code_d])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code in (SOLVED_LQ_PT,
+                                                           SOLVED_CG_PT2),
+                inconsistent=False,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _usymlq_core(
             A, b, c, x0, state, jnp.int32(cap), atol, rtol,
@@ -411,6 +439,32 @@ def _usymqr_solve(
     rt.debug_table(verbose, "USYMQR", ("k", "‖rₖ‖", "‖Aᴴrₖ₋₁‖"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+
+    # Fast path: square DIA stencil + default config → fused kernel.
+    if (x0 is None and not history and callback is None and verbose == 0
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (usymqr_dia_fused,
+                                        usymqr_dia_fused_supported)
+        if usymqr_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                      stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorm, arnorm, code_d, incon = usymqr_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, c, atol, rtol,
+                itmax)
+            niter, code, incon = jax.device_get([niter, code_d, incon])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=bool(incon),
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
 
     def run(state, cap):
         return _usymqr_core(

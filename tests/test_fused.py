@@ -995,3 +995,59 @@ def test_fused_lnlq_zero_rhs_and_fallbacks():
     x, y, stats = kt.lnlq(op, b, transfer_to_craig=False, atol=0.0,
                           rtol=1e-8)
     assert stats.solved
+
+
+@pytest.mark.parametrize("method", ["usymlq", "usymqr"])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fused_usym_matches_general(method, dtype):
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=dtype)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), dtype)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), dtype)
+    solve = getattr(kt, method)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = solve(op_fast, b, c, atol=0.0, rtol=1e-6)
+    xr, stats_ref = solve(op_ref, b, c, atol=0.0, rtol=1e-6)
+    # ±1: 150+ SSY iterations amplify ulp-level summation-order
+    # differences at the stopping threshold (same as the saddle family)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+    assert np.linalg.norm(r) <= 2e-6 * np.linalg.norm(np.asarray(b))
+
+
+def test_fused_usymlq_no_transfer():
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = kt.usymlq(op_fast, b, c, transfer_to_usymcg=False,
+                         atol=0.0, rtol=1e-8)
+    xr, stats_ref = kt.usymlq(op_ref, b, c, transfer_to_usymcg=False,
+                              atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+
+
+@pytest.mark.parametrize("method", ["usymlq", "usymqr"])
+def test_fused_usym_zero_warm_and_fallbacks(method):
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    solve = getattr(kt, method)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = solve(op, jnp.zeros(n, np.float64), c)
+    assert stats.status == "x is a zero-residual solution"
+    x, stats = solve(op, b, c, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals.size == stats.niter + 1
+    x0 = 1.2 * jnp.ones(n, np.float64)
+    x2, stats = solve(op, b, c, x0, atol=0.0, rtol=1e-8)
+    r = b - op.matvec(x2)
+    assert float(jnp.linalg.norm(r)) <= 1e-6 * float(jnp.linalg.norm(b))
