@@ -5839,3 +5839,463 @@ def usymqr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
         return False
     both = tuple(offsets) + tuple(-int(k) for k in offsets)
     return _fused_bytes(both, n, dtype, 11, stencil_dtype) < 100 * (1 << 20)
+
+
+_FWD_LBND = 44
+_FWD_UBND = 45   # krylov_tpu/solvers/lslq.py
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "use_sigma",
+                                   "transfer_to_lsqr", "window",
+                                   "interpret"))
+def lslq_dia_fused(pd, pd_adj, offsets, offsets_adj, b, lam, sigma,
+                   atol, rtol, btol, etol, utol, conlim, itmax,
+                   use_sigma=False, transfer_to_lsqr=False, window=5,
+                   interpret=None):
+    """Full LSLQ solve of min ‖b − Ax‖ (+λ) for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/lslq.py:_lslq_core on
+    the default path (M = N = I; reference src/lslq.jl): Golub-Kahan
+    over the stencil pair, the LQ recurrences with λ-regularization
+    registers, the σ error-bound machinery, the forward-error window
+    and the optional LSQR-point transfer.
+    Returns (x, niter, rNorm, ArNorm, status_code, zero_resid,
+    complex_bnd).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tiny = float(jnp.finfo(b.dtype).tiny)
+    conlim_t = jnp.asarray(conlim, b.dtype)
+    ctol_in = jnp.where(conlim_t > 0,
+                        1.0 / jnp.where(conlim_t == 0, 1.0, conlim_t), 0.0)
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [lam, sigma, atol, rtol, btol, etol, utol,
+                           ctol_in])
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, pda_ref,
+               x_ref, niter_ref, out_ref, status_ref, flags_ref,
+               vpad_ref, upad_ref, wbar_ref, ev_ref):
+        lam0 = s_ref[0, 0]
+        sigma_v = s_ref[1, 0]
+        atol_v = s_ref[2, 0]
+        rtol_v = s_ref[3, 0]
+        btol_v = s_ref[4, 0]
+        etol_v = s_ref[5, 0]
+        utol_v = s_ref[6, 0]
+        ctol = s_ref[7, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        for i in range(window):
+            ev_ref[i] = zero
+
+        beta1 = jnp.sqrt(jnp.maximum(jnp.sum(bv * bv), 0))
+        u0 = bv / safe(beta1)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = u0
+        nv = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+        alpha0 = jnp.sqrt(jnp.maximum(jnp.sum(nv * nv), 0))
+        v0 = nv / safe(alpha0)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = v0
+        wbar_ref[:] = v0
+        eps_lim = atol_v + rtol_v * beta1
+        status0 = jnp.where(
+            beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(alpha0 == 0, jnp.int32(_MIN_LSQ_X),
+                      jnp.where(beta1 <= eps_lim, jnp.int32(_SOLVED_ZERO),
+                                jnp.int32(_RUNNING))))
+
+        carry0 = (jnp.int32(0), alpha0, beta1, lam0,
+                  alpha0 * alpha0, zero, jnp.asarray(jnp.inf, T),
+                  alpha0, beta1, -one, zero, -one, alpha0 * beta1,
+                  zero, zero, zero, -sigma_v, -one, zero,
+                  zero, beta1, alpha0 * beta1,
+                  jnp.int32(0), jnp.int32(0), status0)
+        # (it, alpha, beta, lam_k, anorm2, smax, smin, gbar, psi, c, s,
+        #  delta, tau, zeta, zetabar, zetatilde, rhobar_sig, csig, omega,
+        #  xlqnorm2, rNorm, ArNorm, zero_resid, complex_bnd, status)
+
+        def cond(cr):
+            return (cr[24] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, alpha, beta, lam_k, anorm2, smax, smin, gbar, psi,
+             c_prev, s_prev, delta0, tau0, zeta0, zetabar0, zetatilde0,
+             rhobar_sig0, csig0, omega0, xlqnorm2, rNorm0, ArNorm0,
+             zero_resid0, complex_bnd0, status) = cr
+            it = it0 + 1
+
+            v_old = vpad_ref[P: P + rows]
+            u_old = upad_ref[P: P + rows]
+            mu = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) \
+                - alpha * u_old
+            beta_n = jnp.sqrt(jnp.maximum(jnp.sum(mu * mu), 0))
+            bnz = beta_n != 0
+            u = jnp.where(bnz, mu / safe(beta_n), mu)
+            upad_ref[P: P + rows] = u
+            nv2 = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T)
+            nv2 = jnp.where(bnz, nv2 - beta_n * v_old, v_old)
+            alpha_n = jnp.where(
+                bnz, jnp.sqrt(jnp.maximum(jnp.sum(nv2 * nv2), 0)), alpha)
+            anz = bnz & (alpha_n != 0)
+            v = jnp.where(anz, nv2 / safe(alpha_n), nv2)
+            vpad_ref[P: P + rows] = v
+
+            aL = alpha_n
+            bL = beta_n
+            lam_nz = lam_k != 0
+            cL, sL, bLr = sym_givens(beta_n, lam_k)
+            aL = jnp.where(lam_nz & bnz, cL * alpha_n, aL)
+            bL = jnp.where(lam_nz & bnz, bLr, bL)
+            lam_kn = jnp.where(
+                lam_nz & bnz,
+                jnp.sqrt(lam_k * lam_k + (sL * alpha_n) ** 2), lam_k)
+            anorm2_n = jnp.where(bnz, anorm2 + aL * aL + bL * bL, anorm2)
+            anorm = jnp.sqrt(anorm2_n)
+
+            cp, sp, gamma = sym_givens(gbar, bL)
+            tau = -tau0 * delta0 / safe(gamma)
+            delta = sp * aL
+            gbar_n = -cp * aL
+
+            if use_sigma:
+                mubar = -csig0 * gamma
+                csig1, ssig1, rho1 = sym_givens(rhobar_sig0, gamma)
+                rhobar_sig = ssig1 * mubar + csig1 * sigma_v
+                mubar = -csig1 * delta
+                h = delta * csig1 / safe(rhobar_sig)
+                disc = sigma_v * (sigma_v - delta * h)
+                complex_bnd = (complex_bnd0 == 1) | (disc < 0)
+                omega = jnp.where(disc >= 0,
+                                  jnp.sqrt(jnp.maximum(disc, 0)), omega0)
+                csig2, ssig2, rho2 = sym_givens(rhobar_sig, delta)
+                rhobar_sig = ssig2 * mubar + csig2 * sigma_v
+                csig = csig2
+            else:
+                rhobar_sig, csig, omega = rhobar_sig0, csig0, omega0
+                complex_bnd = complex_bnd0 == 1
+
+            ebar = -gamma * c_prev
+            eta = gamma * s_prev
+            c, s, eps_ = sym_givens(ebar, delta)
+            smax_n = jnp.maximum(smax, jnp.maximum(eps_, jnp.abs(ebar)))
+            smin_n = jnp.minimum(smin, jnp.minimum(eps_, jnp.abs(ebar)))
+            acond = smax_n / jnp.maximum(smin_n, tiny)
+
+            zold = zeta0
+            zeta = (tau - zeta0 * eta) / safe(eps_)
+            zetabar = zeta / safe(c)
+            rNorm = jnp.sqrt((psi * cp - zold * eta) ** 2 + (psi * sp) ** 2)
+            ArNorm = jnp.sqrt((gamma * eps_ * zeta) ** 2
+                              + (delta * eta * zold) ** 2)
+            psi_n = psi * sp
+
+            x_ref[:] = x_ref[:] + (c * zeta) * wbar_ref[:] \
+                + (s * zeta) * v
+            wbar_ref[:] = s * wbar_ref[:] - c * v
+            xlqnorm2_n = xlqnorm2 + zeta * zeta
+            xlqnorm = jnp.sqrt(xlqnorm2_n)
+            xcgnorm2 = xlqnorm2_n + zetabar * zetabar
+
+            ev_ref[jnp.mod(it0, window)] = zeta
+            err2 = zero
+            for i in range(window):
+                err2 = err2 + ev_ref[i] * ev_ref[i]
+            err_lbnd = jnp.sqrt(err2)
+            fwd_err_lbnd = (it0 >= window) & (err_lbnd
+                                              <= etol_v * xlqnorm)
+
+            if use_sigma:
+                etat = omega * s
+                epst = -omega * c
+                taut = -tau * delta / safe(omega)
+                zetatilde = (taut - zeta * etat) / safe(epst)
+                disc_cg = zetatilde0 ** 2 - zetabar ** 2
+                complex_bnd = complex_bnd | ((it0 > 0) & (disc_cg < 0))
+                err_ubnd_cg = jnp.sqrt(jnp.maximum(disc_cg, 0))
+                fwd_err_ubnd = (it0 > 0) & (disc_cg >= 0) & (
+                    err_ubnd_cg <= utol_v * jnp.sqrt(xcgnorm2))
+            else:
+                zetatilde = zetatilde0
+                fwd_err_ubnd = it0 < -1
+
+            test1 = rNorm
+            test2 = ArNorm / jnp.maximum(anorm * rNorm, tiny)
+            test3 = 1.0 / jnp.maximum(acond, tiny)
+            t1 = test1 / (1.0 + anorm * xlqnorm)
+
+            solved_mach = (1.0 + test2) <= 1.0
+            zero_resid_mach = (1.0 + t1) <= 1.0
+            ill_cond_mach = (1.0 + test3) <= 1.0
+            ill_cond_lim = test3 <= ctol
+            solved_lim = test2 <= atol_v
+            zero_resid_lim = test1 <= eps_lim
+            zero_resid = zero_resid_mach | zero_resid_lim
+            solved = solved_mach | solved_lim | zero_resid \
+                | fwd_err_lbnd | fwd_err_ubnd
+
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(ill_cond_mach, jnp.int32(_ILL_COND_MACH), code)
+            code = jnp.where(ill_cond_lim, jnp.int32(_COND_EXCEEDED), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED_LSQ), code)
+            code = jnp.where(zero_resid, jnp.int32(_SOLVED_ZERO), code)
+            code = jnp.where(fwd_err_lbnd, jnp.int32(_FWD_LBND), code)
+            code = jnp.where(fwd_err_ubnd, jnp.int32(_FWD_UBND), code)
+
+            return (it, alpha_n, beta_n, lam_kn, anorm2_n, smax_n,
+                    smin_n, gbar_n, psi_n, c, s, delta, tau, zeta,
+                    zetabar, zetatilde, rhobar_sig, csig, omega,
+                    xlqnorm2_n, rNorm, ArNorm,
+                    zero_resid.astype(jnp.int32),
+                    complex_bnd.astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        if transfer_to_lsqr:
+            @pl.when((out[24] != _ZERO_RESIDUAL) & (out[24] != _MIN_LSQ_X))
+            def _():
+                x_ref[:] = x_ref[:] + out[14] * wbar_ref[:]
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[20]
+        out_ref[1, 0] = out[21]
+        status_ref[0, 0] = out[24]
+        flags_ref[0, 0] = out[22]
+        flags_ref[1, 0] = out[23]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, niter, scal_out, status, flags = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.SMEM((window,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 8 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, pdw, pdaw)
+    return (x.reshape(-1)[:n], niter[0, 0], scal_out[0, 0],
+            scal_out[1, 0], status[0, 0], flags[0, 0], flags[1, 0])
+
+
+def lslq_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 8 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 8, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "nshifts",
+                                   "interpret"))
+def cgls_lanczos_shift_dia_fused(pd, pd_adj, offsets, offsets_adj, b,
+                                 shifts, nshifts, atol, rtol, itmax,
+                                 interpret=None):
+    """All shifted regularized LS systems min ‖b−Ax‖² + λᵢ‖x‖² from ONE
+    in-VMEM Lanczos stream on AᴴA.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/cgls.py:_cgls_shift_core (reference
+    src/cgls_lanczos_shift.jl): one A and one Aᴴ stencil per iteration;
+    per-shift x/p panels and scalar recurrences unrolled over the static
+    ``nshifts`` axis.  Returns (X (nshifts, n), niter, rNorms, status,
+    indefinite).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, pdw, pdaw, shifts_st, shifts_a, itmax_s,
+     scal_s) = _ne_prolog(pd, pd_adj, offsets, offsets_adj, b, itmax,
+                          [atol, rtol])
+    shifts_arr = jnp.asarray(shifts, T).reshape(nshifts, 1)
+    NS = nshifts
+
+    def kernel(itmax_ref, s_ref, sh_ref, b_ref, pd_ref, pda_ref,
+               X_ref, niter_ref, rnorms_ref, status_ref, indef_ref,
+               vpad_ref, qpad_ref, vprev_ref, P_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        bv = b_ref[:]
+        qpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        qpad_ref[P: P + rows] = bv
+        Mv0 = _stencil(qpad_ref, pda_ref, shifts_a, P, rows, T)
+        beta0 = jnp.sqrt(jnp.sum(Mv0 * Mv0))
+        eps_lim = atol_v + rtol_v * beta0
+        safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
+        v0 = Mv0 / safe_b0
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = v0
+        vprev_ref[:] = v0
+        for i in range(NS):
+            X_ref[i * rows:(i + 1) * rows] = jnp.zeros((rows, LANES), T)
+            P_ref[i * rows:(i + 1) * rows] = Mv0
+
+        conv0 = tuple((beta0 <= eps_lim).astype(jnp.int32)
+                      for _ in range(NS))
+        all0 = conv0[0]
+        for c_ in conv0[1:]:
+            all0 = all0 & c_
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(all0 == 1, jnp.int32(_SOLVED), jnp.int32(_RUNNING)))
+
+        carry0 = ((jnp.int32(0), beta0, status0)
+                  + tuple(beta0 for _ in range(NS))
+                  + tuple(zero for _ in range(NS))
+                  + tuple(one for _ in range(NS))
+                  + tuple(beta0 for _ in range(NS))
+                  + conv0
+                  + tuple(jnp.int32(0) for _ in range(NS)))
+
+        def cond(c):
+            return (c[2] == _RUNNING) & (c[0] < cap)
+
+        def body(c):
+            it0, beta, status = c[:3]
+            sig = c[3: 3 + NS]
+            om_ = c[3 + NS: 3 + 2 * NS]
+            gam = c[3 + 2 * NS: 3 + 3 * NS]
+            rn = c[3 + 3 * NS: 3 + 4 * NS]
+            cv = c[3 + 4 * NS: 3 + 5 * NS]
+            idf = c[3 + 5 * NS: 3 + 6 * NS]
+
+            vv = vpad_ref[P: P + rows]
+            t = _stencil(vpad_ref, pd_ref, shifts_st, P, rows, T)
+            qpad_ref[P: P + rows] = t
+            Mv_next = _stencil(qpad_ref, pda_ref, shifts_a, P, rows, T)
+            delta = jnp.sum(vv * Mv_next)
+            Mv_next = Mv_next - delta * vv
+            Mv_next = jnp.where(it0 > 0,
+                                Mv_next - beta * vprev_ref[:], Mv_next)
+            beta_n = jnp.sqrt(jnp.sum(Mv_next * Mv_next))
+            safe_b = jnp.where(beta_n == 0, jnp.ones_like(beta_n), beta_n)
+            v_new = Mv_next / safe_b
+            vprev_ref[:] = vv
+            vpad_ref[P: P + rows] = v_new
+
+            sig_n, om_n, gam_n, rn_n, cv_n, idf_n = [], [], [], [], [], []
+            for i in range(NS):
+                delta_hat = delta + sh_ref[i, 0]
+                gamma_i = 1.0 / (delta_hat - om_[i] / gam[i])
+                indef_i = (idf[i] == 1) | (gamma_i <= 0)
+                mask = ~(cv[i] == 1)
+                xi = X_ref[i * rows:(i + 1) * rows]
+                pi = P_ref[i * rows:(i + 1) * rows]
+                X_ref[i * rows:(i + 1) * rows] = jnp.where(
+                    mask, xi + gamma_i * pi, xi)
+                omg = beta_n * gamma_i
+                sig_i = jnp.where(mask, -omg * sig[i], sig[i])
+                om2 = jnp.where(mask, omg * omg, om_[i])
+                P_ref[i * rows:(i + 1) * rows] = jnp.where(
+                    mask, sig_i * v_new + om2 * pi, pi)
+                rn_i = jnp.where(mask, jnp.abs(sig_i), rn[i])
+                cv_i = jnp.where(mask, (rn_i <= eps_lim).astype(jnp.int32),
+                                 cv[i])
+                sig_n.append(sig_i)
+                om_n.append(om2)
+                gam_n.append(jnp.where(mask, gamma_i, gam[i]))
+                rn_n.append(rn_i)
+                cv_n.append(cv_i)
+                idf_n.append(indef_i.astype(jnp.int32))
+
+            done = jnp.ones((), jnp.bool_)
+            for i in range(NS):
+                done = done & (cv_n[i] == 1)
+            it = it0 + 1
+            code = jnp.where(done, jnp.int32(_SOLVED), jnp.int32(_RUNNING))
+            return ((it, beta_n, code) + tuple(sig_n) + tuple(om_n)
+                    + tuple(gam_n) + tuple(rn_n) + tuple(cv_n)
+                    + tuple(idf_n))
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        niter_ref[0, 0] = out[0]
+        status_ref[0, 0] = out[2]
+        for i in range(NS):
+            rnorms_ref[i, 0] = out[3 + 3 * NS + i]
+            indef_ref[i, 0] = out[3 + 5 * NS + i]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    X, niter, rnorms, status, indef = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ) + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((NS * rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NS, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NS, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((NS * rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes
+                                  + (2 * NS + 6) * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, shifts_arr, bw, pdw, pdaw)
+    Xm = X.reshape(NS, rows * LANES)[:, :n]
+    return Xm, niter[0, 0], rnorms[:, 0], status[0, 0], indef[:, 0]
+
+
+def cgls_lanczos_shift_dia_fused_supported(offsets, n, dtype, nshifts,
+                                           stencil_dtype=None):
+    """Static gate: 2 stencils + 2·nshifts+6 vectors fit in VMEM."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 2 * nshifts + 6,
+                        stencil_dtype) < 100 * (1 << 20)

@@ -575,6 +575,33 @@ def _cgls_lanczos_shift_solve(
     itmax = rt.resolve_itmax(itmax, m + n)
     hist_len = itmax + 1 if history else 0
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (one AᴴA Lanczos stream, all shifts' x/p panels VMEM-resident).
+    if (callback is None and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (
+            cgls_lanczos_shift_dia_fused,
+            cgls_lanczos_shift_dia_fused_supported)
+        if cgls_lanczos_shift_dia_fused_supported(
+                A.dia.offsets, m, b.dtype, nshifts,
+                stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, niter, rnorms, status, indef = cgls_lanczos_shift_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, shifts,
+                nshifts, atol, rtol, itmax)
+            niter, code, indef = jax.device_get([niter, status, indef])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            stats = LanczosShiftStats(
+                niter=niter, solved=rt.is_solved_code(code), residuals=[],
+                indefinite=np.asarray(indef, bool),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _cgls_shift_core(
             A, b, shifts, state, jnp.int32(cap), atol, rtol,

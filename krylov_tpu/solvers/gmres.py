@@ -305,8 +305,10 @@ def _gmres_like_solve(
     eff_restart = bool(restart) or mem < itmax
 
     # Fast path: DIA stencil + default config → fused whole-solve GMRES(mem)
-    # kernel (Arnoldi panel in VMEM, in-kernel restarts).
-    if (not flexible and M is None and N is None and not history
+    # kernel (Arnoldi panel in VMEM, in-kernel restarts).  FGMRES with
+    # N = I is recurrence-identical to GMRES (the Z ring holds z = v), so
+    # it routes here too.
+    if (M is None and N is None and not history
             and callback is None and verbose == 0
             and not reorthogonalization
             and timemax == float("inf")

@@ -320,6 +320,42 @@ def _lslq_solve(
     rt.debug_table(verbose, "LSLQ", ("k", "‖r‖", "‖Aᴴr‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel.
+    if (M is None and N is None and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (lslq_dia_fused,
+                                        lslq_dia_fused_supported)
+        if lslq_dia_fused_supported(A.dia.offsets, m, b.dtype,
+                                    stencil_dtype=A._pd.dtype):
+            pd_adj, offs_adj = A.aligned_adjoint()
+            (x, niter, rnorm, arnorm, code_d, zr,
+             cbnd) = lslq_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, float(lam),
+                float(sigma), atol, rtol, btol, etol, utol, float(conlim),
+                itmax, use_sigma=bool(sigma > 0),
+                transfer_to_lsqr=bool(transfer_to_lsqr),
+                window=int(window))
+            niter, code, zr, cbnd = jax.device_get([niter, code_d, zr,
+                                                    cbnd])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            inconsistent = not bool(zr)
+            if code in (rt.ZERO_RESIDUAL, rt.MIN_LSQ_X):
+                inconsistent = False
+            stats = LSLQStats(
+                niter=niter,
+                solved=rt.is_solved_code(code) or code in (FWD_LBND,
+                                                           FWD_UBND),
+                inconsistent=inconsistent,
+                residuals=np.zeros(0), Aresiduals=np.zeros(0),
+                error_with_bnd=bool(cbnd),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code, _STATUS),
+            )
+            return jnp.asarray(x), stats, None
+
     def run(state, cap):
         return _lslq_core(
             A, M, N, b, state, jnp.int32(cap), jnp.int32(itmax),

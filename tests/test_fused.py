@@ -1051,3 +1051,84 @@ def test_fused_usym_zero_warm_and_fallbacks(method):
     x2, stats = solve(op, b, c, x0, atol=0.0, rtol=1e-8)
     r = b - op.matvec(x2)
     assert float(jnp.linalg.norm(r)) <= 1e-6 * float(jnp.linalg.norm(b))
+
+
+@pytest.mark.parametrize("kw", [{}, {"lam": 0.2}, {"sigma": 0.05},
+                                {"transfer_to_lsqr": True}])
+def test_fused_lslq_matches_general(kw):
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = kt.lslq(op_fast, b, atol=1e-10, rtol=1e-8, **kw)
+    xr, stats_ref = kt.lslq(op_ref, b, atol=1e-10, rtol=1e-8, **kw)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert stats.inconsistent == stats_ref.inconsistent
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(xr))) + 1)
+
+
+def test_fused_lslq_zero_rhs_and_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, stats = kt.lslq(op, jnp.zeros(n, np.float64))
+    assert stats.status == "x is a zero-residual solution"
+    x, stats = kt.lslq(op, b, history=True, atol=1e-10, rtol=1e-8)
+    assert stats.residuals.size == stats.niter + 1
+
+
+def test_fused_cgls_lanczos_shift_matches_general():
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    shifts = jnp.asarray([0.1, 1.0, 4.0], np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    X, stats = kt.cgls_lanczos_shift(op_fast, b, shifts, atol=0.0,
+                                     rtol=1e-8)
+    Xr, stats_ref = kt.cgls_lanczos_shift(op_ref, b, shifts, atol=0.0,
+                                          rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(X - Xr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(Xr))) + 1)
+    # regularized normal equations hold per shift
+    for i, sig in enumerate(np.asarray(shifts)):
+        g = op_ref.rmatvec(b - op_ref.matvec(X[i])) - sig * X[i]
+        assert float(jnp.linalg.norm(g)) <= 1e-7 * float(jnp.linalg.norm(b))
+
+
+def test_fused_cgls_lanczos_shift_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    shifts = jnp.asarray([0.5, 2.0], np.float64)
+    X, stats = kt.cgls_lanczos_shift(op, b, shifts, history=True,
+                                     atol=0.0, rtol=1e-8)
+    assert len(stats.residuals) == 2
+
+
+def test_fused_fgmres_identity_precond_routes():
+    """FGMRES with N = I is recurrence-identical to GMRES → fused path."""
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, stats = kt.fgmres(op_fast, b, memory=20, restart=True,
+                         atol=0.0, rtol=1e-8)
+    xr, stats_ref = kt.fgmres(op_ref, b, memory=20, restart=True,
+                              atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+    assert np.linalg.norm(r) <= 1.1e-8 * np.linalg.norm(np.asarray(b))
