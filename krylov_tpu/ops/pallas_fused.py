@@ -6299,3 +6299,1172 @@ def cgls_lanczos_shift_dia_fused_supported(offsets, n, dtype, nshifts,
     both = tuple(offsets) + tuple(-int(k) for k in offsets)
     return _fused_bytes(both, n, dtype, 2 * nshifts + 6,
                         stencil_dtype) < 100 * (1 << 20)
+
+
+_SOLVED_PRIMAL_DUAL = 15
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj",
+                                   "transfer_to_bicg", "interpret"))
+def bilqr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, atol, rtol,
+                    itmax, transfer_to_bicg=True, interpret=None):
+    """Full BiLQR solve of Ax = b and Aᴴy = c for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/bilq.py:_bilqr_core
+    on the real path (reference src/bilqr.jl): one bi-Lanczos process
+    feeding the primal BiLQ recurrences and the dual QMR-style
+    recurrences with independent primal/dual convergence masks.
+    Returns (x, y, niter, rNorm, sNorm, status_code, flags (9,))
+    where flags = [lq_tol, lq_mach, cg_tol, cg_mach, qr_tol, qr_mach,
+    solved_primal, solved_dual, breakdown].
+
+    Precision note (validated on a real v5e): BiLQR's recurrence-based
+    residual estimates collapse below machine precision at f32 on
+    larger problems with an independent shadow c — the GENERAL core
+    shows the same spurious "zero-residual" stop (true relres O(1) at
+    48³ Poisson f32, both paths).  This is the algorithm's f32
+    behavior, identical in the reference; f64 parity is exact
+    (tests/test_fused.py asserts true residuals ≤ 2e-8).  Prefer f64
+    (CPU) or the one-sided methods for f32 adjoint solves.
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    eps_T = float(jnp.finfo(b.dtype).eps)
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, out_ref, status_ref, flags_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref, dbar_ref,
+               wkm3_ref, wkm2_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+        F = jnp.int32(0)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        dbar_ref[:] = zv
+        wkm3_ref[:] = zv
+        wkm2_ref[:] = zv
+
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        cNorm = jnp.sqrt(jnp.sum(cv * cv))
+        cHb = jnp.sum(cv * bv)
+        beta0 = jnp.sqrt(jnp.abs(cHb))
+        gamma0 = cHb / safe(beta0)
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(beta0)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = cv / safe(gamma0)
+        epsL = atol_v + rtol_v * bNorm
+        epsQ = atol_v + rtol_v * cNorm
+        sp0 = (bNorm == 0).astype(jnp.int32)
+        sd0 = (cNorm == 0).astype(jnp.int32)
+        status0 = jnp.where(
+            cHb == 0, jnp.int32(_BC_BREAKDOWN),
+            jnp.where((sp0 == 1) & (sd0 == 1), jnp.int32(_ZERO_RESIDUAL),
+                      jnp.int32(_RUNNING)))
+
+        carry0 = (jnp.int32(0), beta0, gamma0, -one, zero, zero,
+                  zero, zero, zero, zero, zero, zero, zero,
+                  bNorm / safe(jnp.abs(beta0)), zero, bNorm, cNorm,
+                  sp0, sd0, F, F, F, F, F, F, F, F, status0)
+        # (it, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1, zeta_km2,
+        #  eta_km1, zetabar, psibar_km1, eps_km3, lam_km2, norm_vk, tau,
+        #  rNorm, sNorm, solved_primal, solved_dual, lq_tol, lq_mach,
+        #  cg_tol, cg_mach, qr_tol, qr_mach, cgflag, breakdown, status)
+
+        def cond(cr):
+            return (cr[27] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1,
+             zeta_km2, eta_km1, zetabar0, psibar_km1, eps_km3, lam_km2,
+             norm_vk, tau0, rNorm0, sNorm0, sp_, sd_, lq_t, lq_m, cg_t,
+             cg_m, qr_t, qr_m, cgflag, brk0, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            q = _stencil(vpad_ref, pd_ref, shifts, P, rows, T) \
+                - gamma * vkm1_ref[:]
+            p = _stencil(upad_ref, pda_ref, shifts_a, P, rows, T) \
+                - beta * ukm1_ref[:]
+            alpha = jnp.sum(uk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            pHq = jnp.sum(p * q)
+            beta_kp1 = jnp.sqrt(jnp.abs(pHq))
+            gamma_kp1 = pHq / safe(beta_kp1)
+
+            ck_g, sk_g, d_km1 = sym_givens(dbar_km1, gamma)
+            ck = jnp.where(is1, -one, ck_g)
+            sk = jnp.where(is1, zero, sk_g)
+            eps_km2 = s_km1 * beta
+            lam2 = ck * beta + sk * alpha
+            dbar2 = sk * beta - ck * alpha
+            lam3 = -c_km1 * ck * beta + sk * alpha
+            dbar3 = -c_km1 * sk * beta - ck * alpha
+            lam_km1 = jnp.where(is2, lam2, lam3)
+            dbar_k = jnp.where(is1, alpha, jnp.where(is2, dbar2, dbar3))
+
+            # --- primal block (skipped once solved) ---
+            pm = sp_ == 0
+            pm_s = jnp.where(pm, one, zero)
+            zeta_km1_new = jnp.where(pm & ge2, eta_km1 / safe(d_km1),
+                                     zeta_km1)
+            zeta_km2_new = jnp.where(pm & (it >= 3), zeta_km1, zeta_km2)
+            eta_k = jnp.where(
+                pm,
+                jnp.where(is1, beta,
+                          jnp.where(is2, -lam_km1 * zeta_km1_new,
+                                    -eps_km2 * zeta_km2_new
+                                    - lam_km1 * zeta_km1_new)),
+                eta_km1)
+            x_add = jnp.where(pm & ge2, zeta_km1_new, zero)
+            x_ref[:] = x_ref[:] + (x_add * ck) * dbar_ref[:] \
+                + (x_add * sk) * vk
+            dbar_ref[:] = jnp.where(
+                pm, jnp.where(is1, vk, sk * dbar_ref[:] - ck * vk),
+                dbar_ref[:])
+
+            # --- dual block (uses the OLD uₖ₋₁ buffer) ---
+            dmv = sd_ == 0
+            psi_km1 = jnp.where(is1, zero, ck * psibar_km1)
+            psibar_k = jnp.where(is1, gamma, sk * psibar_km1)
+            w2 = ukm1_ref[:] / safe(d_km1)
+            w3 = (ukm1_ref[:] - lam_km2 * wkm2_ref[:]) / safe(d_km1)
+            w4 = (ukm1_ref[:] - lam_km2 * wkm2_ref[:]
+                  - eps_km3 * wkm3_ref[:]) / safe(d_km1)
+            w_km1 = jnp.where(is2, w2, jnp.where(it == 3, w3, w4))
+            y_add = jnp.where(dmv & ge2, psi_km1, zero)
+            y_ref[:] = y_ref[:] + y_add * w_km1
+            tau = jnp.where(dmv, tau0 + jnp.sum(uk * uk), tau0)
+            sNorm = jnp.where(dmv, jnp.abs(psibar_k) * jnp.sqrt(tau),
+                              sNorm0)
+
+            nz = pHq != 0
+            vk_new = jnp.where(nz, q / safe(beta_kp1), vk)
+            uk_new = jnp.where(nz, p / safe(gamma_kp1), uk)
+            vHv = jnp.sum(vk * vk_new)
+            norm_vkp1 = jnp.sqrt(jnp.sum(vk_new * vk_new))
+
+            mu = beta * (s_km1 * zeta_km2_new - c_km1 * ck * zeta_km1_new) \
+                + alpha * sk * zeta_km1_new
+            om = beta_kp1 * sk * zeta_km1_new
+            th = mu * om * vHv
+            rNorm_lq = jnp.where(
+                is1, rNorm0,
+                jnp.sqrt(mu * mu * norm_vk * norm_vk
+                         + om * om * norm_vkp1 * norm_vkp1 + 2 * th))
+            rNorm_lq = jnp.where(pm, rNorm_lq, rNorm0)
+
+            dbar_ok = jnp.abs(dbar_k) > eps_T
+            zetabar = jnp.where(pm & dbar_ok, eta_k / safe(dbar_k),
+                                zetabar0)
+            rho = beta_kp1 * (sk * zeta_km1_new - ck * zetabar)
+            rNorm_cg = jnp.abs(rho) * norm_vkp1
+
+            if transfer_to_bicg:
+                cg_t_b = dbar_ok & (rNorm_cg <= epsL)
+                cg_m_b = dbar_ok & ((rNorm_cg + 1.0) <= 1.0)
+            else:
+                cg_t_b = rNorm_lq < -1
+                cg_m_b = rNorm_lq < -1
+            lq_t_n = jnp.where(pm, (rNorm_lq <= epsL).astype(jnp.int32),
+                               lq_t)
+            lq_m_n = jnp.where(pm, ((rNorm_lq + 1.0) <= 1.0)
+                               .astype(jnp.int32), lq_m)
+            cg_t_n = jnp.where(pm, cg_t_b.astype(jnp.int32), cg_t)
+            cg_m_n = jnp.where(pm, cg_m_b.astype(jnp.int32), cg_m)
+            solved_lq = (lq_t_n == 1) | (lq_m_n == 1)
+            solved_cg = (cg_t_n == 1) | (cg_m_n == 1)
+            sp_n = jnp.where(pm & (solved_lq | solved_cg), jnp.int32(1),
+                             sp_)
+
+            qr_t_n = jnp.where(dmv, (sNorm <= epsQ).astype(jnp.int32),
+                               qr_t)
+            qr_m_n = jnp.where(dmv, ((sNorm + 1.0) <= 1.0)
+                               .astype(jnp.int32), qr_m)
+            sd_n = jnp.where(dmv & ((qr_t_n == 1) | (qr_m_n == 1)),
+                             jnp.int32(1), sd_)
+
+            brk = (~solved_lq) & (~solved_cg) & (pHq == 0)
+            code = jnp.where(
+                brk, jnp.int32(_UV_BREAKDOWN),
+                jnp.where((sp_n == 1) & (sd_n == 1),
+                          jnp.int32(_SOLVED_PRIMAL_DUAL),
+                          jnp.int32(_RUNNING)))
+
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = vk_new
+            upad_ref[P: P + rows] = uk_new
+            wkm3_ref[:] = jnp.where(ge2, wkm2_ref[:], wkm3_ref[:])
+            wkm2_ref[:] = jnp.where(ge2, w_km1, wkm2_ref[:])
+
+            cgflag_n = jnp.where(
+                (cgflag == 1) | (solved_cg & pm & ~solved_lq),
+                jnp.int32(1), cgflag)
+
+            return (it, beta_kp1, gamma_kp1, ck, sk, dbar_k,
+                    zeta_km1_new, zeta_km2_new, eta_k, zetabar, psibar_k,
+                    jnp.where(it >= 3, eps_km2, eps_km3),
+                    jnp.where(ge2, lam_km1, lam_km2),
+                    norm_vkp1, tau, rNorm_lq, sNorm,
+                    sp_n, sd_n, lq_t_n, lq_m_n, cg_t_n, cg_m_n,
+                    qr_t_n, qr_m_n, cgflag_n,
+                    brk.astype(jnp.int32), code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        @pl.when(out[25] == 1)
+        def _():
+            x_ref[:] = x_ref[:] + out[9] * dbar_ref[:]
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[15]
+        out_ref[1, 0] = out[16]
+        status_ref[0, 0] = out[27]
+        for i, j in enumerate((19, 20, 21, 22, 23, 24, 17, 18, 26)):
+            flags_ref[i, 0] = out[j]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, scal_out, status, flags = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((9, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 13 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            scal_out[0, 0], scal_out[1, 0], status[0, 0], flags[:, 0])
+
+
+def bilqr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 13 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 13, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj",
+                                   "transfer_to_usymcg", "interpret"))
+def trilqr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, atol, rtol,
+                     itmax, transfer_to_usymcg=True, interpret=None):
+    """Full TriLQR solve of Ax = b and Aᴴy = c for a DIA matrix, one launch.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/usymlq.py:_trilqr_core on the real square path
+    (reference src/trilqr.jl): one SSY process feeding the primal
+    USYMLQ recurrences and the dual QR recurrences with independent
+    masks and the dual inconsistency test.
+    Returns (x, y, niter, rNorm, sNorm, status_code, flags (9,)) where
+    flags = [lq_tol, lq_mach, cg_tol, cg_mach, qr_tol, qr_mach,
+    solved_primal, solved_dual, inconsistent_dual].
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    eps_T = float(jnp.finfo(b.dtype).eps)
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, out_ref, status_ref, flags_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref, dbar_ref,
+               wkm3_ref, wkm2_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+        F = jnp.int32(0)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        dbar_ref[:] = zv
+        wkm3_ref[:] = zv
+        wkm2_ref[:] = zv
+
+        bNorm = jnp.sqrt(jnp.sum(bv * bv))
+        cNorm = jnp.sqrt(jnp.sum(cv * cv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = bv / safe(bNorm)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = cv / safe(cNorm)
+        epsL = atol_v + rtol_v * bNorm
+        epsQ = atol_v + rtol_v * cNorm
+        sp0 = (bNorm == 0).astype(jnp.int32)
+        sd0 = (cNorm == 0).astype(jnp.int32)
+        status0 = jnp.where((sp0 == 1) & (sd0 == 1),
+                            jnp.int32(_ZERO_RESIDUAL),
+                            jnp.int32(_RUNNING))
+
+        carry0 = (jnp.int32(0), bNorm, cNorm, -one, zero, zero,
+                  zero, zero, zero, zero, zero, zero, zero, zero,
+                  bNorm, cNorm,
+                  sp0, sd0, F, F, F, F, F, F, F, F, status0)
+        # (it, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1, zeta_km2,
+        #  eta_km1, zetabar, psibar_km1, eps_km3, lam_km2, kappa, rNorm,
+        #  sNorm, solved_primal, solved_dual, lq_tol, lq_mach, cg_tol,
+        #  cg_mach, qr_tol, qr_mach, cgflag, incons_dual, status)
+
+        def cond(cr):
+            return (cr[26] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, c_km1, s_km1, dbar_km1, zeta_km1,
+             zeta_km2, eta_km1, zetabar0, psibar_km1, eps_km3, lam_km2,
+             kappa, rNorm0, sNorm0, sp_, sd_, lq_t, lq_m, cg_t, cg_m,
+             qr_t, qr_m, cgflag, incd, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+            is2 = it == 2
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            g2 = jnp.where(ge2, one, zero)
+            q = _stencil(upad_ref, pd_ref, shifts, P, rows, T) \
+                - (g2 * gamma) * vkm1_ref[:]
+            p = _stencil(vpad_ref, pda_ref, shifts_a, P, rows, T) \
+                - (g2 * beta) * ukm1_ref[:]
+            alpha = jnp.sum(vk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            beta_kp1 = jnp.sqrt(jnp.sum(q * q))
+            gamma_kp1 = jnp.sqrt(jnp.sum(p * p))
+
+            ck_g, sk_g, d_km1 = sym_givens(dbar_km1, gamma)
+            ck = jnp.where(is1, -one, ck_g)
+            sk = jnp.where(is1, zero, sk_g)
+            eps_km2 = s_km1 * beta
+            lam2 = ck * beta + sk * alpha
+            dbar2 = sk * beta - ck * alpha
+            lam3 = -c_km1 * ck * beta + sk * alpha
+            dbar3 = -c_km1 * sk * beta - ck * alpha
+            lam_km1 = jnp.where(is2, lam2, lam3)
+            dbar_k = jnp.where(is1, alpha, jnp.where(is2, dbar2, dbar3))
+
+            # --- primal (USYMLQ) ---
+            pm = sp_ == 0
+            zeta_km1_new = jnp.where(pm & ge2, eta_km1 / safe(d_km1),
+                                     zeta_km1)
+            zeta_km2_new = jnp.where(pm & (it >= 3), zeta_km1, zeta_km2)
+            eta_k = jnp.where(
+                pm,
+                jnp.where(is1, beta,
+                          jnp.where(is2, -lam_km1 * zeta_km1_new,
+                                    -eps_km2 * zeta_km2_new
+                                    - lam_km1 * zeta_km1_new)),
+                eta_km1)
+            x_add = jnp.where(pm & ge2, zeta_km1_new, zero)
+            x_ref[:] = x_ref[:] + (x_add * ck) * dbar_ref[:] \
+                + (x_add * sk) * uk
+            dbar_ref[:] = jnp.where(
+                pm, jnp.where(is1, uk, sk * dbar_ref[:] - ck * uk),
+                dbar_ref[:])
+
+            mu = beta * (s_km1 * zeta_km2_new - c_km1 * ck * zeta_km1_new) \
+                + alpha * sk * zeta_km1_new
+            om = beta_kp1 * sk * zeta_km1_new
+            rNorm_lq = jnp.where(is1, rNorm0,
+                                 jnp.sqrt(mu * mu + om * om))
+            rNorm_lq = jnp.where(pm, rNorm_lq, rNorm0)
+
+            dbar_ok = jnp.abs(dbar_k) > eps_T
+            zetabar = jnp.where(pm & dbar_ok, eta_k / safe(dbar_k),
+                                zetabar0)
+            rho = beta_kp1 * (sk * zeta_km1_new - ck * zetabar)
+            rNorm_cg = jnp.abs(rho)
+
+            if transfer_to_usymcg:
+                cg_t_b = dbar_ok & (rNorm_cg <= epsL)
+                cg_m_b = dbar_ok & ((rNorm_cg + 1.0) <= 1.0)
+            else:
+                cg_t_b = rNorm_lq < -1
+                cg_m_b = rNorm_lq < -1
+            lq_t_n = jnp.where(pm, (rNorm_lq <= epsL).astype(jnp.int32),
+                               lq_t)
+            lq_m_n = jnp.where(pm, ((rNorm_lq + 1.0) <= 1.0)
+                               .astype(jnp.int32), lq_m)
+            cg_t_n = jnp.where(pm, cg_t_b.astype(jnp.int32), cg_t)
+            cg_m_n = jnp.where(pm, cg_m_b.astype(jnp.int32), cg_m)
+            solved_lq = (lq_t_n == 1) | (lq_m_n == 1)
+            solved_cg = (cg_t_n == 1) | (cg_m_n == 1)
+            sp_n = jnp.where(pm & (solved_lq | solved_cg), jnp.int32(1),
+                             sp_)
+
+            # --- dual (QR on Aᴴy = c), directions from the OLD vₖ₋₁ ---
+            dmv = sd_ == 0
+            psi_km1 = jnp.where(is1, zero, ck * psibar_km1)
+            psibar_k = jnp.where(is1, gamma, sk * psibar_km1)
+            w2d = vkm1_ref[:] / safe(d_km1)
+            w3d = (vkm1_ref[:] - lam_km2 * wkm2_ref[:]) / safe(d_km1)
+            w4d = (vkm1_ref[:] - lam_km2 * wkm2_ref[:]
+                   - eps_km3 * wkm3_ref[:]) / safe(d_km1)
+            w_km1d = jnp.where(is2, w2d, jnp.where(it == 3, w3d, w4d))
+            y_add = jnp.where(dmv & ge2, psi_km1, zero)
+            y_ref[:] = y_ref[:] + y_add * w_km1d
+            sNorm = jnp.where(dmv, jnp.abs(psibar_k), sNorm0)
+            AsNorm = jnp.abs(psibar_k) * jnp.sqrt(
+                dbar_k * dbar_k + (ck * beta_kp1) ** 2)
+            kappa_n = jnp.where(is1, atol_v + rtol_v * AsNorm, kappa)
+            qr_t_n = jnp.where(dmv, (sNorm <= epsQ).astype(jnp.int32),
+                               qr_t)
+            qr_m_n = jnp.where(dmv, ((sNorm + 1.0) <= 1.0)
+                               .astype(jnp.int32), qr_m)
+            incd_n = jnp.where(dmv, (AsNorm <= kappa_n).astype(jnp.int32),
+                               incd)
+            sd_n = jnp.where(
+                dmv & ((qr_t_n == 1) | (qr_m_n == 1) | (incd_n == 1)),
+                jnp.int32(1), sd_)
+
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = jnp.where(
+                beta_kp1 != 0, q / safe(beta_kp1), vk)
+            upad_ref[P: P + rows] = jnp.where(
+                gamma_kp1 != 0, p / safe(gamma_kp1), uk)
+            wkm3_ref[:] = jnp.where(ge2, wkm2_ref[:], wkm3_ref[:])
+            wkm2_ref[:] = jnp.where(ge2, w_km1d, wkm2_ref[:])
+
+            code = jnp.where((sp_n == 1) & (sd_n == 1),
+                             jnp.int32(_SOLVED_PRIMAL_DUAL),
+                             jnp.int32(_RUNNING))
+            cgflag_n = jnp.where(
+                (cgflag == 1) | (solved_cg & pm & ~solved_lq),
+                jnp.int32(1), cgflag)
+
+            return (it, beta_kp1, gamma_kp1, ck, sk, dbar_k,
+                    zeta_km1_new, zeta_km2_new, eta_k, zetabar, psibar_k,
+                    jnp.where(it >= 3, eps_km2, eps_km3),
+                    jnp.where(ge2, lam_km1, lam_km2),
+                    kappa_n, rNorm_lq, sNorm,
+                    sp_n, sd_n, lq_t_n, lq_m_n, cg_t_n, cg_m_n,
+                    qr_t_n, qr_m_n, cgflag_n, incd_n, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        @pl.when(out[24] == 1)
+        def _():
+            x_ref[:] = x_ref[:] + out[9] * dbar_ref[:]
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[14]
+        out_ref[1, 0] = out[15]
+        status_ref[0, 0] = out[26]
+        for i, j in enumerate((18, 19, 20, 21, 22, 23, 16, 17, 25)):
+            flags_ref[i, 0] = out[j]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, scal_out, status, flags = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((9, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 13 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            scal_out[0, 0], scal_out[1, 0], status[0, 0], flags[:, 0])
+
+
+def trilqr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 13 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 13, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offsets", "offsets_adj", "ls", "ln",
+                                   "interpret"))
+def usymlqr_dia_fused(pd, pd_adj, offsets, offsets_adj, b, c, atol, rtol,
+                      itmax, ls=True, ln=True, interpret=None):
+    """Full USYMLQR solve of [I A; Aᴴ 0][x;y]=[b;c], one kernel launch.
+
+    Whole-solve-in-VMEM port of
+    krylov_tpu/solvers/usymlq.py:_usymlqr_core on the real square path
+    (reference src/usymlqr.jl): one SSY process feeding the
+    least-squares QR recurrences (y, r, ‖Aᴴr‖ inconsistency test) and
+    the least-norm LQ recurrences (xᴸ, z), with the saddle-point
+    composition x ← xᴸ + r, y ← yₖ + zᴸ applied in-kernel.
+    Returns (x, y, niter, rNorm_ls, rNorm_ln, status_code, inconsistent).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (n, nd, T, rows, P, bw, cw, pdw, pdaw, shifts, shifts_a, itmax_s,
+     scal_s) = _tri_prolog(pd, pd_adj, offsets, offsets_adj, b, c, itmax,
+                           [atol, rtol])
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pd_ref, pda_ref,
+               x_ref, y_ref, niter_ref, out_ref, status_ref, incon_ref,
+               vpad_ref, upad_ref, vkm1_ref, ukm1_ref,
+               r_ref, z_ref, wkm1_ref, wkm2_ref, dbar_ref):
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        z_ref[:] = zv
+        vkm1_ref[:] = zv
+        ukm1_ref[:] = zv
+        wkm1_ref[:] = zv
+        wkm2_ref[:] = zv
+        dbar_ref[:] = zv
+
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        gamma0 = jnp.sqrt(jnp.sum(cv * cv))
+        vpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        vpad_ref[P: P + rows] = jnp.where(beta0 != 0, bv / safe(beta0), zv)
+        upad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        upad_ref[P: P + rows] = jnp.where(gamma0 != 0,
+                                          cv / safe(gamma0), zv)
+        r_ref[:] = bv if ls else zv
+        eps_ls = atol_v + rtol_v * beta0
+        eps_ln = atol_v + rtol_v * gamma0
+        sls0 = ((beta0 <= eps_ls) if ls else (beta0 == beta0))
+        sln0 = ((gamma0 <= eps_ln) if ln else (gamma0 == gamma0))
+        if not ls:
+            sls0 = beta0 == beta0     # always True
+        if not ln:
+            sln0 = gamma0 == gamma0
+        status0 = jnp.where(sls0 & sln0, jnp.int32(_SOLVED),
+                            jnp.int32(_RUNNING))
+
+        carry0 = (jnp.int32(0), beta0, gamma0, -one, zero, -one, zero,
+                  beta0, zero, zero, zero, zero, zero, beta0, gamma0,
+                  jnp.asarray(jnp.inf, T),
+                  sls0.astype(jnp.int32), sln0.astype(jnp.int32),
+                  jnp.int32(0), status0)
+        # (it, beta, gamma, c_km2, s_km2, c_km1, s_km1, phibar,
+        #  zeta_km1, zeta_km2, eta_km1, delta_km1, kappa, rNorm_ls,
+        #  rNorm_ln, AHrNorm, solved_ls, solved_ln, incons, status)
+
+        def cond(cr):
+            return (cr[19] == _RUNNING) & (cr[0] < cap)
+
+        def body(cr):
+            (it0, beta, gamma, c_km2, s_km2, c_km1, s_km1, phibar,
+             zeta_km1, zeta_km2, eta_km1, delta_km1, kappa, rNorm_ls0,
+             rNorm_ln0, AHrNorm0, sls, sln, incons0, status) = cr
+            it = it0 + 1
+            is1 = it == 1
+            ge2 = it >= 2
+
+            vk = vpad_ref[P: P + rows]
+            uk = upad_ref[P: P + rows]
+            g2 = jnp.where(ge2, one, zero)
+            q = _stencil(upad_ref, pd_ref, shifts, P, rows, T) \
+                - (g2 * gamma) * vkm1_ref[:]
+            p = _stencil(vpad_ref, pda_ref, shifts_a, P, rows, T) \
+                - (g2 * beta) * ukm1_ref[:]
+            alpha = jnp.sum(vk * q)
+            q = q - alpha * vk
+            p = p - alpha * uk
+            beta_kp1 = jnp.sqrt(jnp.sum(q * q))
+            gamma_kp1 = jnp.sqrt(jnp.sum(p * p))
+
+            eps_km2 = s_km2 * gamma
+            lambdabar = -c_km2 * gamma
+            lam_km1 = c_km1 * lambdabar + s_km1 * alpha
+            deltabar = s_km1 * lambdabar - c_km1 * alpha
+            ck, sk, delta = sym_givens(deltabar, beta_kp1)
+
+            w_new = (uk - lam_km1 * wkm1_ref[:]
+                     - eps_km2 * wkm2_ref[:]) / safe(delta)
+
+            # --- least-squares part (reference usymlqr.jl:334-367) ---
+            als_b = (sls == 0) if ls else (it < -1)
+            als = jnp.where(als_b, one, zero)
+            phi = ck * phibar
+            phibar_next = sk * phibar
+            y_ref[:] = y_ref[:] + (als * phi) * w_new
+            rfac = jnp.where(beta_kp1 != 0,
+                             -ck * phibar_next / safe(beta_kp1), zero)
+            r_old = r_ref[:]
+            r_ref[:] = jnp.where(als_b,
+                                 (sk * sk) * r_old + rfac * q, r_old)
+            rNorm_ls = jnp.where(als_b, jnp.abs(phibar_next), rNorm_ls0)
+            AHrNorm = jnp.where(
+                als_b,
+                jnp.abs(phibar) * jnp.sqrt(
+                    deltabar * deltabar + (c_km1 * gamma_kp1) ** 2),
+                AHrNorm0)
+            kappa_n = jnp.where((it == 1) if ls else (it < -1),
+                                atol_v + rtol_v * AHrNorm, kappa)
+            sls_n = jnp.where(als_b & (rNorm_ls <= eps_ls), jnp.int32(1),
+                              sls)
+            incons = jnp.where(
+                als_b,
+                (~(rNorm_ls <= eps_ls) & (AHrNorm <= kappa_n))
+                .astype(jnp.int32),
+                incons0)
+            phibar_new = jnp.where(als_b, phibar_next, phibar)
+
+            # --- least-norm part (reference usymlqr.jl:370-436) ---
+            aln_b = (sln == 0) if ln else (it < -1)
+            zeta_km1_new = jnp.where(aln_b & ge2,
+                                     eta_km1 / safe(delta_km1), zeta_km1)
+            zeta_km2_new = jnp.where(aln_b & (it >= 3), zeta_km1,
+                                     zeta_km2)
+            eta = jnp.where(
+                aln_b,
+                jnp.where(is1, gamma,
+                          -eps_km2 * zeta_km2_new
+                          - lam_km1 * zeta_km1_new),
+                eta_km1)
+            x_add = jnp.where(aln_b & ge2, zeta_km1_new, zero)
+            x_ref[:] = x_ref[:] + (x_add * c_km1) * dbar_ref[:] \
+                + (x_add * s_km1) * vk
+            z_ref[:] = z_ref[:] - x_add * wkm1_ref[:]
+            dbar_ref[:] = jnp.where(
+                aln_b,
+                jnp.where(is1, vk, s_km1 * dbar_ref[:] - c_km1 * vk),
+                dbar_ref[:])
+            mu = gamma * (s_km2 * zeta_km2_new
+                          - c_km2 * c_km1 * zeta_km1_new) \
+                + alpha * s_km1 * zeta_km1_new
+            om = gamma_kp1 * s_km1 * zeta_km1_new
+            rNorm_ln = jnp.where(
+                aln_b & ge2, jnp.sqrt(mu * mu + om * om), rNorm_ln0)
+            sln_n = jnp.where(aln_b & (rNorm_ln <= eps_ln), jnp.int32(1),
+                              sln)
+            eta_km1_new = jnp.where(aln_b, eta, eta_km1)
+
+            vkm1_ref[:] = vk
+            ukm1_ref[:] = uk
+            vpad_ref[P: P + rows] = jnp.where(
+                beta_kp1 != 0, q / safe(beta_kp1), zv)
+            upad_ref[P: P + rows] = jnp.where(
+                gamma_kp1 != 0, p / safe(gamma_kp1), zv)
+            wkm2_ref[:] = wkm1_ref[:]
+            wkm1_ref[:] = w_new
+
+            solved = (sls_n == 1) & (sln_n == 1)
+            code = jnp.where(
+                solved, jnp.int32(_SOLVED),
+                jnp.where(incons == 1, jnp.int32(_INCONSISTENT),
+                          jnp.int32(_RUNNING)))
+
+            return (it, beta_kp1, gamma_kp1, c_km1, s_km1, ck, sk,
+                    phibar_new, zeta_km1_new, zeta_km2_new, eta_km1_new,
+                    delta, kappa_n, rNorm_ls, rNorm_ln, AHrNorm,
+                    sls_n, sln_n, incons, code)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        # Saddle-point composition (reference usymlqr.jl:494-497).
+        x_ref[:] = x_ref[:] + r_ref[:]
+        y_ref[:] = y_ref[:] + z_ref[:]
+        niter_ref[0, 0] = out[0]
+        out_ref[0, 0] = out[13]
+        out_ref[1, 0] = out[14]
+        status_ref[0, 0] = out[19]
+        incon_ref[0, 0] = out[18]
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    x, y, niter, scal_out, status, incon = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((2 * nd * pd_bytes + 15 * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdw, pdaw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            scal_out[0, 0], scal_out[1, 0], status[0, 0], incon[0, 0])
+
+
+def usymlqr_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: 2 stencils + 15 vectors fit in VMEM (~100 MB)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    both = tuple(offsets) + tuple(-int(k) for k in offsets)
+    return _fused_bytes(both, n, dtype, 15, stencil_dtype) < 100 * (1 << 20)
+
+
+@partial(jax.jit, static_argnames=("offs_a", "offs_b", "mem", "interpret"))
+def gpmr_dia_fused(pd_a, pd_b, offs_a, offs_b, b, c, lam, mu,
+                   atol, rtol, itmax, mem=20, interpret=None):
+    """Full GPMR solve of [λI A; B μI][x;y]=[b;c], one kernel launch.
+
+    Whole-solve-in-VMEM port of krylov_tpu/solvers/gpmr.py:_gpmr_core on
+    the real path (C = D = E = F = I; reference src/gpmr.jl): the
+    Montoison-Orban process with two independent DIA operators (A
+    applied to the U stream, B to the V stream), the interleaved
+    two-column Sₖ₊₁.ₖ updates with the reflection-quadruple ring on
+    SMEM, and in-kernel back substitution + basis accumulation.
+    Returns (x, y, niter, rNorm, status_code, inconsistent).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd_a = pd_a.shape[0]
+    nd_b = pd_b.shape[0]
+    T = b.dtype
+    btol = float(jnp.finfo(T).eps) ** 0.75
+    rows, P = _plan(tuple(offs_a) + tuple(offs_b), n)
+    npad = rows * LANES
+    two = 2 * mem
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    cw = jnp.zeros((npad,), T).at[:n].set(c).reshape(rows, LANES)
+    pdaw = jnp.zeros((nd_a, npad), pd_a.dtype).at[:, :n].set(
+        pd_a).reshape(nd_a, rows, LANES)
+    pdbw = jnp.zeros((nd_b, npad), pd_b.dtype).at[:, :n].set(
+        pd_b).reshape(nd_b, rows, LANES)
+    sh_a = tuple((int(k) // LANES, int(k) % LANES) for k in offs_a)
+    sh_b = tuple((int(k) // LANES, int(k) % LANES) for k in offs_b)
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([lam, mu, atol, rtol], T).reshape(4, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, c_ref, pda_ref, pdb_ref,
+               x_ref, y_ref, niter_ref, rnorm_ref, status_ref, incon_ref,
+               V_ref, U_ref, qpad_ref, ppad_ref,
+               h_ref, f_ref, co_ref, ce_ref, R_ref, zt_ref, gc_ref,
+               gs_ref):
+        lam_v = s_ref[0, 0]
+        mu_v = s_ref[1, 0]
+        atol_v = s_ref[2, 0]
+        rtol_v = s_ref[3, 0]
+        cap = itmax_ref[0, 0]
+        zero = jnp.zeros((), T)
+
+        def safe(d):
+            return jnp.where(d == 0, jnp.ones_like(d), d)
+
+        bv = b_ref[:]
+        cv = c_ref[:]
+        zv = jnp.zeros((rows, LANES), T)
+        x_ref[:] = zv
+        y_ref[:] = zv
+        qpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        V_ref[:] = jnp.zeros(((mem + 1) * rows, LANES), T)
+        U_ref[:] = jnp.zeros(((mem + 1) * rows, LANES), T)
+        for i in range(two + 2):
+            zt_ref[i] = zero
+        for i in range(4 * mem):
+            gc_ref[i] = zero
+            gs_ref[i] = zero
+
+        beta0 = jnp.sqrt(jnp.sum(bv * bv))
+        gamma0 = jnp.sqrt(jnp.sum(cv * cv))
+        V_ref[pl.ds(0, rows), :] = jnp.where(beta0 != 0,
+                                             bv / safe(beta0), zv)
+        U_ref[pl.ds(0, rows), :] = jnp.where(gamma0 != 0,
+                                             cv / safe(gamma0), zv)
+        rNorm0 = jnp.sqrt(beta0 * beta0 + gamma0 * gamma0)
+        eps_lim = atol_v + rtol_v * rNorm0
+        zt_ref[0] = beta0
+        zt_ref[1] = gamma0
+        status0 = jnp.where(
+            rNorm0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rNorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(carry):
+            it, rNorm, incons, status = carry
+            return (status == _RUNNING) & (it < cap)
+
+        def body(carry):
+            it0, rNorm, incons, status = carry
+            k = it0 + 1            # 1-based
+            ki = it0               # 0-based slot
+
+            vk = V_ref[pl.ds(ki * rows, rows), :]
+            uk = U_ref[pl.ds(ki * rows, rows), :]
+            qpad_ref[P: P + rows] = uk
+            q = _stencil(qpad_ref, pda_ref, sh_a, P, rows, T)   # A·uk
+            ppad_ref[P: P + rows] = vk
+            p = _stencil(ppad_ref, pdb_ref, sh_b, P, rows, T)   # B·vk
+
+            # CGS against V[0..k-1] and U[0..k-1].
+            def dots(j, _):
+                vj = V_ref[pl.ds(j * rows, rows), :]
+                uj = U_ref[pl.ds(j * rows, rows), :]
+                h_ref[j] = jnp.sum(vj * q)
+                f_ref[j] = jnp.sum(uj * p)
+                return 0
+
+            jax.lax.fori_loop(0, k, dots, 0)
+
+            def sub(j, qp):
+                qq, pp = qp
+                vj = V_ref[pl.ds(j * rows, rows), :]
+                uj = U_ref[pl.ds(j * rows, rows), :]
+                return (qq - h_ref[j] * vj, pp - f_ref[j] * uj)
+
+            q, p = jax.lax.fori_loop(0, k, sub, (q, p))
+            Haux = jnp.sqrt(jnp.sum(q * q))
+            Faux = jnp.sqrt(jnp.sum(p * p))
+
+            # Build the two new columns of Sₖ₊₁.ₖ on SMEM.
+            for d in range(two + 2):
+                co_ref[d] = zero
+                ce_ref[d] = zero
+
+            def fill(j, _):
+                co_ref[2 * j + 1] = f_ref[j]
+                ce_ref[2 * j] = h_ref[j]
+                return 0
+
+            jax.lax.fori_loop(0, k, fill, 0)
+            co_ref[2 * k - 2] = co_ref[2 * k - 2] + lam_v
+            ce_ref[2 * k - 1] = ce_ref[2 * k - 1] + mu_v
+
+            # Apply previous reflection quadruples i = 1..k-1.
+            def rot(i0, _):
+                @pl.when(i0 <= k - 2)
+                def _():
+                    c1 = gc_ref[4 * i0]
+                    s1 = gs_ref[4 * i0]
+                    c2 = gc_ref[4 * i0 + 1]
+                    s2 = gs_ref[4 * i0 + 1]
+                    c3 = gc_ref[4 * i0 + 2]
+                    s3 = gs_ref[4 * i0 + 2]
+                    c4 = gc_ref[4 * i0 + 3]
+                    s4 = gs_ref[4 * i0 + 3]
+                    for col in (co_ref, ce_ref):
+                        r1 = col[2 * i0]
+                        r2 = col[2 * i0 + 1]
+                        r3 = col[2 * i0 + 2]
+                        r4 = col[2 * i0 + 3]
+                        t = c1 * r1 + s1 * r4
+                        r4 = s1 * r1 - c1 * r4
+                        r1 = t
+                        t = c2 * r1 + s2 * r2
+                        r2 = s2 * r1 - c2 * r2
+                        r1 = t
+                        t = c3 * r2 + s3 * r4
+                        r4 = s3 * r2 - c3 * r4
+                        r2 = t
+                        t = c4 * r2 + s4 * r3
+                        r3 = s4 * r2 - c4 * r3
+                        r2 = t
+                        col[2 * i0] = r1
+                        col[2 * i0 + 1] = r2
+                        col[2 * i0 + 2] = r3
+                        col[2 * i0 + 3] = r4
+                return 0
+
+            jax.lax.fori_loop(0, mem, rot, 0)
+
+            # Current reflections (reference src/gpmr.jl:411-443).
+            do = co_ref[2 * k - 2]
+            om_ = co_ref[2 * k - 1]
+            de1 = ce_ref[2 * k - 2]
+            de2 = ce_ref[2 * k - 1]
+            c1k, s1k, do = sym_givens(do, Faux)
+            theta = s1k * de1
+            de1 = c1k * de1
+            c2k, s2k, do = sym_givens(do, om_)
+            t_ = c2k * de1 + s2k * de2
+            de2 = s2k * de1 - c2k * de2
+            de1 = t_
+            c3k, s3k, de2 = sym_givens(de2, theta)
+            c4k, s4k, de2 = sym_givens(de2, Haux)
+            co_ref[2 * k - 2] = do
+            co_ref[2 * k - 1] = zero
+            ce_ref[2 * k - 2] = de1
+            ce_ref[2 * k - 1] = de2
+
+            def wR(i, _):
+                R_ref[(2 * k - 2) * (two + 2) + i] = co_ref[i]
+                R_ref[(2 * k - 1) * (two + 2) + i] = ce_ref[i]
+                return 0
+
+            jax.lax.fori_loop(0, 2 * k, wR, 0)
+
+            # Update t̄ₖ (reference :445-466).
+            z1 = zt_ref[2 * k - 2]
+            z2 = zt_ref[2 * k - 1]
+            tbar_pp = s1k * z1
+            z1 = c1k * z1
+            t_ = c2k * z1 + s2k * z2
+            z2 = s2k * z1 - c2k * z2
+            z1 = t_
+            t_ = c3k * z2 + s3k * tbar_pp
+            tbar_pp = s3k * z2 - c3k * tbar_pp
+            z2 = t_
+            tbar_p = s4k * z2
+            z2 = c4k * z2
+            zt_ref[2 * k - 2] = z1
+            zt_ref[2 * k - 1] = z2
+
+            gc_ref[4 * k - 4] = c1k
+            gs_ref[4 * k - 4] = s1k
+            gc_ref[4 * k - 3] = c2k
+            gs_ref[4 * k - 3] = s2k
+            gc_ref[4 * k - 2] = c3k
+            gs_ref[4 * k - 2] = s3k
+            gc_ref[4 * k - 1] = c4k
+            gs_ref[4 * k - 1] = s4k
+
+            rNorm_n = jnp.sqrt(tbar_p * tbar_p + tbar_pp * tbar_pp)
+            solved = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+            breakdown = (Faux <= btol) & (Haux <= btol)
+            tired_mem = k >= mem
+            code = jnp.int32(_RUNNING)
+            code = jnp.where(tired_mem, jnp.int32(_TIRED_K), code)
+            code = jnp.where(breakdown, jnp.int32(_BREAKDOWN), code)
+            code = jnp.where(solved, jnp.int32(_SOLVED), code)
+
+            cont = code == _RUNNING
+
+            @pl.when(cont)
+            def _():
+                V_ref[pl.ds(k * rows, rows), :] = jnp.where(
+                    Haux > btol, q / safe(Haux), zv)
+                U_ref[pl.ds(k * rows, rows), :] = jnp.where(
+                    Faux > btol, p / safe(Faux), zv)
+                zt_ref[2 * k] = tbar_p
+                zt_ref[2 * k + 1] = tbar_pp
+
+            return (k, rNorm_n, incons, code)
+
+        carry0 = (jnp.int32(0), rNorm0, jnp.int32(0), status0)
+        niter, rNorm, incons, status = jax.lax.while_loop(
+            cond, body, carry0)
+
+        # Back substitution on the 2k×2k triangle (reference :507-520).
+        k2 = 2 * niter
+        incon_ref[0, 0] = jnp.int32(0)
+
+        def bs(idx, _):
+            i = k2 - 1 - idx
+
+            def inner(j, acc):
+                return acc - R_ref[j * (two + 2) + i] * zt_ref[j]
+
+            acc = jax.lax.fori_loop(i + 1, k2, inner, zt_ref[i])
+            diag = R_ref[i * (two + 2) + i]
+            sing = jnp.abs(diag) <= btol
+            zt_ref[i] = jnp.where(sing, zero,
+                                  acc / jnp.where(sing, jnp.ones_like(diag),
+                                                  diag))
+            @pl.when(sing)
+            def _():
+                incon_ref[0, 0] = jnp.int32(1)
+            return 0
+
+        jax.lax.fori_loop(0, k2, bs, 0)
+
+        def xacc(i, _):
+            vi = V_ref[pl.ds(i * rows, rows), :]
+            ui = U_ref[pl.ds(i * rows, rows), :]
+            x_ref[:] = x_ref[:] + zt_ref[2 * i] * vi
+            y_ref[:] = y_ref[:] + zt_ref[2 * i + 1] * ui
+            return 0
+
+        jax.lax.fori_loop(0, niter, xacc, 0)
+        niter_ref[0, 0] = niter
+        rnorm_ref[0, 0] = rNorm
+        status_ref[0, 0] = status
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd_a.dtype).itemsize
+    x, y, niter, rnorm, status, incon = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((mem + 1) * rows, LANES), T),
+            pltpu.VMEM(((mem + 1) * rows, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.SMEM((mem + 1,), T),
+            pltpu.SMEM((mem + 1,), T),
+            pltpu.SMEM((two + 2,), T),
+            pltpu.SMEM((two + 2,), T),
+            pltpu.SMEM(((two + 2) * two,), T),
+            pltpu.SMEM((two + 2,), T),
+            pltpu.SMEM((4 * mem,), T),
+            pltpu.SMEM((4 * mem,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(((nd_a + nd_b) * pd_bytes
+                                  + (2 * mem + 8) * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, bw, cw, pdaw, pdbw)
+    return (x.reshape(-1)[:n], y.reshape(-1)[:n], niter[0, 0],
+            rnorm[0, 0], status[0, 0], incon[0, 0])
+
+
+def gpmr_dia_fused_supported(offs_a, offs_b, n, dtype, mem,
+                             stencil_dtype=None):
+    """Static gate: both stencils + 2(mem+1)+6 vectors fit in VMEM and
+    the SMEM triangle stays small (mem ≤ 64)."""
+    if jnp.dtype(dtype).kind != "f" or mem > 64:
+        return False
+    both = tuple(offs_a) + tuple(offs_b)
+    return _fused_bytes(both, n, dtype, 2 * mem + 8,
+                        stencil_dtype) < 100 * (1 << 20)

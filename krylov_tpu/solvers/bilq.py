@@ -840,6 +840,39 @@ def _bilqr_solve(
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
 
+    # Fast path: square DIA stencil + default config → fused kernel.
+    if (x0 is None and y0 is None and not history and callback is None
+            and verbose == 0 and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (bilqr_dia_fused,
+                                        bilqr_dia_fused_supported)
+        if bilqr_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                     stencil_dtype=A._pd.dtype):
+            import types
+            pd_adj, offs_adj = A.aligned_adjoint()
+            x, y, niter, rnorm, snorm, code_d, flags = bilqr_dia_fused(
+                A._pd, pd_adj, A.dia.offsets, offs_adj, b, c, atol, rtol,
+                itmax, transfer_to_bicg=bool(transfer_to_bicg))
+            niter, code, flags = jax.device_get([niter, code_d, flags])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            fl = [bool(v) for v in flags]
+            shim = types.SimpleNamespace(
+                solved_lq_tol=fl[0], solved_lq_mach=fl[1],
+                solved_cg_tol=fl[2], solved_cg_mach=fl[3],
+                solved_qr_tol=fl[4], solved_qr_mach=fl[5],
+                solved_primal=fl[6], solved_dual=fl[7], breakdown=fl[8])
+            stats = AdjointStats(
+                niter=niter,
+                solved_primal=fl[6], solved_dual=fl[7],
+                residuals_primal=np.zeros(0),
+                residuals_dual=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=_bilqr_status(shim, code),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
+
     def run(state, cap):
         return _bilqr_core(
             A, b, c, x0, y0, state, jnp.int32(cap), atol, rtol,

@@ -303,6 +303,39 @@ def _gpmr_solve(
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
 
+    # Fast path: BOTH operands are square DIA stencils + default config
+    # → fused whole-solve kernel (V/U panels + SMEM triangle in VMEM).
+    if (all(P is None for P in (C, D, E, F)) and x0 is None and y0 is None
+            and not history and callback is None and verbose == 0
+            and not reorthogonalization and timemax == float("inf")
+            and m == n
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None
+            and getattr(B, "use_pallas", False)
+            and getattr(B, "_pd", None) is not None):
+        from ..ops.pallas_fused import (gpmr_dia_fused,
+                                        gpmr_dia_fused_supported)
+        if gpmr_dia_fused_supported(A.dia.offsets, B.dia.offsets, n,
+                                    b.dtype, mem,
+                                    stencil_dtype=A._pd.dtype):
+            x, y, niter, rnorm, code_d, incon = gpmr_dia_fused(
+                A._pd, B._pd, A.dia.offsets, B.dia.offsets, b, c,
+                float(lam), float(mu), atol, rtol, itmax, mem=mem)
+            niter, code, incon = jax.device_get([niter, code_d, incon])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            inconsistent = bool(incon)
+            if inconsistent and code != rt.SOLVED:
+                code = rt.INCONSISTENT
+            stats = SimpleStats(
+                niter=niter, solved=rt.is_solved_code(code),
+                inconsistent=inconsistent,
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return jnp.asarray(x), jnp.asarray(y), stats, None
+
     def run(state, cap):
         return _gpmr_core(
             A, B, C, D, E, F, b, c, x0, y0, state, jnp.int32(cap),

@@ -1132,3 +1132,158 @@ def test_fused_fgmres_identity_precond_routes():
     assert stats.status == stats_ref.status
     r = np.asarray(b) - np.asarray(op_ref.matvec(x))
     assert np.linalg.norm(r) <= 1.1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_fused_bilqr_matches_general():
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, y, stats = kt.bilqr(op_fast, b, c, atol=0.0, rtol=1e-8)
+    xr, yr, stats_ref = kt.bilqr(op_ref, b, c, atol=0.0, rtol=1e-8)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert stats.solved_primal == stats_ref.solved_primal
+    assert stats.solved_dual == stats_ref.solved_dual
+    r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+    s = np.asarray(c) - np.asarray(op_ref.rmatvec(y))
+    assert np.linalg.norm(r) <= 2e-8 * np.linalg.norm(np.asarray(b))
+    assert np.linalg.norm(s) <= 2e-8 * np.linalg.norm(np.asarray(c))
+
+
+def test_fused_bilqr_zero_and_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, y, stats = kt.bilqr(op, jnp.zeros(n, np.float64),
+                           jnp.zeros(n, np.float64))
+    assert "Breakdown" in stats.status or "zero-residual" in stats.status
+    x, y, stats = kt.bilqr(op, b, c, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals_primal.size > 0
+    x0 = 1.2 * jnp.ones(n, np.float64)
+    y0 = 0.8 * jnp.ones(n, np.float64)
+    x, y, stats = kt.bilqr(op, b, c, x0, y0, atol=0.0, rtol=1e-8)
+    assert stats.solved_primal and stats.solved_dual
+
+
+def test_fused_trilqr_matches_general():
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, y, stats = kt.trilqr(op_fast, b, c, atol=0.0, rtol=1e-8)
+    xr, yr, stats_ref = kt.trilqr(op_ref, b, c, atol=0.0, rtol=1e-8)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert stats.solved_primal == stats_ref.solved_primal
+    assert stats.solved_dual == stats_ref.solved_dual
+    r = np.asarray(b) - np.asarray(op_ref.matvec(x))
+    s = np.asarray(c) - np.asarray(op_ref.rmatvec(y))
+    assert np.linalg.norm(r) <= 2e-8 * np.linalg.norm(np.asarray(b))
+    assert np.linalg.norm(s) <= 2e-8 * np.linalg.norm(np.asarray(c))
+
+
+def test_fused_trilqr_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, y, stats = kt.trilqr(op, b, c, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals_primal.size > 0
+    x0 = 1.2 * jnp.ones(n, np.float64)
+    y0 = 0.8 * jnp.ones(n, np.float64)
+    x, y, stats = kt.trilqr(op, b, c, x0, y0, atol=0.0, rtol=1e-8)
+    assert stats.solved_primal and stats.solved_dual
+
+
+@pytest.mark.parametrize("mode", [{}, {"ls": True, "ln": False},
+                                  {"ls": False, "ln": True}])
+def test_fused_usymlqr_matches_general(mode):
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    x, y, stats = kt.usymlqr(op_fast, b, c, atol=0.0, rtol=1e-8, **mode)
+    xr, yr, stats_ref = kt.usymlqr(op_ref, b, c, atol=0.0, rtol=1e-8,
+                                   **mode)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * (
+        float(jnp.max(jnp.abs(xr))) + 1)
+    assert float(jnp.max(jnp.abs(y - yr))) < 1e-6 * (
+        float(jnp.max(jnp.abs(yr))) + 1)
+
+
+def test_fused_usymlqr_saddle_residual_and_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    x, y, stats = kt.usymlqr(op, b, c, atol=0.0, rtol=1e-10)
+    # saddle system [I A; Aᴴ 0][x;y] = [b;c]
+    r1 = b - (x + op.matvec(y))
+    r2 = c - op.rmatvec(x)
+    assert float(jnp.linalg.norm(r1)) <= 1e-8 * float(jnp.linalg.norm(b))
+    assert float(jnp.linalg.norm(r2)) <= 1e-8 * float(jnp.linalg.norm(c))
+    x, y, stats = kt.usymlqr(op, b, c, history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals.size > 0
+
+
+def test_fused_gpmr_matches_general():
+    import krylov_tpu as kt
+    from krylov_tpu.ops.dia import convdiff_dia
+    D = convdiff_dia(8, 8, 8, dtype=np.float64)
+    n = D.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    opA_f = DIAOperator(D, use_pallas=True)
+    opA_r = DIAOperator(D, use_pallas=False)
+    from krylov_tpu.ops.dia import DIAMatrix
+    pd_adj, offs_adj = opA_f.aligned_adjoint()
+    DT = DIAMatrix(pd_adj, offs_adj, D.shape)
+    opB_f = DIAOperator(DT, use_pallas=True)
+    opB_r = DIAOperator(DT, use_pallas=False)
+    # [I A; A^T -I] generalized saddle system, memory 40 (no restart)
+    x, y, stats = kt.gpmr(opA_f, opB_f, b, c, lam=1.0, mu=-1.0,
+                          memory=40, itmax=40, atol=0.0, rtol=1e-8)
+    xr, yr, stats_ref = kt.gpmr(opA_r, opB_r, b, c, lam=1.0, mu=-1.0,
+                                memory=40, itmax=40, atol=0.0, rtol=1e-8)
+    assert abs(stats.niter - stats_ref.niter) <= 1
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(xr))) + 1)
+    assert float(jnp.max(jnp.abs(y - yr))) < 1e-7 * (
+        float(jnp.max(jnp.abs(yr))) + 1)
+    # true block residual
+    r1 = b - (x + opA_r.matvec(y))
+    r2 = c - (opB_r.matvec(x) - y)
+    rn = float(jnp.sqrt(jnp.linalg.norm(r1) ** 2 + jnp.linalg.norm(r2) ** 2))
+    b0 = float(jnp.sqrt(jnp.linalg.norm(b) ** 2 + jnp.linalg.norm(c) ** 2))
+    assert rn <= 1e-7 * b0 or stats.niter == 40
+
+
+def test_fused_gpmr_fallbacks():
+    import krylov_tpu as kt
+    D, pd, b, n = _problem(dtype=np.float64)
+    c = jnp.asarray(np.random.default_rng(6).standard_normal(n), np.float64)
+    op = DIAOperator(D, use_pallas=True)
+    from krylov_tpu.ops.dia import DIAMatrix
+    pd_adj, offs_adj = op.aligned_adjoint()
+    opB = DIAOperator(DIAMatrix(pd_adj, offs_adj, D.shape),
+                      use_pallas=True)
+    x, y, stats = kt.gpmr(op, opB, b, c, memory=30, itmax=30,
+                          history=True, atol=0.0, rtol=1e-8)
+    assert stats.residuals.size == stats.niter + 1
