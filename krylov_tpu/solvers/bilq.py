@@ -816,6 +816,14 @@ def _bilqr_status(state, code):
         status = "Found approximate zero-residual primal and dual solutions (xᴸ, t)"
     if cg_m and qr_m:
         status = "Found approximate zero-residual primal and dual solutions (xᶜ, t)"
+    if lq_m and qr_t:
+        status = "Found approximate zero-residual primal solutions xᴸ and a dual solution t good enough given atol and rtol"
+    if cg_m and qr_t:
+        status = "Found approximate zero-residual primal solutions xᶜ and a dual solution t good enough given atol and rtol"
+    if lq_t and qr_m:
+        status = "Found a primal solution xᴸ good enough given atol and rtol and an approximate zero-residual dual solutions t"
+    if cg_t and qr_m:
+        status = "Found a primal solution xᶜ good enough given atol and rtol and an approximate zero-residual dual solutions t"
     return status
 
 

@@ -69,6 +69,71 @@ class TestBilqr:
         assert len(stats.residuals_primal) > 0
         assert len(stats.residuals_dual) > 0
 
+    def test_status_vocabulary_chain(self):
+        """Exact-string parity with the reference precedence chain
+        (src/bilqr.jl:452-467), including the four mixed tol/mach
+        combinations."""
+        import types
+        from krylov_tpu.solvers.bilq import _bilqr_status
+        from krylov_tpu import _runtime as rt
+
+        def st(**kw):
+            flags = dict(solved_lq_tol=False, solved_lq_mach=False,
+                         solved_cg_tol=False, solved_cg_mach=False,
+                         solved_qr_tol=False, solved_qr_mach=False,
+                         solved_primal=False, solved_dual=False,
+                         breakdown=False)
+            flags.update(kw)
+            flags["solved_primal"] = (
+                flags["solved_primal"] or flags["solved_lq_tol"]
+                or flags["solved_lq_mach"] or flags["solved_cg_tol"]
+                or flags["solved_cg_mach"])
+            flags["solved_dual"] = (
+                flags["solved_dual"] or flags["solved_qr_tol"]
+                or flags["solved_qr_mach"])
+            return _bilqr_status(types.SimpleNamespace(**flags),
+                                 rt.SOLVED_PRIMAL_DUAL)
+
+        assert st(solved_lq_tol=True) == (
+            "Only the primal solution xᴸ is good enough given atol and rtol")
+        assert st(solved_cg_tol=True) == (
+            "Only the primal solution xᶜ is good enough given atol and rtol")
+        assert st(solved_qr_tol=True) == (
+            "Only the dual solution t is good enough given atol and rtol")
+        assert st(solved_lq_tol=True, solved_qr_tol=True) == (
+            "Both primal and dual solutions (xᴸ, t) are good enough "
+            "given atol and rtol")
+        assert st(solved_cg_tol=True, solved_qr_tol=True) == (
+            "Both primal and dual solutions (xᶜ, t) are good enough "
+            "given atol and rtol")
+        assert st(solved_lq_mach=True) == (
+            "Only found approximate zero-residual primal solution xᴸ")
+        assert st(solved_cg_mach=True) == (
+            "Only found approximate zero-residual primal solution xᶜ")
+        assert st(solved_qr_mach=True) == (
+            "Only found approximate zero-residual dual solution t")
+        assert st(solved_lq_mach=True, solved_qr_mach=True) == (
+            "Found approximate zero-residual primal and dual solutions "
+            "(xᴸ, t)")
+        assert st(solved_cg_mach=True, solved_qr_mach=True) == (
+            "Found approximate zero-residual primal and dual solutions "
+            "(xᶜ, t)")
+        assert st(solved_lq_mach=True, solved_qr_tol=True) == (
+            "Found approximate zero-residual primal solutions xᴸ and a "
+            "dual solution t good enough given atol and rtol")
+        assert st(solved_cg_mach=True, solved_qr_tol=True) == (
+            "Found approximate zero-residual primal solutions xᶜ and a "
+            "dual solution t good enough given atol and rtol")
+        assert st(solved_lq_tol=True, solved_qr_mach=True) == (
+            "Found a primal solution xᴸ good enough given atol and rtol "
+            "and an approximate zero-residual dual solutions t")
+        assert st(solved_cg_tol=True, solved_qr_mach=True) == (
+            "Found a primal solution xᶜ good enough given atol and rtol "
+            "and an approximate zero-residual dual solutions t")
+        # dual stopped only by the inconsistency test: the reference
+        # chain has no matching line and leaves "unknown".
+        assert st(solved_lq_tol=True, solved_dual=True) == "unknown"
+
 
 @pytest.mark.parametrize("method", [usymlq, usymqr], ids=["usymlq", "usymqr"])
 class TestUsym:
