@@ -257,6 +257,201 @@ def cg_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
     return _fused_bytes(offsets, n, dtype, 4, stencil_dtype) < 100 * (1 << 20)
 
 
+@partial(jax.jit, static_argnames=("offsets", "degree", "interpret"))
+def cg_cheby_dia_fused(pd, offsets, b, atol, rtol, itmax, lmin, lmax,
+                       degree, interpret=None):
+    """Chebyshev-preconditioned CG, whole solve in one kernel launch.
+
+    The preconditioner application z = M·r (M = degree-``degree``
+    Chebyshev polynomial ≈ A⁻¹ on [lmin, lmax], the semi-iteration
+    recurrence of krylov_tpu/precond.py:ChebyshevPreconditioner.matvec)
+    runs IN-KERNEL: each of its ``degree−1`` stencil applications reads
+    the VMEM-resident z buffer, so a whole preconditioned CG iteration
+    — ``degree`` stencil SpMVs, 2 reductions, all vector updates —
+    costs zero HBM traffic and zero launches.  This is the fused
+    analogue of the reference's preconditioned-CG headline
+    (ic0-preconditioned CG in test/gpu/nvidia.jl:57-59; polynomial
+    preconditioning is the TPU-idiomatic substitute for ic0/ilu0 —
+    see precond.py).
+
+    Convergence semantics mirror the general core with a centered
+    preconditioner: γ = ⟨r, z⟩, rNorm = √γ (the M-norm), γ < 0 flags a
+    posdef violation.
+
+    Args:
+      pd: (nd, n) output-aligned diagonals; offsets: static tuple.
+      b: (n,) rhs.  atol/rtol/itmax: dynamic scalars.
+      lmin/lmax: dynamic spectral-interval bounds of the polynomial.
+      degree: static polynomial degree ≥ 1 (d−1 in-kernel matvecs per
+        application).
+    Returns:
+      (x, niter, rNorm, status_code, posdef_violation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = b.shape[0]
+    nd = pd.shape[0]
+    T = b.dtype
+    eps_T = float(jnp.finfo(T).eps)
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+
+    bw = jnp.zeros((npad,), T).at[:n].set(b).reshape(rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    tol_s = jnp.stack([jnp.asarray(atol, T), jnp.asarray(rtol, T),
+                       jnp.asarray(lmin, T),
+                       jnp.asarray(lmax, T)]).reshape(1, 4)
+
+    def kernel(itmax_ref, tol_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref, viol_ref,
+               ppad_ref, zpad_ref, r_ref, d_ref):
+        theta = (tol_ref[0, 3] + tol_ref[0, 2]) * T.type(0.5)
+        delta = (tol_ref[0, 3] - tol_ref[0, 2]) * T.type(0.5)
+        sigma = theta / delta
+        rho0 = 1.0 / sigma
+
+        zpad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+
+        def cheby(rv):
+            # z lives in zpad's interior; d in d_ref; (rho) is carried.
+            d_ref[:] = rv / theta
+            zpad_ref[P: P + rows] = d_ref[:]
+
+            def step(i, rho):
+                w = _stencil(zpad_ref, pd_ref, shifts, P, rows, T)
+                rho_n = 1.0 / (2.0 * sigma - rho)
+                d_ref[:] = (rho_n * rho) * d_ref[:] \
+                    + (2.0 * rho_n / delta) * (rv - w)
+                zpad_ref[P: P + rows] = zpad_ref[P: P + rows] + d_ref[:]
+                return rho_n
+
+            jax.lax.fori_loop(0, degree - 1, step, rho0)
+            return zpad_ref[P: P + rows]
+
+        bv = b_ref[:]
+        z0 = cheby(bv)
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        ppad_ref[P: P + rows] = z0
+        r_ref[:] = bv
+        x_ref[:] = jnp.zeros((rows, LANES), T)
+
+        gamma0 = jnp.sum(bv * z0)
+        viol0 = (gamma0 < 0).astype(jnp.int32)
+        rnorm0 = jnp.sqrt(jnp.maximum(gamma0, 0))
+        eps_lim = tol_ref[0, 0] + tol_ref[0, 1] * rnorm0
+        cap = itmax_ref[0, 0]
+        status0 = jnp.where(
+            gamma0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(rnorm0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(c):
+            it, gamma, pNorm2, rnorm, status, viol = c
+            return (status == _RUNNING) & (it < cap)
+
+        def body(c):
+            it, gamma, pNorm2, rnorm, status, viol = c
+            ap = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+            p_int = ppad_ref[P: P + rows]
+            pAp = jnp.sum(p_int * ap)
+
+            curv_small = pAp <= eps_T * pNorm2
+            zero_curv = curv_small & (jnp.abs(pAp) <= eps_T * pNorm2)
+            skip = zero_curv
+
+            alpha = gamma / jnp.where(pAp == 0, jnp.ones_like(pAp), pAp)
+            a_eff = jnp.where(skip, jnp.zeros_like(alpha), alpha)
+            x_ref[:] = x_ref[:] + a_eff * p_int
+            r_ref[:] = r_ref[:] - a_eff * ap
+
+            rv = r_ref[:]
+            zv = cheby(rv)
+            gamma_next = jnp.sum(rv * zv)
+            viol_n = viol | (gamma_next < 0).astype(jnp.int32)
+            rnorm_next = jnp.sqrt(jnp.maximum(gamma_next, 0))
+            resid_mach = (rnorm_next + 1) <= 1
+            solved = (rnorm_next <= eps_lim) | resid_mach
+
+            beta = gamma_next / jnp.where(
+                gamma == 0, jnp.ones_like(gamma), gamma)
+            stay = jnp.logical_not(solved | skip)
+            cr = jnp.where(stay, jnp.ones_like(beta), jnp.zeros_like(beta))
+            cp = jnp.where(stay, beta, jnp.ones_like(beta))
+            ppad_ref[P: P + rows] = cr * zv + cp * p_int
+
+            gamma_new = jnp.where(stay, gamma_next, gamma)
+            pNorm2_new = jnp.where(
+                stay, gamma_next + beta * beta * pNorm2, pNorm2)
+            rnorm_new = jnp.where(skip, rnorm, rnorm_next)
+            it_new = it + jnp.where(skip, jnp.int32(0), jnp.int32(1))
+
+            status_new = jnp.where(
+                zero_curv, jnp.int32(_ZERO_CURVATURE),
+                jnp.where(solved, jnp.int32(_SOLVED), jnp.int32(_RUNNING)))
+            return (it_new, gamma_new, pNorm2_new, rnorm_new, status_new,
+                    viol_n)
+
+        it, gamma, pNorm2, rnorm, status, viol = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), gamma0, gamma0, rnorm0, status0, viol0))
+        niter_ref[0, 0] = it
+        rnorm_ref[0, 0] = rnorm
+        status_ref[0, 0] = status
+        viol_ref[0, 0] = viol
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
+    vmem_bytes = nd * pd_bytes + 7 * vec_bytes \
+        + 4 * P * LANES * np.dtype(T).itemsize
+
+    x, niter, rnorm, status, viol = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+            pltpu.VMEM((rows, LANES), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_bytes * 1.5) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, tol_s, bw, pdw)
+    return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
+            viol[0, 0])
+
+
+def cg_cheby_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
+    """Static gate: diagonals + 7 vectors (p/z padded, r, x, b, d, out)."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
+
+
 # additional status codes used by MINRES (krylov_tpu/_runtime.py)
 _COND_EXCEEDED = 11
 _SOLVED_LSQ = 20

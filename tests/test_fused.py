@@ -149,6 +149,52 @@ def test_cg_fused_jacobi_precond():
     assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
 
 
+@pytest.mark.parametrize("degree", [1, 2, 6])
+def test_cg_fused_cheby_precond(degree):
+    """ChebyshevPreconditioner in the same DIA operator routes to the
+    in-kernel-polynomial fused kernel and matches the general core."""
+    from krylov_tpu import ChebyshevPreconditioner
+
+    D, pd, b, n = _problem(dtype=np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_ref = DIAOperator(D, use_pallas=False)
+    MF = ChebyshevPreconditioner(op_fast, degree=degree, lmin=0.4, lmax=12.2)
+    MR = ChebyshevPreconditioner(op_ref, degree=degree, lmin=0.4, lmax=12.2)
+    x, stats = cg(op_fast, b, M=MF, atol=0.0, rtol=1e-8)
+    xr, stats_ref = cg(op_ref, b, M=MR, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+    if degree > 1:
+        x0, stats0 = cg(op_ref, b, atol=0.0, rtol=1e-8)
+        assert stats.niter < stats0.niter
+
+
+def test_cg_fused_cheby_foreign_operator_falls_back():
+    """A Chebyshev preconditioner built on a DIFFERENT operator must not
+    route to the fused kernel (its polynomial applies the wrong A)."""
+    from krylov_tpu import ChebyshevPreconditioner
+
+    D, pd, b, n = _problem(dtype=np.float64)
+    op_fast = DIAOperator(D, use_pallas=True)
+    op_other = DIAOperator(D, use_pallas=False)
+    M = ChebyshevPreconditioner(op_other, degree=4, lmin=0.4, lmax=12.2)
+    x, stats = cg(op_fast, b, M=M, atol=0.0, rtol=1e-8)
+    r = b - op_other.matvec(x)
+    assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.1
+
+
+def test_cg_fused_cheby_zero_rhs():
+    from krylov_tpu import ChebyshevPreconditioner
+
+    D, pd, b, n = _problem()
+    op = DIAOperator(D, use_pallas=True)
+    M = ChebyshevPreconditioner(op, degree=4, lmin=0.4, lmax=12.2)
+    x, stats = cg(op, jnp.zeros(n, np.float32), M=M, atol=0.0, rtol=1e-6)
+    assert stats.niter == 0
+    assert float(jnp.linalg.norm(x)) == 0.0
+
+
 def test_cg_fused_posdef_violation_raises():
     from krylov_tpu.operators import DiagonalOperator
     D, pd, b, n = _problem(dtype=np.float64)
