@@ -218,11 +218,23 @@ def main():
         log(f"bench: cg dw niter={stdw.niter} true_relres="
             f"{dw['true_relres_f64']:.2e} wall={dw_wall:.3f}s")
 
+    cheby = None
+    if on_tpu:
+        # Chebyshev-polynomial preconditioned fused CG (in-kernel matvecs)
+        lmax_ch, deg_ch = 12.2, 8
+        cheby = dict(
+            {"degree": deg_ch, "lmin": round(lmax_ch / 120, 4),
+             "lmax": lmax_ch},
+            **measure("cg_cheby_fused", adapters.make_cg_cheby_fused(
+                op._pd, D.offsets, b, rtol, 2 * n, lmax_ch / 120, lmax_ch,
+                deg_ch), s_cap=64))
+
     configs["cg_poisson"] = {
         "n": n, "wallclock_library_call_s": round(best_cg, 5),
         "niter": cg_niter, "rtol": rtol,
         "note": "~28 ms of the wall-clock is one tunnel round trip",
         "fused_64cubed": cg64, "fused_128cubed": cg128,
+        "cheby_fused_64cubed": cheby,
         "minres_fused_64cubed": mr64,
         "double_word_64cubed": dw,
     }
@@ -326,6 +338,11 @@ def main():
                 **measure(f"{v}_fused", adapters.make_tri_fused(
                     v, op_tri._pd, pda_tri, Dtri.offsets, offs_adj_tri,
                     btri, ctri, rtol, 2 * ntri), s_cap=64))
+        configs["saddle_gpmr_fused"] = dict(
+            {"n": 2 * ntri, "mem": 48},
+            **measure("gpmr_fused", adapters.make_gpmr_fused(
+                op_tri._pd, pda_tri, Dtri.offsets, offs_adj_tri,
+                btri, ctri, rtol, 48, mem=48), s_cap=16))
 
     # ------------------------------------------------------------------
     # 5. Block-GMRES (multi-RHS) + CG-LANCZOS-SHIFT (multi-shift)
@@ -337,13 +354,21 @@ def main():
     Abg = DIAOperator(Dbg)
     nbg = Dbg.shape[0]
     p = 4
-    Bbg = jnp.stack([jnp.full(nbg, 1.0 + 0.2 * j, dtype)
-                     for j in range(p)], axis=1)
+    # full-rank random block (a rank-deficient rhs block — e.g. scaled
+    # copies of one vector — is a degenerate multi-RHS benchmark: the
+    # block space collapses to a single Krylov direction)
+    Bbg = jnp.asarray(rng.standard_normal((nbg, p)).astype(dtype))
     log("bench: block_gmres / cg_lanczos_shift...")
     configs["block_gmres_shifted_poisson"] = dict(
         {"n": nbg, "p": p, "mem": 32, "shift": 0.5},
         **measure("block_gmres", adapters.make_block_gmres(
             Abg, Bbg, rtol, 1000, mem=32), s_cap=64))
+    if on_tpu:
+        configs["block_gmres_fused"] = dict(
+            {"n": nbg, "p": p, "mem": 32, "shift": 0.5},
+            **measure("block_gmres_fused", adapters.make_block_gmres_fused(
+                Abg._pd, Dbg.offsets, Bbg, rtol, 1000, mem=32, p=p),
+                s_cap=64))
     shifts = jnp.asarray([0.5, 1.0, 2.0], dtype)
     configs["cg_lanczos_shift_poisson"] = dict(
         {"n": n, "nshifts": 3},

@@ -247,3 +247,38 @@ def make_tri_fused(variant, pd, pd_adj, offsets, offsets_adj, b, c, rtol,
             float(nu), 0.0, float(rtol), int(itmax))
         return it, _chk(x, y)
     return solve, (pd, pd_adj, c), b
+
+
+def make_cg_cheby_fused(pd, offsets, b, rtol, itmax, lmin, lmax, degree):
+    from krylov_tpu.ops.pallas_fused import cg_cheby_dia_fused
+    def solve(ops, rhs):
+        pd_, lmin_, lmax_ = ops
+        x, it, rn, stt, vi = cg_cheby_dia_fused(
+            pd_, offsets, rhs, 0.0, float(rtol), int(itmax), lmin_, lmax_,
+            int(degree))
+        return it, _chk(x)
+    return solve, (pd, jnp.asarray(lmin, b.dtype),
+                   jnp.asarray(lmax, b.dtype)), b
+
+
+def make_block_gmres_fused(pd, offsets, B, rtol, itmax, mem=16, p=4):
+    from krylov_tpu.ops.pallas_fused import block_gmres_dia_fused
+    def solve(ops, rhs):
+        (pd_,) = ops
+        X, it, rn, stt, inc, npp = block_gmres_dia_fused(
+            pd_, offsets, rhs, 0.0, float(rtol), int(itmax), mem=int(mem),
+            p=int(p))
+        return it, _chk(X)
+    return solve, (pd,), B
+
+
+def make_gpmr_fused(pd_a, pd_b, offs_a, offs_b, b, c, rtol, itmax,
+                    mem=20, lam=1.0, mu=-1.0):
+    from krylov_tpu.ops.pallas_fused import gpmr_dia_fused
+    def solve(ops, rhs):
+        pda_, pdb_, c_ = ops
+        x, y, it, rn, stt, inc = gpmr_dia_fused(
+            pda_, pdb_, offs_a, offs_b, rhs, c_, float(lam), float(mu),
+            0.0, float(rtol), int(itmax), mem=int(mem))
+        return it, _chk(x, y)
+    return solve, (pd_a, pd_b, c), b

@@ -2111,6 +2111,415 @@ def gmres_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None):
                         stencil_dtype) < 100 * (1 << 20)
 
 
+@partial(jax.jit, static_argnames=("offsets", "mem", "p", "interpret"))
+def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
+                          interpret=None):
+    """Full restarted block-GMRES(mem) solve of A X = B, one kernel launch.
+
+    Whole-solve-in-VMEM analogue of solvers/block.py:_block_core on the
+    default path (M = N = I; reference src/block_gmres.jl): the
+    (mem+1)-panel block Krylov basis lives in VMEM scratch (each panel =
+    ``p`` lane-matrix columns), block orthogonalization is CGS2 (the
+    general core's scheme), panel normalization is CholQR2 (the
+    TPU-idiomatic replacement for the reference's LAPACK Householder
+    kgeqrf!, src/block_krylov_utils.jl:210-301 — p×p scalar Cholesky on
+    SMEM instead of reflectors), and the banded block Hessenberg is
+    QR-factorized incrementally with p scalar Givens rotations per
+    column on SMEM, giving the exact block-LS residual ‖Z tail‖_F each
+    iteration.  Restart re-seeds from the true block residual without
+    leaving the kernel.
+
+    Args:
+      B: (n, p) right-hand-side block (real dtype).
+      mem: restart length in BLOCK iterations; mem·p ≤ 128.
+    Returns (X(n,p), niter, rNorm, status_code, inconsistent, npass).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = B.shape[0]
+    assert B.shape[1] == p
+    nd = pd.shape[0]
+    T = B.dtype
+    eps_T = float(np.finfo(np.dtype(T)).eps)
+    btol = eps_T ** 0.75
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+    MP = mem * p                     # scalar columns of the block system
+    MP1 = (mem + 1) * p
+
+    Bw = jnp.zeros((p, npad), T).at[:, :n].set(B.T).reshape(
+        p * rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref, incons_ref,
+               npass_ref,
+               V_ref, W_ref, ppad_ref,
+               hcol_ref, h2_ref, col_ref, c_ref, sn_ref, R_ref, zz_ref,
+               y_ref, pp_ref, tmp_ref):
+        cap = itmax_ref[0, 0]
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        x_ref[:] = jnp.zeros((p * rows, LANES), T)
+
+        def wcol(b_):
+            return W_ref[b_ * rows: (b_ + 1) * rows]
+
+        def cholqr(goff):
+            """One CholQR pass on W (in place); upper R → pp_ref[goff:]."""
+            for a_ in range(p):
+                for b_ in range(a_, p):
+                    pp_ref[2 * p * p + a_ * p + b_] = jnp.sum(
+                        wcol(a_) * wcol(b_))
+            for i_ in range(p):
+                s = pp_ref[2 * p * p + i_ * p + i_]
+                for t_ in range(i_):
+                    s = s - pp_ref[goff + t_ * p + i_] ** 2
+                di = jnp.sqrt(jnp.maximum(s, zero))
+                pp_ref[goff + i_ * p + i_] = di
+                safe = jnp.where(di <= btol, one, di)
+                for j_ in range(i_ + 1, p):
+                    s2 = pp_ref[2 * p * p + i_ * p + j_]
+                    for t_ in range(i_):
+                        s2 = s2 - pp_ref[goff + t_ * p + i_] \
+                            * pp_ref[goff + t_ * p + j_]
+                    pp_ref[goff + i_ * p + j_] = jnp.where(
+                        di <= btol, zero, s2 / safe)
+                for j_ in range(i_):
+                    pp_ref[goff + i_ * p + j_] = zero
+            for i_ in range(p):
+                w = wcol(i_)
+                for t_ in range(i_):
+                    w = w - pp_ref[goff + t_ * p + i_] * wcol(t_)
+                di = pp_ref[goff + i_ * p + i_]
+                safe = jnp.where(di <= btol, one, di)
+                W_ref[i_ * rows: (i_ + 1) * rows] = w / safe
+
+        def cholqr2():
+            """CholQR2 of W: Q overwrites W, R = R2·R1 → pp_ref[0:p·p]."""
+            cholqr(0)
+            cholqr(p * p)
+            # R = R2 @ R1 (both upper) via the Gram temp slot, then copy
+            # back (writing into [0:p·p] directly would clobber R1 rows
+            # still needed by other (i, j) entries).
+            for i_ in range(p):
+                for j_ in range(i_, p):
+                    s = zero
+                    for t_ in range(i_, j_ + 1):
+                        s = s + pp_ref[p * p + i_ * p + t_] \
+                            * pp_ref[t_ * p + j_]
+                    pp_ref[2 * p * p + i_ * p + j_] = s
+            for i_ in range(p):
+                for j_ in range(p):
+                    pp_ref[i_ * p + j_] = (
+                        pp_ref[2 * p * p + i_ * p + j_] if j_ >= i_
+                        else zero)
+
+        def gam_fro():
+            s = zero
+            for a_ in range(p):
+                for b_ in range(p):
+                    s = s + pp_ref[a_ * p + b_] ** 2
+            return jnp.sqrt(s)
+
+        def reseed():
+            """W ← B − A·X; CholQR2 → V[0..p−1], Γ; reset Z; return ‖Γ‖_F."""
+            for b_ in range(p):
+                ppad_ref[P: P + rows] = x_ref[b_ * rows: (b_ + 1) * rows]
+                ax = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+                W_ref[b_ * rows: (b_ + 1) * rows] = \
+                    b_ref[b_ * rows: (b_ + 1) * rows] - ax
+            cholqr2()
+            for b_ in range(p):
+                V_ref[pl.ds(b_ * rows, rows)] = wcol(b_)
+
+            def zz_zero(i, _):
+                for b_ in range(p):
+                    zz_ref[i * p + b_] = zero
+                return 0
+
+            jax.lax.fori_loop(0, MP1, zz_zero, 0)
+            for a_ in range(p):
+                for b_ in range(p):
+                    zz_ref[a_ * p + b_] = pp_ref[a_ * p + b_]
+            tmp_ref[2] = zero          # stranded singular-pivot mass²
+            return gam_fro()
+
+        beta0 = reseed()
+        eps_lim = atol_v + rtol_v * beta0
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(carry):
+            it, k, rNorm, status, incons, npass = carry
+            return (status == _RUNNING) & (it < cap)
+
+        def body(carry):
+            it, k, rNorm, status, incons, npass = carry
+
+            # --- W = A·V[k] ------------------------------------------------
+            for b_ in range(p):
+                ppad_ref[P: P + rows] = V_ref[pl.ds((k * p + b_) * rows,
+                                                    rows)]
+                W_ref[b_ * rows: (b_ + 1) * rows] = _stencil(
+                    ppad_ref, pd_ref, shifts, P, rows, T)
+
+            # --- block CGS2 against panels 0..k (general-core scheme) ------
+            def dots(i, href):
+                for a_ in range(p):
+                    vi = V_ref[pl.ds((i * p + a_) * rows, rows)]
+                    for b_ in range(p):
+                        href[(i * p + a_) * p + b_] = jnp.sum(vi * wcol(b_))
+                return 0
+
+            def subtract(i, href):
+                for b_ in range(p):
+                    w = wcol(b_)
+                    for a_ in range(p):
+                        w = w - href[(i * p + a_) * p + b_] \
+                            * V_ref[pl.ds((i * p + a_) * rows, rows)]
+                    W_ref[b_ * rows: (b_ + 1) * rows] = w
+                return 0
+
+            jax.lax.fori_loop(0, k + 1, lambda i, _: dots(i, hcol_ref), 0)
+            jax.lax.fori_loop(0, k + 1, lambda i, _: subtract(i, hcol_ref),
+                              0)
+            jax.lax.fori_loop(0, k + 1, lambda i, _: dots(i, h2_ref), 0)
+            jax.lax.fori_loop(0, k + 1, lambda i, _: subtract(i, h2_ref), 0)
+
+            def merge(i, _):
+                for a_ in range(p):
+                    for b_ in range(p):
+                        idx = (i * p + a_) * p + b_
+                        hcol_ref[idx] = hcol_ref[idx] + h2_ref[idx]
+                return 0
+
+            jax.lax.fori_loop(0, k + 1, merge, 0)
+
+            # --- normalize: CholQR2 → V[k+1], Hₖ₊₁ₖ = Γ ---------------------
+            cholqr2()
+            Hbis = gam_fro()
+            for b_ in range(p):
+                V_ref[pl.ds(((k + 1) * p + b_) * rows, rows)] = wcol(b_)
+
+            # --- p new scalar columns of the banded Hessenberg --------------
+            for l_ in range(p):
+                c = k * p + l_
+
+                def fill(i, _):
+                    for a_ in range(p):
+                        col_ref[i * p + a_] = hcol_ref[(i * p + a_) * p + l_]
+                    return 0
+
+                jax.lax.fori_loop(0, k + 1, fill, 0)
+                for a_ in range(p):
+                    col_ref[(k + 1) * p + a_] = pp_ref[a_ * p + l_]
+
+                # replay all previous rotations in creation order
+                def replay(c2, _):
+                    for j_ in range(p):
+                        r = c2 + p - j_
+                        ch = c_ref[c2 * p + j_]
+                        sh = sn_ref[c2 * p + j_]
+                        u, v = col_ref[r - 1], col_ref[r]
+                        col_ref[r - 1] = ch * u + sh * v
+                        col_ref[r] = sh * u - ch * v
+                    return 0
+
+                jax.lax.fori_loop(0, c, replay, 0)
+
+                # p new rotations eliminate rows c+p … c+1 (bottom-up)
+                for j_ in range(p):
+                    r = c + p - j_
+                    ch, sh, rr = sym_givens(col_ref[r - 1], col_ref[r])
+                    c_ref[c * p + j_] = ch
+                    sn_ref[c * p + j_] = sh
+                    col_ref[r - 1] = rr
+                    for b_ in range(p):
+                        u = zz_ref[(r - 1) * p + b_]
+                        v = zz_ref[r * p + b_]
+                        zz_ref[(r - 1) * p + b_] = ch * u + sh * v
+                        zz_ref[r * p + b_] = sh * u - ch * v
+
+                def store(i, _):
+                    R_ref[c * MP + i] = col_ref[i]
+                    return 0
+
+                jax.lax.fori_loop(0, c + 1, store, 0)
+
+                # A singular pivot (rank-deficient block, e.g. an exactly
+                # invariant direction) strands rhs mass on row c that the
+                # Frobenius-tail formula below would silently drop: row c
+                # is final once column c is processed (later columns only
+                # rotate rows > c), so account it now.  Without this the
+                # kernel can report convergence while a deficient rhs
+                # column is unsolved.
+                sing_mass = zero
+                for b_ in range(p):
+                    sing_mass = sing_mass + zz_ref[c * p + b_] ** 2
+                tmp_ref[2] = tmp_ref[2] + jnp.where(
+                    jnp.abs(col_ref[c]) <= btol, sing_mass, zero)
+
+            # --- block-LS residual = ‖Z rows (k+1)p … (k+1)p+p−1‖_F ---------
+            # (+ stranded singular-pivot mass; zero for full-rank blocks)
+            ss = tmp_ref[2]
+            for a_ in range(p):
+                for b_ in range(p):
+                    ss = ss + zz_ref[((k + 1) * p + a_) * p + b_] ** 2
+            rNorm_n = jnp.sqrt(ss)
+
+            it_n = it + 1
+            kk = k + 1
+            resid_decrease = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+            breakdown = Hbis <= btol
+            tired = it_n >= cap
+            inner_tired = kk >= mem
+            inner_done = resid_decrease | breakdown | tired | inner_tired
+            glob_done = resid_decrease | breakdown | tired
+
+            tmp_ref[0] = rNorm_n
+            tmp_ref[1] = zero
+
+            @pl.when(inner_done)
+            def _finalize():
+                cols = kk * p
+
+                # back substitution R Y = Z_top (p rhs columns) on SMEM
+                def bs(idx, _):
+                    i = cols - 1 - idx
+                    diag = R_ref[i * MP + i]
+                    sing = jnp.abs(diag) <= btol
+                    safe = jnp.where(sing, one, diag)
+                    for b_ in range(p):
+                        def inner(j, acc):
+                            return acc - R_ref[j * MP + i] * y_ref[j * p + b_]
+
+                        acc = jax.lax.fori_loop(i + 1, cols, inner,
+                                                zz_ref[i * p + b_])
+                        y_ref[i * p + b_] = jnp.where(sing, zero, acc / safe)
+                    tmp_ref[1] = jnp.maximum(
+                        tmp_ref[1], jnp.where(sing, one, zero))
+                    return 0
+
+                jax.lax.fori_loop(0, cols, bs, 0)
+
+                def xacc(j, _):
+                    vj = V_ref[pl.ds(j * rows, rows)]
+                    for b_ in range(p):
+                        x_ref[b_ * rows: (b_ + 1) * rows] = \
+                            x_ref[b_ * rows: (b_ + 1) * rows] \
+                            + y_ref[j * p + b_] * vj
+                    return 0
+
+                jax.lax.fori_loop(0, cols, xacc, 0)
+
+                @pl.when(~glob_done)
+                def _restart():
+                    tmp_ref[0] = reseed()
+
+            # singular backsub pivots are recorded as a diagnostic but do
+            # not change the status: the reference's block_gmres has no
+            # inconsistency branch (src/block_gmres.jl:342-346).
+            incons_n = incons | (inner_done & (tmp_ref[1] > 0))
+            code = jnp.int32(_BREAKDOWN)
+            code = jnp.where(tired, jnp.int32(_TIRED_K), code)
+            code = jnp.where(resid_decrease, jnp.int32(_SOLVED), code)
+            code = jnp.where(~glob_done, jnp.int32(_RUNNING), code)
+            status_n = jnp.where(inner_done, code, jnp.int32(_RUNNING))
+
+            k_n = jnp.where(inner_done, jnp.int32(0), kk)
+            npass_n = npass + jnp.where(inner_done & ~glob_done,
+                                        jnp.int32(1), jnp.int32(0))
+            rN_out = jnp.where(inner_done & ~glob_done, tmp_ref[0], rNorm_n)
+            return (it_n, k_n, rN_out, status_n, incons_n, npass_n)
+
+        carry0 = (jnp.int32(0), jnp.int32(0), beta0, status0,
+                  jnp.zeros((), jnp.bool_), jnp.int32(1))
+        it, k, rNorm, status, incons, npass = jax.lax.while_loop(
+            cond, body, carry0)
+        niter_ref[0, 0] = it
+        rnorm_ref[0, 0] = rNorm
+        status_ref[0, 0] = status
+        incons_ref[0, 0] = incons.astype(jnp.int32)
+        npass_ref[0, 0] = npass
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    X, niter, rnorm, status, incons, npass = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p * rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((mem + 1) * p * rows, LANES), T),
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.SMEM((MP1 * p,), T),
+            pltpu.SMEM((MP1 * p,), T),
+            pltpu.SMEM((MP1,), T),
+            pltpu.SMEM((MP * p,), T),
+            pltpu.SMEM((MP * p,), T),
+            pltpu.SMEM((MP * MP,), T),
+            pltpu.SMEM((MP1 * p,), T),
+            pltpu.SMEM((MP * p,), T),
+            pltpu.SMEM((3 * p * p,), T),
+            pltpu.SMEM((4,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + ((mem + 1) * p + 3 * p + 4)
+                                  * vec_bytes) * 1.2) + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, Bw, pdw)
+    Xc = X.reshape(p, npad)[:, :n].T
+    return (Xc, niter[0, 0], rnorm[0, 0], status[0, 0],
+            incons[0, 0], npass[0, 0])
+
+
+def block_gmres_dia_fused_supported(offsets, n, p, dtype, mem,
+                                    stencil_dtype=None):
+    """Static gate: block panel fits VMEM; SMEM triangle MP² stays small."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    if p < 1 or p > 8 or mem * p > 128 or mem < 2:
+        return False
+    return _fused_bytes(offsets, n, dtype, (mem + 1) * p + 2 * p + 4,
+                        stencil_dtype) < 100 * (1 << 20)
+
+
 # BiCGSTAB status codes (krylov_tpu/solvers/bicgstab.py)
 _BC_BREAKDOWN = 29
 _ALPHA_BREAKDOWN = 30

@@ -233,6 +233,52 @@ def _block_solve(
     hist_len = itmax + 1 if history else 0
     X0 = None if X0 is None else jnp.asarray(X0, dtype=B.dtype)
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (one launch; block basis, CholQR2 and the banded block-Hessenberg
+    # QR all VMEM/SMEM-resident — see ops/pallas_fused.py).
+    if (M is None and N is None and not reorthogonalization
+            and callback is None and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (block_gmres_dia_fused,
+                                        block_gmres_dia_fused_supported)
+        if block_gmres_dia_fused_supported(A.dia.offsets, n, p, B.dtype,
+                                           mem, stencil_dtype=A._pd.dtype):
+            B_eff = B if X0 is None else B - A.matmat(X0)
+            # Rank-deficient rhs blocks go to the general core: its
+            # Householder QR completes deficient panels with arbitrary
+            # orthonormal directions (like the reference's LAPACK
+            # kgeqrf!), while the kernel's CholQR collapses them to zero
+            # columns (honest but slower — the space grows < p
+            # directions per iteration).  One small QR probe.
+            with jax.default_matmul_precision("highest"):
+                Rdiag = jnp.abs(jnp.diagonal(jnp.linalg.qr(B_eff, mode="r")))
+            T_ = real_dtype(B.dtype)
+            full_rank = bool(jnp.all(
+                Rdiag > float(np.finfo(T_).eps) ** 0.75
+                * jnp.maximum(jnp.max(Rdiag), 1.0)))
+        else:
+            full_rank = False
+        if full_rank:
+            X, niter, rnorm, status, incons, npass = block_gmres_dia_fused(
+                A._pd, A.dia.offsets, B_eff, float(atol), float(rtol),
+                itmax, mem=mem, p=p)
+            niter, code, incons = jax.device_get([niter, status, incons])
+            niter = int(niter)
+            code = rt.final_status_code(int(code), niter, itmax, False)
+            if X0 is not None:
+                X = X + X0
+            stats = SimpleStats(
+                niter=niter,
+                solved=rt.is_solved_code(code),
+                inconsistent=bool(incons),
+                residuals=np.zeros(0),
+                timer=time.perf_counter() - start,
+                status=rt.decode_status(code),
+            )
+            return jnp.asarray(X), stats, None
+
     def run(state, cap):
         return _block_core(
             A, M, N, B, X0, state, jnp.int32(cap), jnp.int32(itmax),

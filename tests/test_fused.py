@@ -195,6 +195,69 @@ def test_cg_fused_cheby_zero_rhs():
     assert float(jnp.linalg.norm(x)) == 0.0
 
 
+class TestFusedBlockGmres:
+    """Whole-solve fused block-GMRES vs the general block core."""
+
+    def _problem(self, N=10, p=3, dtype=np.float64, shift=0.5):
+        from krylov_tpu.ops.dia import DIAMatrix
+        D = poisson_dia(N, N, N, dtype=dtype)
+        D = DIAMatrix(D.data.at[3].add(shift), D.offsets, D.shape)
+        n = D.shape[0]
+        B = jnp.asarray(
+            np.random.default_rng(3).standard_normal((n, p)), dtype)
+        return D, B, n
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_matches_general_with_restart(self, dtype):
+        from krylov_tpu import block_gmres
+        D, B, n = self._problem(dtype=dtype)
+        rtol = 1e-6 if dtype == np.float32 else 1e-10
+        kw = dict(memory=12, restart=True, atol=0.0, rtol=rtol)
+        Xf, stf = block_gmres(DIAOperator(D, use_pallas=True), B, **kw)
+        op_ref = DIAOperator(D, use_pallas=False)
+        Xr, sr = block_gmres(op_ref, B, **kw)
+        assert sr.niter > 12          # restart actually exercised
+        assert abs(stf.niter - sr.niter) <= 2
+        assert stf.status == sr.status
+        R = B - op_ref.matmat(Xf)
+        assert float(jnp.linalg.norm(R)) <= rtol * float(
+            jnp.linalg.norm(B)) * 1.05
+
+    def test_zero_rhs_and_itmax(self):
+        from krylov_tpu import block_gmres
+        D, B, n = self._problem()
+        op = DIAOperator(D, use_pallas=True)
+        X0_, st0 = block_gmres(op, jnp.zeros_like(B), memory=8)
+        assert st0.niter == 0 and float(jnp.linalg.norm(X0_)) == 0.0
+        _, stc = block_gmres(op, B, memory=8, restart=True, itmax=3,
+                             atol=0.0, rtol=1e-14)
+        assert stc.niter == 3
+        assert stc.status == "maximum number of iterations exceeded"
+
+    def test_warm_start(self):
+        from krylov_tpu import block_gmres
+        D, B, n = self._problem()
+        op = DIAOperator(D, use_pallas=True)
+        op_ref = DIAOperator(D, use_pallas=False)
+        Xr, _ = block_gmres(op_ref, B, memory=12, restart=True, atol=0.0,
+                            rtol=1e-10)
+        Xw, stw = block_gmres(op, B, X0=0.5 * Xr, memory=12, restart=True,
+                              atol=0.0, rtol=1e-10)
+        R = B - op_ref.matmat(Xw)
+        assert float(jnp.linalg.norm(R)) <= 1e-9 * float(jnp.linalg.norm(B))
+
+    def test_general_path_when_preconditioned(self):
+        from krylov_tpu import block_gmres
+        from krylov_tpu.operators import DiagonalOperator
+        D, B, n = self._problem()
+        op = DIAOperator(D, use_pallas=True)
+        M = DiagonalOperator(jnp.full(n, 1.0 / 6.5))
+        X, st = block_gmres(op, B, M=M, memory=12, restart=True, atol=0.0,
+                            rtol=1e-10)
+        R = B - DIAOperator(D, use_pallas=False).matmat(X)
+        assert float(jnp.linalg.norm(R)) <= 1e-9 * float(jnp.linalg.norm(B))
+
+
 def test_cg_fused_posdef_violation_raises():
     from krylov_tpu.operators import DiagonalOperator
     D, pd, b, n = _problem(dtype=np.float64)
