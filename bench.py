@@ -369,6 +369,12 @@ def main():
             **measure("block_gmres_fused", adapters.make_block_gmres_fused(
                 Abg._pd, Dbg.offsets, Bbg, rtol, 1000, mem=32, p=p),
                 s_cap=64))
+        configs["block_minres_fused"] = dict(
+            {"n": nbg, "p": p, "shift": 0.5},
+            **measure("block_minres_fused",
+                      adapters.make_block_minres_fused(
+                          Abg._pd, Dbg.offsets, Bbg, rtol, 1000, p=p),
+                      s_cap=64))
     shifts = jnp.asarray([0.5, 1.0, 2.0], dtype)
     configs["cg_lanczos_shift_poisson"] = dict(
         {"n": n, "nshifts": 3},

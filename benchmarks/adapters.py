@@ -272,6 +272,16 @@ def make_block_gmres_fused(pd, offsets, B, rtol, itmax, mem=16, p=4):
     return solve, (pd,), B
 
 
+def make_block_minres_fused(pd, offsets, B, rtol, itmax, p=4):
+    from krylov_tpu.ops.pallas_fused import block_minres_dia_fused
+    def solve(ops, rhs):
+        (pd_,) = ops
+        X, it, rn, stt = block_minres_dia_fused(
+            pd_, offsets, rhs, 0.0, float(rtol), int(itmax), p=int(p))
+        return it, _chk(X)
+    return solve, (pd,), B
+
+
 def make_gpmr_fused(pd_a, pd_b, offs_a, offs_b, b, c, rtol, itmax,
                     mem=20, lam=1.0, mu=-1.0):
     from krylov_tpu.ops.pallas_fused import gpmr_dia_fused

@@ -2520,6 +2520,348 @@ def block_gmres_dia_fused_supported(offsets, n, p, dtype, mem,
                         stencil_dtype) < 100 * (1 << 20)
 
 
+@partial(jax.jit, static_argnames=("offsets", "p", "interpret"))
+def block_minres_dia_fused(pd, offsets, B, atol, rtol, itmax, p=4,
+                           interpret=None):
+    """Full block-MINRES solve of A X = B (Hermitian A), one launch.
+
+    Whole-solve-in-VMEM analogue of solvers/block.py:_block_minres_core
+    (reference src/block_minres.jl:95-317): the O(1)-memory block
+    tridiagonal recurrence with 6 p-column panels VMEM-resident.  The
+    reference's 2p×p Householder reflections Θₖ (LAPACK kgeqrf/kormqr)
+    become explicit 2p×2p Givens products accumulated on SMEM scalars;
+    block Lanczos normalization is CholQR2.  Returns
+    (X(n,p), niter, rNorm, status_code).
+    """
+    from .kops import sym_givens
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = B.shape[0]
+    assert B.shape[1] == p
+    nd = pd.shape[0]
+    T = B.dtype
+    btol = float(np.finfo(np.dtype(T)).eps) ** 0.75
+    rows, P = _plan(offsets, n)
+    npad = rows * LANES
+    p2 = p * p
+    q2 = 2 * p
+
+    Bw = jnp.zeros((p, npad), T).at[:, :n].set(B.T).reshape(p * rows, LANES)
+    pdw = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd).reshape(
+        nd, rows, LANES)
+    shifts = tuple((int(k) // LANES, int(k) % LANES) for k in offsets)
+
+    itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
+    scal_s = jnp.asarray([atol, rtol], T).reshape(2, 1)
+
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
+               x_ref, niter_ref, rnorm_ref, status_ref,
+               Vkm1_ref, Vk_ref, W_ref, wm2_ref, wm1_ref, wt_ref, ppad_ref,
+               pp_ref, psi_ref, om_ref, qt2_ref, qt1_ref, qtn_ref,
+               stk_ref, sm_ref, phib_ref, gam_ref, pi_ref, lam_ref):
+        cap = itmax_ref[0, 0]
+        atol_v = s_ref[0, 0]
+        rtol_v = s_ref[1, 0]
+        zero = jnp.zeros((), T)
+        one = jnp.ones((), T)
+
+        ppad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
+        x_ref[:] = jnp.zeros((p * rows, LANES), T)
+
+        def wcol(b_):
+            return W_ref[b_ * rows: (b_ + 1) * rows]
+
+        def cholqr(goff):
+            for a_ in range(p):
+                for b_ in range(a_, p):
+                    pp_ref[2 * p2 + a_ * p + b_] = jnp.sum(
+                        wcol(a_) * wcol(b_))
+            for i_ in range(p):
+                s = pp_ref[2 * p2 + i_ * p + i_]
+                for t_ in range(i_):
+                    s = s - pp_ref[goff + t_ * p + i_] ** 2
+                di = jnp.sqrt(jnp.maximum(s, zero))
+                pp_ref[goff + i_ * p + i_] = di
+                safe = jnp.where(di <= btol, one, di)
+                for j_ in range(i_ + 1, p):
+                    s2 = pp_ref[2 * p2 + i_ * p + j_]
+                    for t_ in range(i_):
+                        s2 = s2 - pp_ref[goff + t_ * p + i_] \
+                            * pp_ref[goff + t_ * p + j_]
+                    pp_ref[goff + i_ * p + j_] = jnp.where(
+                        di <= btol, zero, s2 / safe)
+                for j_ in range(i_):
+                    pp_ref[goff + i_ * p + j_] = zero
+            for i_ in range(p):
+                w = wcol(i_)
+                for t_ in range(i_):
+                    w = w - pp_ref[goff + t_ * p + i_] * wcol(t_)
+                di = pp_ref[goff + i_ * p + i_]
+                safe = jnp.where(di <= btol, one, di)
+                W_ref[i_ * rows: (i_ + 1) * rows] = w / safe
+
+        def cholqr2():
+            cholqr(0)
+            cholqr(p2)
+            for i_ in range(p):
+                for j_ in range(i_, p):
+                    s = zero
+                    for t_ in range(i_, j_ + 1):
+                        s = s + pp_ref[p2 + i_ * p + t_] \
+                            * pp_ref[t_ * p + j_]
+                    pp_ref[2 * p2 + i_ * p + j_] = s
+            for i_ in range(p):
+                for j_ in range(p):
+                    pp_ref[i_ * p + j_] = (
+                        pp_ref[2 * p2 + i_ * p + j_] if j_ >= i_ else zero)
+
+        # ---- init: V₁Γ = B (X starts at 0), Θ₋₁ = Θ₀ = I ------------------
+        for b_ in range(p):
+            W_ref[b_ * rows: (b_ + 1) * rows] = \
+                b_ref[b_ * rows: (b_ + 1) * rows]
+        cholqr2()
+        for b_ in range(p):
+            Vk_ref[b_ * rows: (b_ + 1) * rows] = wcol(b_)
+            Vkm1_ref[b_ * rows: (b_ + 1) * rows] = jnp.zeros((rows, LANES), T)
+            wm1_ref[b_ * rows: (b_ + 1) * rows] = jnp.zeros((rows, LANES), T)
+            wm2_ref[b_ * rows: (b_ + 1) * rows] = jnp.zeros((rows, LANES), T)
+        bsq = zero
+        for a_ in range(p):
+            for b_ in range(p):
+                phib_ref[a_ * p + b_] = pp_ref[a_ * p + b_]
+                psi_ref[a_ * p + b_] = zero
+                bsq = bsq + pp_ref[a_ * p + b_] ** 2
+        for a_ in range(q2):
+            for b_ in range(q2):
+                eye = one if a_ == b_ else zero
+                qt2_ref[a_ * q2 + b_] = eye
+                qt1_ref[a_ * q2 + b_] = eye
+        beta0 = jnp.sqrt(bsq)
+        eps_lim = atol_v + rtol_v * beta0
+        status0 = jnp.where(
+            beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
+            jnp.where(beta0 <= eps_lim, jnp.int32(_SOLVED),
+                      jnp.int32(_RUNNING)))
+
+        def cond(carry):
+            it, rNorm, status = carry
+            return (status == _RUNNING) & (it < cap)
+
+        def body(carry):
+            it0, rNorm, status = carry
+            it = it0 + 1
+
+            # -- block Lanczos step ------------------------------------
+            for b_ in range(p):
+                ppad_ref[P: P + rows] = Vk_ref[b_ * rows: (b_ + 1) * rows]
+                W_ref[b_ * rows: (b_ + 1) * rows] = _stencil(
+                    ppad_ref, pd_ref, shifts, P, rows, T)
+            for a_ in range(p):
+                va = Vk_ref[a_ * rows: (a_ + 1) * rows]
+                for b_ in range(p):
+                    om_ref[a_ * p + b_] = jnp.sum(va * wcol(b_))
+            m2 = jnp.where(it >= 2, one, zero)
+            for b_ in range(p):
+                w = wcol(b_)
+                for a_ in range(p):
+                    # (Vkm1 Ψᴴ)[:,b] = Σₐ Vkm1[:,a]·conj(Ψ[b,a]); real T
+                    w = w - m2 * psi_ref[b_ * p + a_] \
+                        * Vkm1_ref[a_ * rows: (a_ + 1) * rows]
+                    w = w - om_ref[a_ * p + b_] \
+                        * Vk_ref[a_ * rows: (a_ + 1) * rows]
+                W_ref[b_ * rows: (b_ + 1) * rows] = w
+
+            # -- reflection algebra on SMEM (masked for it = 1, 2) -------
+            m3 = jnp.where(it >= 3, one, zero)
+            # st2 = Θₖ₋₂ᵀ [0; Ψₖᴴ] → Πₖ₋₂ (top, it≥3), Γbar_mid (bottom)
+            for r_ in range(q2):
+                for c_ in range(p):
+                    s = zero
+                    for t_ in range(p):
+                        s = s + qt2_ref[r_ * q2 + (p + t_)] \
+                            * psi_ref[c_ * p + t_]
+                    sm_ref[r_ * p + c_] = s
+            for a_ in range(p):
+                for b_ in range(p):
+                    pi_ref[a_ * p + b_] = m3 * sm_ref[a_ * p + b_]
+                    gbar = jnp.where(it >= 3, sm_ref[(p + a_) * p + b_],
+                                     psi_ref[b_ * p + a_])
+                    stk_ref[a_ * p + b_] = gbar      # reuse stk top as temp
+            # st1 = Θₖ₋₁ᵀ [Γbar_mid; Ωₖ] → Γₖ₋₁ (top, it≥2), Λbar (bottom)
+            for r_ in range(q2):
+                for c_ in range(p):
+                    s = zero
+                    for t_ in range(p):
+                        s = s + qt1_ref[r_ * q2 + t_] * stk_ref[t_ * p + c_]
+                        s = s + qt1_ref[r_ * q2 + (p + t_)] \
+                            * om_ref[t_ * p + c_]
+                    sm_ref[r_ * p + c_] = s
+            for a_ in range(p):
+                for b_ in range(p):
+                    gam_ref[a_ * p + b_] = m2 * sm_ref[a_ * p + b_]
+                    lam_ref[a_ * p + b_] = jnp.where(
+                        it >= 2, sm_ref[(p + a_) * p + b_],
+                        om_ref[a_ * p + b_])
+
+            # -- Vₖ₊₁, Ψₖ₊₁ from CholQR2 of the Lanczos remainder --------
+            cholqr2()
+
+            # -- Θₖ: Givens QR of [Λbar; Ψₖ₊₁], Qt = Gₙ···G₁ accumulated --
+            for a_ in range(p):
+                for b_ in range(p):
+                    stk_ref[a_ * p + b_] = lam_ref[a_ * p + b_]
+                    stk_ref[(p + a_) * p + b_] = pp_ref[a_ * p + b_]
+            for a_ in range(q2):
+                for b_ in range(q2):
+                    qtn_ref[a_ * q2 + b_] = one if a_ == b_ else zero
+            for j_ in range(p):
+                for r_ in range(q2 - 1, j_, -1):
+                    ch, sh, rr = sym_givens(stk_ref[(r_ - 1) * p + j_],
+                                            stk_ref[r_ * p + j_])
+                    stk_ref[(r_ - 1) * p + j_] = rr
+                    stk_ref[r_ * p + j_] = zero
+                    for c_ in range(j_ + 1, p):
+                        u = stk_ref[(r_ - 1) * p + c_]
+                        v = stk_ref[r_ * p + c_]
+                        stk_ref[(r_ - 1) * p + c_] = ch * u + sh * v
+                        stk_ref[r_ * p + c_] = sh * u - ch * v
+                    for c_ in range(q2):
+                        u = qtn_ref[(r_ - 1) * q2 + c_]
+                        v = qtn_ref[r_ * q2 + c_]
+                        qtn_ref[(r_ - 1) * q2 + c_] = ch * u + sh * v
+                        qtn_ref[r_ * q2 + c_] = sh * u - ch * v
+            # Λₖ = top p×p of the rotated stack
+            for a_ in range(p):
+                for b_ in range(p):
+                    lam_ref[a_ * p + b_] = stk_ref[a_ * p + b_]
+
+            # -- Zₖ update: [Φₖ; Φbarₖ₊₁] = Qt [Φbarₖ; 0] ----------------
+            for r_ in range(q2):
+                for c_ in range(p):
+                    s = zero
+                    for t_ in range(p):
+                        s = s + qtn_ref[r_ * q2 + t_] * phib_ref[t_ * p + c_]
+                    sm_ref[r_ * p + c_] = s
+
+            # -- wₖ = (Vₖ − wₖ₋₁Γₖ₋₁ − wₖ₋₂Πₖ₋₂) Λₖ⁻¹ (right solve) ------
+            for j_ in range(p):
+                w = Vk_ref[j_ * rows: (j_ + 1) * rows]
+                for a_ in range(p):
+                    w = w - gam_ref[a_ * p + j_] \
+                        * wm1_ref[a_ * rows: (a_ + 1) * rows]
+                    w = w - pi_ref[a_ * p + j_] \
+                        * wm2_ref[a_ * rows: (a_ + 1) * rows]
+                for t_ in range(j_):
+                    w = w - lam_ref[t_ * p + j_] \
+                        * wt_ref[t_ * rows: (t_ + 1) * rows]
+                dj = lam_ref[j_ * p + j_]
+                safe = jnp.where(dj == 0, one, dj)
+                wt_ref[j_ * rows: (j_ + 1) * rows] = w / safe
+
+            # -- X += wₖ Φₖ; advance panels and small state ---------------
+            for b_ in range(p):
+                xb = x_ref[b_ * rows: (b_ + 1) * rows]
+                for t_ in range(p):
+                    xb = xb + sm_ref[t_ * p + b_] \
+                        * wt_ref[t_ * rows: (t_ + 1) * rows]
+                x_ref[b_ * rows: (b_ + 1) * rows] = xb
+            rsq = zero
+            for a_ in range(p):
+                for b_ in range(p):
+                    phib_ref[a_ * p + b_] = sm_ref[(p + a_) * p + b_]
+                    psi_ref[a_ * p + b_] = pp_ref[a_ * p + b_]
+                    rsq = rsq + sm_ref[(p + a_) * p + b_] ** 2
+            for b_ in range(p):
+                Vkm1_ref[b_ * rows: (b_ + 1) * rows] = \
+                    Vk_ref[b_ * rows: (b_ + 1) * rows]
+                Vk_ref[b_ * rows: (b_ + 1) * rows] = wcol(b_)
+                wm2_ref[b_ * rows: (b_ + 1) * rows] = \
+                    wm1_ref[b_ * rows: (b_ + 1) * rows]
+                wm1_ref[b_ * rows: (b_ + 1) * rows] = \
+                    wt_ref[b_ * rows: (b_ + 1) * rows]
+            for a_ in range(q2):
+                for b_ in range(q2):
+                    qt2_ref[a_ * q2 + b_] = qt1_ref[a_ * q2 + b_]
+                    qt1_ref[a_ * q2 + b_] = qtn_ref[a_ * q2 + b_]
+
+            rNorm_n = jnp.sqrt(rsq)
+            solved = (rNorm_n <= eps_lim) | ((rNorm_n + 1.0) <= 1.0)
+            status_n = jnp.where(solved, jnp.int32(_SOLVED),
+                                 jnp.int32(_RUNNING))
+            return (it, rNorm_n, status_n)
+
+        it, rNorm, status = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), beta0, status0))
+        niter_ref[0, 0] = it
+        rnorm_ref[0, 0] = rNorm
+        status_ref[0, 0] = status
+
+    vec_bytes = rows * LANES * np.dtype(T).itemsize
+    X, niter, rnorm, status = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p * rows, LANES), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), T),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((p * rows, LANES), T),
+            pltpu.VMEM((rows + 2 * P, LANES), T),
+            pltpu.SMEM((3 * p2,), T),
+            pltpu.SMEM((p2,), T),
+            pltpu.SMEM((p2,), T),
+            pltpu.SMEM((q2 * q2,), T),
+            pltpu.SMEM((q2 * q2,), T),
+            pltpu.SMEM((q2 * q2,), T),
+            pltpu.SMEM((q2 * p,), T),
+            pltpu.SMEM((q2 * p,), T),
+            pltpu.SMEM((p2,), T),
+            pltpu.SMEM((p2,), T),
+            pltpu.SMEM((p2,), T),
+            pltpu.SMEM((p2,), T),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((nd * rows * LANES
+                                  * np.dtype(pd.dtype).itemsize
+                                  + (7 * p + 4) * vec_bytes) * 1.2)
+            + (1 << 20)),
+        interpret=interpret,
+    )(itmax_s, scal_s, Bw, pdw)
+    Xc = X.reshape(p, npad)[:, :n].T
+    return Xc, niter[0, 0], rnorm[0, 0], status[0, 0]
+
+
+def block_minres_dia_fused_supported(offsets, n, p, dtype,
+                                     stencil_dtype=None):
+    """Static gate: 7 p-column panels + stencil fit VMEM; p small."""
+    if jnp.dtype(dtype).kind != "f":
+        return False
+    if p < 1 or p > 8:
+        return False
+    return _fused_bytes(offsets, n, dtype, 7 * p + 4,
+                        stencil_dtype) < 100 * (1 << 20)
+
+
 # BiCGSTAB status codes (krylov_tpu/solvers/bicgstab.py)
 _BC_BREAKDOWN = 29
 _ALPHA_BREAKDOWN = 30

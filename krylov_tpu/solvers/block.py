@@ -452,6 +452,39 @@ def _block_minres_solve(
     hist_len = itmax + 1 if history else 0
     X0 = None if X0 is None else jnp.asarray(X0, dtype=B.dtype)
 
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (rank-deficient rhs blocks fall back like block-GMRES, see there).
+    if (callback is None and verbose == 0 and not history
+            and timemax == float("inf")
+            and getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        from ..ops.pallas_fused import (block_minres_dia_fused,
+                                        block_minres_dia_fused_supported)
+        if block_minres_dia_fused_supported(A.dia.offsets, n, p, B.dtype,
+                                            stencil_dtype=A._pd.dtype):
+            B_eff = B if X0 is None else B - A.matmat(X0)
+            with jax.default_matmul_precision("highest"):
+                Rdiag = jnp.abs(jnp.diagonal(jnp.linalg.qr(B_eff, mode="r")))
+            full_rank = bool(jnp.all(
+                Rdiag > float(np.finfo(T).eps) ** 0.75
+                * jnp.maximum(jnp.max(Rdiag), 1.0)))
+            if full_rank:
+                X, niter, rnorm, status = block_minres_dia_fused(
+                    A._pd, A.dia.offsets, B_eff, float(atol), float(rtol),
+                    itmax, p=p)
+                niter, code = jax.device_get([niter, status])
+                niter = int(niter)
+                code = rt.final_status_code(int(code), niter, itmax, False)
+                if X0 is not None:
+                    X = X + X0
+                stats = SimpleStats(
+                    niter=niter, solved=rt.is_solved_code(code),
+                    inconsistent=False, residuals=np.zeros(0),
+                    timer=time.perf_counter() - start,
+                    status=rt.decode_status(code),
+                )
+                return jnp.asarray(X), stats, None
+
     def run(state, cap):
         return _block_minres_core(
             A, B, X0, state, jnp.int32(cap), jnp.int32(itmax), atol, rtol,

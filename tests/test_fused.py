@@ -258,6 +258,53 @@ class TestFusedBlockGmres:
         assert float(jnp.linalg.norm(R)) <= 1e-9 * float(jnp.linalg.norm(B))
 
 
+class TestFusedBlockMinres:
+    """Whole-solve fused block-MINRES vs the general O(1) block core."""
+
+    def _problem(self, N=10, p=4, dtype=np.float64, shift=0.0):
+        from krylov_tpu.ops.dia import DIAMatrix
+        D = poisson_dia(N, N, N, dtype=dtype)
+        if shift:
+            D = DIAMatrix(D.data.at[3].add(shift), D.offsets, D.shape)
+        n = D.shape[0]
+        B = jnp.asarray(
+            np.random.default_rng(3).standard_normal((n, p)), dtype)
+        return D, B, n
+
+    @pytest.mark.parametrize("shift", [0.0, -1.5],
+                             ids=["spd", "indefinite"])
+    def test_matches_general(self, shift):
+        from krylov_tpu import block_minres
+        D, B, n = self._problem(shift=shift)
+        kw = dict(atol=0.0, rtol=1e-10)
+        Xf, stf = block_minres(DIAOperator(D, use_pallas=True), B, **kw)
+        op_ref = DIAOperator(D, use_pallas=False)
+        Xr, sr = block_minres(op_ref, B, **kw)
+        assert abs(stf.niter - sr.niter) <= 2
+        assert stf.status == sr.status
+        R = B - op_ref.matmat(Xf)
+        assert float(jnp.linalg.norm(R)) <= 1e-9 * float(
+            jnp.linalg.norm(B))
+
+    def test_zero_rhs_warm_and_rank_deficient(self):
+        from krylov_tpu import block_minres
+        D, B, n = self._problem()
+        op = DIAOperator(D, use_pallas=True)
+        op_ref = DIAOperator(D, use_pallas=False)
+        X0_, st0 = block_minres(op, jnp.zeros_like(B))
+        assert st0.niter == 0 and float(jnp.linalg.norm(X0_)) == 0.0
+        Xr, _ = block_minres(op_ref, B, atol=0.0, rtol=1e-10)
+        Xw, stw = block_minres(op, B, X0=0.5 * Xr, atol=0.0, rtol=1e-10)
+        R = B - op_ref.matmat(Xw)
+        assert float(jnp.linalg.norm(R)) <= 1e-9 * float(jnp.linalg.norm(B))
+        # rank-1 block routes to the general (Householder) core
+        B1 = jnp.tile(B[:, :1], (1, 4))
+        X1, st1 = block_minres(op, B1, atol=0.0, rtol=1e-10)
+        R1 = B1 - op_ref.matmat(X1)
+        assert float(jnp.linalg.norm(R1)) <= 1e-9 * float(
+            jnp.linalg.norm(B1))
+
+
 def test_cg_fused_posdef_violation_raises():
     from krylov_tpu.operators import DiagonalOperator
     D, pd, b, n = _problem(dtype=np.float64)
