@@ -77,3 +77,22 @@ def test_lanczos_stats():
     assert " ‖A‖F: 1.5" in s
     assert " κ₂(A): 2.5" in s
     assert " timer: 10.00μs" in s
+
+
+def test_api_reference_covers_exports():
+    """docs/reference.md (tools/gen_api_reference.py) must document every
+    public symbol of the package root."""
+    import pathlib
+    import types
+
+    import krylov_tpu as kt
+
+    doc = (pathlib.Path(__file__).parent.parent / "docs"
+           / "reference.md").read_text()
+    missing = [
+        n for n in dir(kt)
+        if not n.startswith("_")
+        and not isinstance(getattr(kt, n), types.ModuleType)
+        and f"### `{n}`" not in doc
+    ]
+    assert not missing, f"regenerate docs/reference.md: missing {missing}"
