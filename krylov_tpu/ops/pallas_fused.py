@@ -1872,9 +1872,10 @@ _INCONSISTENT = 8
 _TIRED_K = 100
 
 
-@partial(jax.jit, static_argnames=("offsets", "mem", "interpret"))
+@partial(jax.jit, static_argnames=("offsets", "mem", "basis_dtype",
+                                   "interpret"))
 def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
-                    interpret=None):
+                    basis_dtype=None, interpret=None):
     """Full restarted GMRES(mem) solve of A x = b for a DIA matrix in one
     kernel launch.
 
@@ -1886,6 +1887,15 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
     Hessenberg QR runs on SMEM scalars, and restart re-seeds from the
     true residual without leaving the kernel.
 
+    ``basis_dtype`` stores the Krylov panel compressed (bf16) while all
+    arithmetic — MGS dots, Givens, residual estimates, x accumulation —
+    stays in the working dtype: compressed-basis GMRES (Aliaga et al.,
+    "Compressed Basis GMRES on High Performance GPUs",
+    arxiv.org/abs/2009.12101).  The basis is the VMEM budget, so bf16
+    roughly doubles the problem size the fused path admits; restarts
+    re-seed from the true (uncompressed) residual, bounding the
+    compression error like the paper's restarted variant.
+
     Returns (x, niter, rNorm, status_code, inconsistent, npass).
     """
     from .kops import sym_givens
@@ -1895,6 +1905,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
     n = b.shape[0]
     nd = pd.shape[0]
     T = b.dtype
+    BT = jnp.dtype(basis_dtype) if basis_dtype is not None else T
     eps_T = float(np.finfo(np.dtype(T)).eps)
     btol = eps_T ** 0.75
     rows, P = _plan(offsets, n)
@@ -1925,7 +1936,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
         beta0 = jnp.sqrt(jnp.sum(bv * bv))
         eps_lim = atol_v + rtol_v * beta0
         safe_b0 = jnp.where(beta0 == 0, jnp.ones_like(beta0), beta0)
-        V_ref[pl.ds(0, rows), :] = bv / safe_b0
+        V_ref[pl.ds(0, rows), :] = (bv / safe_b0).astype(BT)
         zz_ref[0] = beta0
         status0 = jnp.where(
             beta0 == 0, jnp.int32(_ZERO_RESIDUAL),
@@ -1940,12 +1951,12 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             it, k, rNorm, status, incons, npass = carry
 
             # --- Arnoldi step: w = A·V[k], MGS against V[0..k] ----------
-            vk = V_ref[pl.ds(k * rows, rows), :]
+            vk = V_ref[pl.ds(k * rows, rows), :].astype(T)
             ppad_ref[P: P + rows] = vk
             w = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
 
             def mgs(i, w):
-                vi = V_ref[pl.ds(i * rows, rows), :]
+                vi = V_ref[pl.ds(i * rows, rows), :].astype(T)
                 hij = jnp.sum(vi * w)
                 h_ref[i] = hij
                 return w - hij * vi
@@ -1953,7 +1964,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             w = jax.lax.fori_loop(0, k + 1, mgs, w)
             Hbis = jnp.sqrt(jnp.sum(w * w))
             safe_H = jnp.where(Hbis == 0, jnp.ones_like(Hbis), Hbis)
-            V_ref[pl.ds((k + 1) * rows, rows), :] = w / safe_H
+            V_ref[pl.ds((k + 1) * rows, rows), :] = (w / safe_H).astype(BT)
 
             # --- Givens-QR of the new Hessenberg column (SMEM) ----------
             def rot(i, _):
@@ -2013,7 +2024,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
                 jax.lax.fori_loop(0, kk, bs, 0)
 
                 def xacc(i, _):
-                    vi = V_ref[pl.ds(i * rows, rows), :]
+                    vi = V_ref[pl.ds(i * rows, rows), :].astype(T)
                     x_ref[:] = x_ref[:] + y_ref[i] * vi
                     return 0
 
@@ -2027,7 +2038,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
                     beta_r = jnp.sqrt(jnp.sum(r * r))
                     safe = jnp.where(beta_r == 0, jnp.ones_like(beta_r),
                                      beta_r)
-                    V_ref[pl.ds(0, rows), :] = r / safe
+                    V_ref[pl.ds(0, rows), :] = (r / safe).astype(BT)
                     zz_ref[0] = beta_r
                     tmp_ref[0] = beta_r
 
@@ -2082,7 +2093,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((mem + 1) * rows, LANES), T),
+            pltpu.VMEM(((mem + 1) * rows, LANES), BT),
             pltpu.VMEM((rows + 2 * P, LANES), T),
             pltpu.SMEM((mem + 1,), T),
             pltpu.SMEM((mem,), T),
@@ -2095,7 +2106,8 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int((nd * rows * LANES
                                   * np.dtype(pd.dtype).itemsize
-                                  + (mem + 4) * vec_bytes) * 1.2)
+                                  + (mem + 1) * rows * LANES * BT.itemsize
+                                  + 3 * vec_bytes) * 1.2)
             + (1 << 20)),
         interpret=interpret,
     )(itmax_s, scal_s, bw, pdw)
@@ -2103,11 +2115,21 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             incons[0, 0], npass[0, 0])
 
 
-def gmres_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None):
-    """Static gate: Krylov panel + stencil fit in VMEM (~100 MB)."""
+def gmres_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None,
+                              basis_dtype=None):
+    """Static gate: Krylov panel + stencil fit in VMEM (~100 MB).
+
+    A compressed (bf16) basis counts at its own width — the point of
+    compressed-basis GMRES is that this gate then admits ~2× larger
+    problems/mem into the fused path."""
     if jnp.dtype(dtype).kind != "f":
         return False
-    return _fused_bytes(offsets, n, dtype, mem + 4,
+    if basis_dtype is None:
+        nvec_eff = mem + 4
+    else:
+        ratio = jnp.dtype(basis_dtype).itemsize / jnp.dtype(dtype).itemsize
+        nvec_eff = int(np.ceil((mem + 1) * ratio)) + 3
+    return _fused_bytes(offsets, n, dtype, nvec_eff,
                         stencil_dtype) < 100 * (1 << 20)
 
 

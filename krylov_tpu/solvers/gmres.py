@@ -275,7 +275,7 @@ def _gmres_like_solve(
     flexible, A, b, x0=None, *, M=None, N=None, ldiv=False, restart=False,
     reorthogonalization=False, memory=20, atol=None, rtol=None, itmax=0,
     timemax=float("inf"), verbose=0, history=False, callback=None,
-    memory_cap=512,
+    memory_cap=512, basis_dtype=None,
 ):
     start = time.perf_counter()
     A = as_operator(A)
@@ -316,12 +316,14 @@ def _gmres_like_solve(
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (gmres_dia_fused,
                                         gmres_dia_fused_supported)
+        bd = None if basis_dtype is None else jnp.dtype(basis_dtype)
         if gmres_dia_fused_supported(A.dia.offsets, n, b.dtype, mem,
-                                     stencil_dtype=A._pd.dtype):
+                                     stencil_dtype=A._pd.dtype,
+                                     basis_dtype=bd):
             b_eff = b if x0 is None else b - A.matvec(x0)
             x, niter, rnorm, status, incons, npass = gmres_dia_fused(
                 A._pd, A.dia.offsets, b_eff, float(atol), float(rtol),
-                itmax, mem=mem)
+                itmax, mem=mem, basis_dtype=bd)
             niter, code, incons = jax.device_get([niter, status, incons])
             niter = int(niter)
             code = rt.final_status_code(int(code), niter, itmax, False)
@@ -336,6 +338,13 @@ def _gmres_like_solve(
                 status=rt.decode_status(code),
             )
             return jnp.asarray(x), stats, None
+
+    if basis_dtype is not None:
+        raise ValueError(
+            "basis_dtype (compressed-basis GMRES) is a fused-path feature: "
+            "it requires a DIA-stencil operator with use_pallas=True, "
+            "M = N = None, no history/callback/verbose/timemax, and the "
+            "compressed panel must fit VMEM")
 
     def run(state, cap):
         return _gmres_core(
@@ -368,7 +377,13 @@ def _gmres_like_solve(
 
 
 def gmres(A, b, x0=None, **kwargs):
-    """x, stats = gmres(A, b; memory=20, restart=False, ...)."""
+    """x, stats = gmres(A, b; memory=20, restart=False, ...).
+
+    TPU extension: ``basis_dtype=jnp.bfloat16`` stores the Krylov panel
+    compressed on the fused DIA path (compressed-basis GMRES,
+    arxiv.org/abs/2009.12101) — arithmetic stays in the working dtype
+    and the VMEM gate admits ~2× larger problems/memory.
+    """
     x, stats, _ = _gmres_like_solve(False, A, b, x0, **kwargs)
     return x, stats
 

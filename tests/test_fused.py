@@ -258,6 +258,46 @@ class TestFusedBlockGmres:
         assert float(jnp.linalg.norm(R)) <= 1e-9 * float(jnp.linalg.norm(B))
 
 
+class TestCompressedBasisGmres:
+    """bf16 Krylov panel, f32 arithmetic (arxiv.org/abs/2009.12101)."""
+
+    def _problem(self, N=14):
+        from krylov_tpu.ops.dia import convdiff_dia
+        D = convdiff_dia(N, N, N, pe=0.3, dtype=np.float32)
+        n = D.shape[0]
+        return D, jnp.ones(n, np.float32), n
+
+    def test_converges_with_modest_iteration_inflation(self):
+        from krylov_tpu import gmres
+        D, b, n = self._problem()
+        opF = DIAOperator(D, use_pallas=True)
+        op_ref = DIAOperator(D, use_pallas=False)
+        x32, st32 = gmres(opF, b, memory=20, restart=True, atol=0.0,
+                          rtol=1e-6)
+        xbf, stbf = gmres(opF, b, memory=20, restart=True, atol=0.0,
+                          rtol=1e-6, basis_dtype=jnp.bfloat16)
+        assert stbf.solved
+        assert stbf.niter <= int(1.5 * st32.niter) + 5
+        rbf = float(jnp.linalg.norm(b - op_ref.matvec(xbf)))
+        r32 = float(jnp.linalg.norm(b - op_ref.matvec(x32)))
+        assert rbf <= 5 * r32 + 1e-5 * float(jnp.linalg.norm(b))
+
+    def test_gate_admits_larger_problems(self):
+        from krylov_tpu.ops.pallas_fused import gmres_dia_fused_supported
+        D, b, n = self._problem()
+        # a mem too large for the f32 gate at some n fits compressed
+        n_big = 96 ** 3
+        assert not gmres_dia_fused_supported(
+            D.offsets, n_big, jnp.float32, 20)
+        assert gmres_dia_fused_supported(
+            D.offsets, n_big, jnp.float32, 20, basis_dtype=jnp.bfloat16)
+
+    def test_unroutable_config_raises(self):
+        from krylov_tpu import gmres
+        with pytest.raises(ValueError, match="fused-path feature"):
+            gmres(np.eye(8), np.ones(8), basis_dtype=jnp.bfloat16)
+
+
 class TestFusedBlockMinres:
     """Whole-solve fused block-MINRES vs the general O(1) block core."""
 
