@@ -38,6 +38,7 @@ from .ops.pallas_sell import (SELLBucketed, SELLMatrix,
                               sell_bucketed_from_csr, sell_from_csr,
                               sell_spmv)
 from .precond import ChebyshevPreconditioner, power_bound
+from .parallel.pipelined import pipelined_cg
 from .stats import (
     SimpleStats,
     LsmrStats,

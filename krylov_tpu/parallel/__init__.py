@@ -5,3 +5,4 @@ from .sharding import (
     sharded_dia_operator,
     halo_dia_spmv,
 )
+from .pipelined import pipelined_cg

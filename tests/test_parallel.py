@@ -180,3 +180,63 @@ class TestShardingPreserved:
         x, stats = kt.cg(op, b, rtol=1e-8)
         assert stats.solved
         assert "rows" in str(x.sharding)
+
+
+class TestPipelinedCg:
+    """Ghysels-Vanroose communication-hiding CG (parallel/pipelined.py)."""
+
+    def test_matches_cg(self, mesh):
+        from krylov_tpu import pipelined_cg
+        N = 8
+        D = poisson_dia(N, N, N, dtype=np.float64)
+        b = jnp.ones(N ** 3, dtype=jnp.float64)
+        x_ref, st_ref = cg(D, b, atol=0.0, rtol=1e-10)
+        x, st = pipelined_cg(D, b, atol=0.0, rtol=1e-10)
+        assert st.solved
+        # residual-recurrence drift allows a small niter spread
+        assert abs(st.niter - st_ref.niter) <= max(3, 0.2 * st_ref.niter)
+        r = np.asarray(b) - np.asarray(dia_spmv(D.data, D.offsets, x))
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) <= 1e-8
+
+    def test_sharded_and_preconditioned(self, mesh):
+        from krylov_tpu import pipelined_cg
+        from krylov_tpu.operators import DiagonalOperator
+        N = 8
+        n = N ** 3
+        D = poisson_dia(N, N, N, dtype=np.float64)
+        op = sharded_dia_operator(D, mesh)
+        b = shard_vector(jnp.ones(n, dtype=jnp.float64), mesh)
+        M = DiagonalOperator(shard_vector(jnp.full(n, 1.0 / 6.0), mesh))
+        x, st = pipelined_cg(op, b, M=M, atol=0.0, rtol=1e-10)
+        assert st.solved
+        r = np.asarray(jnp.ones(n)) - np.asarray(
+            dia_spmv(D.data, D.offsets, x))
+        assert np.linalg.norm(r) / np.sqrt(n) <= 1e-8
+
+    def test_one_reduction_round_per_iteration(self, mesh):
+        """The point of PIPECG: the partitioned HLO has ~half the
+        all-reduce rounds of standard CG (3 independent dots fuse into
+        one round; CG's 2 dots are dependent)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("collectives only appear on a real multi-device mesh")
+        from krylov_tpu.parallel.pipelined import _pipecg_core
+        from krylov_tpu.solvers.cg import _cg_core
+        N = 8
+        n = N ** 3
+        D = poisson_dia(N, N, N, dtype=np.float64)
+        op = sharded_dia_operator(D, mesh)
+        b = shard_vector(jnp.ones(n, dtype=jnp.float64), mesh)
+
+        n_pipe = _pipecg_core.lower(
+            op, None, b, None, None, jnp.int32(10), 0.0, 1e-10,
+            MisI=True).compile().as_text().count("all-reduce")
+        n_cg = _cg_core.lower(
+            op, None, b, None, None, jnp.int32(10), 0.0, 1e-10, 0.0,
+            ldiv=False, linesearch=False, history=False, hist_len=0,
+            callback=None, verbose=0, use_radius=False,
+            dot2=False).compile().as_text().count("all-reduce")
+        # measured on the 8-device CPU mesh: 8 vs 27 mentions — the
+        # pipelined body fuses its three independent dots into one
+        # reduction round where CG pays two dependent rounds
+        assert n_pipe >= 1
+        assert 2 * n_pipe <= n_cg
