@@ -1944,11 +1944,11 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
                       jnp.int32(_RUNNING)))
 
         def cond(carry):
-            it, k, rNorm, status, incons, npass = carry
+            it, k, rNorm, status, incons, npass, prev_tr = carry
             return (status == _RUNNING) & (it < cap)
 
         def body(carry):
-            it, k, rNorm, status, incons, npass = carry
+            it, k, rNorm, status, incons, npass, prev_tr = carry
 
             # --- Arnoldi step: w = A·V[k], MGS against V[0..k] ----------
             vk = V_ref[pl.ds(k * rows, rows), :].astype(T)
@@ -2001,6 +2001,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
 
             tmp_ref[0] = rNorm_n                     # beta after restart
             tmp_ref[1] = zero                        # singular-pivot flag
+            tmp_ref[3] = zero                        # true-residual confirm
 
             @pl.when(inner_done)
             def _finalize():
@@ -2030,8 +2031,14 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
 
                 jax.lax.fori_loop(0, kk, xacc, 0)
 
-                @pl.when(~glob_done)
-                def _restart():
+                if basis_dtype is not None:
+                    # Compressed basis: the Givens-recurrence estimate
+                    # tracks the residual of the COMPRESSED subspace
+                    # problem, which can sit far below the true residual
+                    # (the paper's error bound comes from restarting on
+                    # the true residual).  Always recompute b − Ax here:
+                    # convergence must be CONFIRMED against it, and the
+                    # reseed uses the uncompressed residual.
                     ppad_ref[P: P + rows] = x_ref[:]
                     Ax = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
                     r = b_ref[:] - Ax
@@ -2041,24 +2048,55 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
                     V_ref[pl.ds(0, rows), :] = (r / safe).astype(BT)
                     zz_ref[0] = beta_r
                     tmp_ref[0] = beta_r
+                    tmp_ref[3] = jnp.where(
+                        (beta_r <= eps_lim) | ((beta_r + 1.0) <= 1.0),
+                        jnp.ones((), T), zero)
+                else:
+                    @pl.when(~glob_done)
+                    def _restart():
+                        ppad_ref[P: P + rows] = x_ref[:]
+                        Ax = _stencil(ppad_ref, pd_ref, shifts, P, rows, T)
+                        r = b_ref[:] - Ax
+                        beta_r = jnp.sqrt(jnp.sum(r * r))
+                        safe = jnp.where(beta_r == 0,
+                                         jnp.ones_like(beta_r), beta_r)
+                        V_ref[pl.ds(0, rows), :] = (r / safe).astype(BT)
+                        zz_ref[0] = beta_r
+                        tmp_ref[0] = beta_r
 
+            if basis_dtype is not None:
+                # stop when the TRUE residual confirms the tolerance, or
+                # when a confirmed pass stopped halving it — the f32
+                # evaluation floor of b − Ax is reached and further
+                # passes cannot improve the solution
+                confirmed = tmp_ref[3] > 0
+                stagnated = tmp_ref[0] > 0.5 * prev_tr
+                resid_final = resid_decrease & (confirmed | stagnated)
+                prev_n = jnp.where(inner_done & resid_decrease
+                                   & ~resid_final, tmp_ref[0], prev_tr)
+            else:
+                resid_final = resid_decrease
+                prev_n = prev_tr
+            glob_final = resid_final | breakdown | tired
             incons_n = incons | (inner_done & (tmp_ref[1] > 0))
             code = jnp.int32(_BREAKDOWN)
             code = jnp.where(tired, jnp.int32(_TIRED_K), code)
-            code = jnp.where(resid_decrease, jnp.int32(_SOLVED), code)
+            code = jnp.where(resid_final, jnp.int32(_SOLVED), code)
             code = jnp.where(incons_n, jnp.int32(_INCONSISTENT), code)
-            code = jnp.where(~glob_done, jnp.int32(_RUNNING), code)
+            code = jnp.where(~glob_final, jnp.int32(_RUNNING), code)
             status_n = jnp.where(inner_done, code, jnp.int32(_RUNNING))
 
             k_n = jnp.where(inner_done, jnp.int32(0), kk)
-            npass_n = npass + jnp.where(inner_done & ~glob_done,
+            npass_n = npass + jnp.where(inner_done & ~glob_final,
                                         jnp.int32(1), jnp.int32(0))
-            rN_out = jnp.where(inner_done & ~glob_done, tmp_ref[0], rNorm_n)
-            return (it_n, k_n, rN_out, status_n, incons_n, npass_n)
+            rN_out = jnp.where(inner_done & ~glob_final, tmp_ref[0],
+                               rNorm_n)
+            return (it_n, k_n, rN_out, status_n, incons_n, npass_n, prev_n)
 
         carry0 = (jnp.int32(0), jnp.int32(0), beta0, status0,
-                  jnp.zeros((), jnp.bool_), jnp.int32(1))
-        it, k, rNorm, status, incons, npass = jax.lax.while_loop(
+                  jnp.zeros((), jnp.bool_), jnp.int32(1),
+                  jnp.asarray(np.inf, T))
+        it, k, rNorm, status, incons, npass, _pt = jax.lax.while_loop(
             cond, body, carry0)
         niter_ref[0, 0] = it
         rnorm_ref[0, 0] = rNorm
@@ -2101,7 +2139,7 @@ def gmres_dia_fused(pd, offsets, b, atol, rtol, itmax, mem=20,
             pltpu.SMEM((mem + 1,), T),
             pltpu.SMEM((mem * mem,), T),
             pltpu.SMEM((mem,), T),
-            pltpu.SMEM((2,), T),
+            pltpu.SMEM((4,), T),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int((nd * rows * LANES
@@ -2133,9 +2171,10 @@ def gmres_dia_fused_supported(offsets, n, dtype, mem, stencil_dtype=None,
                         stencil_dtype) < 100 * (1 << 20)
 
 
-@partial(jax.jit, static_argnames=("offsets", "mem", "p", "interpret"))
+@partial(jax.jit, static_argnames=("offsets", "mem", "p", "basis_dtype",
+                                   "interpret"))
 def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
-                          interpret=None):
+                          basis_dtype=None, interpret=None):
     """Full restarted block-GMRES(mem) solve of A X = B, one kernel launch.
 
     Whole-solve-in-VMEM analogue of solvers/block.py:_block_core on the
@@ -2154,6 +2193,9 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
     Args:
       B: (n, p) right-hand-side block (real dtype).
       mem: restart length in BLOCK iterations; mem·p ≤ 128.
+      basis_dtype: optional compressed (bf16) storage for the block
+        Krylov basis — arithmetic stays in the working dtype
+        (compressed-basis GMRES, arxiv.org/abs/2009.12101).
     Returns (X(n,p), niter, rNorm, status_code, inconsistent, npass).
     """
     from .kops import sym_givens
@@ -2164,6 +2206,7 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
     assert B.shape[1] == p
     nd = pd.shape[0]
     T = B.dtype
+    BT = jnp.dtype(basis_dtype) if basis_dtype is not None else T
     eps_T = float(np.finfo(np.dtype(T)).eps)
     btol = eps_T ** 0.75
     rows, P = _plan(offsets, n)
@@ -2264,7 +2307,7 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
                     b_ref[b_ * rows: (b_ + 1) * rows] - ax
             cholqr2()
             for b_ in range(p):
-                V_ref[pl.ds(b_ * rows, rows)] = wcol(b_)
+                V_ref[pl.ds(b_ * rows, rows)] = wcol(b_).astype(BT)
 
             def zz_zero(i, _):
                 for b_ in range(p):
@@ -2286,23 +2329,23 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
                       jnp.int32(_RUNNING)))
 
         def cond(carry):
-            it, k, rNorm, status, incons, npass = carry
+            it, k, rNorm, status, incons, npass, prev_tr = carry
             return (status == _RUNNING) & (it < cap)
 
         def body(carry):
-            it, k, rNorm, status, incons, npass = carry
+            it, k, rNorm, status, incons, npass, prev_tr = carry
 
             # --- W = A·V[k] ------------------------------------------------
             for b_ in range(p):
                 ppad_ref[P: P + rows] = V_ref[pl.ds((k * p + b_) * rows,
-                                                    rows)]
+                                                    rows)].astype(T)
                 W_ref[b_ * rows: (b_ + 1) * rows] = _stencil(
                     ppad_ref, pd_ref, shifts, P, rows, T)
 
             # --- block CGS2 against panels 0..k (general-core scheme) ------
             def dots(i, href):
                 for a_ in range(p):
-                    vi = V_ref[pl.ds((i * p + a_) * rows, rows)]
+                    vi = V_ref[pl.ds((i * p + a_) * rows, rows)].astype(T)
                     for b_ in range(p):
                         href[(i * p + a_) * p + b_] = jnp.sum(vi * wcol(b_))
                 return 0
@@ -2312,7 +2355,8 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
                     w = wcol(b_)
                     for a_ in range(p):
                         w = w - href[(i * p + a_) * p + b_] \
-                            * V_ref[pl.ds((i * p + a_) * rows, rows)]
+                            * V_ref[pl.ds((i * p + a_) * rows,
+                                          rows)].astype(T)
                     W_ref[b_ * rows: (b_ + 1) * rows] = w
                 return 0
 
@@ -2335,7 +2379,8 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
             cholqr2()
             Hbis = gam_fro()
             for b_ in range(p):
-                V_ref[pl.ds(((k + 1) * p + b_) * rows, rows)] = wcol(b_)
+                V_ref[pl.ds(((k + 1) * p + b_) * rows, rows)] = \
+                    wcol(b_).astype(BT)
 
             # --- p new scalar columns of the banded Hessenberg --------------
             for l_ in range(p):
@@ -2414,6 +2459,7 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
 
             tmp_ref[0] = rNorm_n
             tmp_ref[1] = zero
+            tmp_ref[3] = zero
 
             @pl.when(inner_done)
             def _finalize():
@@ -2439,7 +2485,7 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
                 jax.lax.fori_loop(0, cols, bs, 0)
 
                 def xacc(j, _):
-                    vj = V_ref[pl.ds(j * rows, rows)]
+                    vj = V_ref[pl.ds(j * rows, rows)].astype(T)
                     for b_ in range(p):
                         x_ref[b_ * rows: (b_ + 1) * rows] = \
                             x_ref[b_ * rows: (b_ + 1) * rows] \
@@ -2448,29 +2494,53 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
 
                 jax.lax.fori_loop(0, cols, xacc, 0)
 
-                @pl.when(~glob_done)
-                def _restart():
-                    tmp_ref[0] = reseed()
+                if basis_dtype is not None:
+                    # Compressed basis: confirm convergence against the
+                    # TRUE block residual (see gmres_dia_fused) — reseed
+                    # unconditionally; the state is unused if we stop.
+                    beta_r = reseed()
+                    tmp_ref[0] = beta_r
+                    tmp_ref[3] = jnp.where(
+                        (beta_r <= eps_lim) | ((beta_r + 1.0) <= 1.0),
+                        one, zero)
+                else:
+                    @pl.when(~glob_done)
+                    def _restart():
+                        tmp_ref[0] = reseed()
 
+            if basis_dtype is not None:
+                # confirmed by the true residual, or its f32 evaluation
+                # floor reached (a confirmed pass stopped halving it)
+                confirmed = tmp_ref[3] > 0
+                stagnated = tmp_ref[0] > 0.5 * prev_tr
+                resid_final = resid_decrease & (confirmed | stagnated)
+                prev_n = jnp.where(inner_done & resid_decrease
+                                   & ~resid_final, tmp_ref[0], prev_tr)
+            else:
+                resid_final = resid_decrease
+                prev_n = prev_tr
+            glob_final = resid_final | breakdown | tired
             # singular backsub pivots are recorded as a diagnostic but do
             # not change the status: the reference's block_gmres has no
             # inconsistency branch (src/block_gmres.jl:342-346).
             incons_n = incons | (inner_done & (tmp_ref[1] > 0))
             code = jnp.int32(_BREAKDOWN)
             code = jnp.where(tired, jnp.int32(_TIRED_K), code)
-            code = jnp.where(resid_decrease, jnp.int32(_SOLVED), code)
-            code = jnp.where(~glob_done, jnp.int32(_RUNNING), code)
+            code = jnp.where(resid_final, jnp.int32(_SOLVED), code)
+            code = jnp.where(~glob_final, jnp.int32(_RUNNING), code)
             status_n = jnp.where(inner_done, code, jnp.int32(_RUNNING))
 
             k_n = jnp.where(inner_done, jnp.int32(0), kk)
-            npass_n = npass + jnp.where(inner_done & ~glob_done,
+            npass_n = npass + jnp.where(inner_done & ~glob_final,
                                         jnp.int32(1), jnp.int32(0))
-            rN_out = jnp.where(inner_done & ~glob_done, tmp_ref[0], rNorm_n)
-            return (it_n, k_n, rN_out, status_n, incons_n, npass_n)
+            rN_out = jnp.where(inner_done & ~glob_final, tmp_ref[0],
+                               rNorm_n)
+            return (it_n, k_n, rN_out, status_n, incons_n, npass_n, prev_n)
 
         carry0 = (jnp.int32(0), jnp.int32(0), beta0, status0,
-                  jnp.zeros((), jnp.bool_), jnp.int32(1))
-        it, k, rNorm, status, incons, npass = jax.lax.while_loop(
+                  jnp.zeros((), jnp.bool_), jnp.int32(1),
+                  jnp.asarray(np.inf, T))
+        it, k, rNorm, status, incons, npass, _pt = jax.lax.while_loop(
             cond, body, carry0)
         niter_ref[0, 0] = it
         rnorm_ref[0, 0] = rNorm
@@ -2505,7 +2575,7 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((mem + 1) * p * rows, LANES), T),
+            pltpu.VMEM(((mem + 1) * p * rows, LANES), BT),
             pltpu.VMEM((p * rows, LANES), T),
             pltpu.VMEM((rows + 2 * P, LANES), T),
             pltpu.SMEM((MP1 * p,), T),
@@ -2522,8 +2592,10 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int((nd * rows * LANES
                                   * np.dtype(pd.dtype).itemsize
-                                  + ((mem + 1) * p + 3 * p + 4)
-                                  * vec_bytes) * 1.2) + (1 << 20)),
+                                  + (mem + 1) * p * rows * LANES
+                                  * BT.itemsize
+                                  + (3 * p + 4) * vec_bytes) * 1.2)
+            + (1 << 20)),
         interpret=interpret,
     )(itmax_s, scal_s, Bw, pdw)
     Xc = X.reshape(p, npad)[:, :n].T
@@ -2532,13 +2604,19 @@ def block_gmres_dia_fused(pd, offsets, B, atol, rtol, itmax, mem=16, p=4,
 
 
 def block_gmres_dia_fused_supported(offsets, n, p, dtype, mem,
-                                    stencil_dtype=None):
-    """Static gate: block panel fits VMEM; SMEM triangle MP² stays small."""
+                                    stencil_dtype=None, basis_dtype=None):
+    """Static gate: block panel fits VMEM; SMEM triangle MP² stays small.
+    A compressed (bf16) basis counts at its own width."""
     if jnp.dtype(dtype).kind != "f":
         return False
     if p < 1 or p > 8 or mem * p > 128 or mem < 2:
         return False
-    return _fused_bytes(offsets, n, dtype, (mem + 1) * p + 2 * p + 4,
+    if basis_dtype is None:
+        nvec_eff = (mem + 1) * p + 2 * p + 4
+    else:
+        ratio = jnp.dtype(basis_dtype).itemsize / jnp.dtype(dtype).itemsize
+        nvec_eff = int(np.ceil((mem + 1) * p * ratio)) + 2 * p + 4
+    return _fused_bytes(offsets, n, dtype, nvec_eff,
                         stencil_dtype) < 100 * (1 << 20)
 
 

@@ -210,7 +210,7 @@ def _block_solve(
     A, B, X0=None, *, M=None, N=None, ldiv=False, restart=False,
     reorthogonalization=False, memory=5, atol=None, rtol=None, itmax=0,
     timemax=float("inf"), verbose=0, history=False, callback=None,
-    memory_cap=128, **_ig,
+    memory_cap=128, basis_dtype=None, **_ig,
 ):
     start = time.perf_counter()
     A = as_operator(A)
@@ -243,8 +243,10 @@ def _block_solve(
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (block_gmres_dia_fused,
                                         block_gmres_dia_fused_supported)
+        bd = None if basis_dtype is None else jnp.dtype(basis_dtype)
         if block_gmres_dia_fused_supported(A.dia.offsets, n, p, B.dtype,
-                                           mem, stencil_dtype=A._pd.dtype):
+                                           mem, stencil_dtype=A._pd.dtype,
+                                           basis_dtype=bd):
             B_eff = B if X0 is None else B - A.matmat(X0)
             # Rank-deficient rhs blocks go to the general core: its
             # Householder QR completes deficient panels with arbitrary
@@ -263,7 +265,7 @@ def _block_solve(
         if full_rank:
             X, niter, rnorm, status, incons, npass = block_gmres_dia_fused(
                 A._pd, A.dia.offsets, B_eff, float(atol), float(rtol),
-                itmax, mem=mem, p=p)
+                itmax, mem=mem, p=p, basis_dtype=bd)
             niter, code, incons = jax.device_get([niter, status, incons])
             niter = int(niter)
             code = rt.final_status_code(int(code), niter, itmax, False)
@@ -278,6 +280,14 @@ def _block_solve(
                 status=rt.decode_status(code),
             )
             return jnp.asarray(X), stats, None
+
+    if basis_dtype is not None:
+        raise ValueError(
+            "basis_dtype (compressed-basis block-GMRES) is a fused-path "
+            "feature: it requires a DIA-stencil operator with "
+            "use_pallas=True, a full-rank rhs block, M = N = None, no "
+            "history/callback/verbose/timemax, and the compressed panel "
+            "must fit VMEM")
 
     def run(state, cap):
         return _block_core(

@@ -297,6 +297,28 @@ class TestCompressedBasisGmres:
         with pytest.raises(ValueError, match="fused-path feature"):
             gmres(np.eye(8), np.ones(8), basis_dtype=jnp.bfloat16)
 
+    def test_block_gmres_compressed_basis(self):
+        from krylov_tpu import block_gmres
+        from krylov_tpu.ops.dia import DIAMatrix
+        D = poisson_dia(10, 10, 10, dtype=np.float32)
+        D = DIAMatrix(D.data.at[3].add(0.5), D.offsets, D.shape)
+        n = D.shape[0]
+        B = jnp.asarray(
+            np.random.default_rng(3).standard_normal((n, 3)), np.float32)
+        opF = DIAOperator(D, use_pallas=True)
+        op_ref = DIAOperator(D, use_pallas=False)
+        X32, st32 = block_gmres(opF, B, memory=12, restart=True, atol=0.0,
+                                rtol=1e-5)
+        Xbf, stbf = block_gmres(opF, B, memory=12, restart=True, atol=0.0,
+                                rtol=1e-5, basis_dtype=jnp.bfloat16)
+        assert stbf.solved
+        assert stbf.niter <= int(1.5 * st32.niter) + 5
+        Rbf = B - op_ref.matmat(Xbf)
+        assert float(jnp.linalg.norm(Rbf)) <= 5e-5 * float(
+            jnp.linalg.norm(B))
+        with pytest.raises(ValueError, match="fused-path feature"):
+            block_gmres(op_ref, B, basis_dtype=jnp.bfloat16)
+
 
 class TestFusedBlockMinres:
     """Whole-solve fused block-MINRES vs the general O(1) block core."""
