@@ -184,7 +184,7 @@ def make_minres_fused(pd, offsets, b, rtol, itmax, eps):
     from krylov_tpu.ops.pallas_fused import minres_dia_fused
     def solve(ops, rhs):
         (pd_,) = ops
-        x, it, rn, stt, inc = minres_dia_fused(
+        x, it, rn, stt, inc, viol = minres_dia_fused(
             pd_, offsets, rhs, 0.0, float(rtol), float(eps), 1e-8, 0.0,
             int(itmax))
         return it, _chk(x)

@@ -463,14 +463,17 @@ _MIN_LSQ_X = 24
 
 @partial(jax.jit, static_argnames=("offsets", "window", "interpret"))
 def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
-                     window=5, interpret=None):
+                     window=5, dinv=None, interpret=None):
     """Full MINRES solve of (A + λI) x = b for a DIA matrix, one launch.
 
     Whole-solve-in-VMEM port of krylov_tpu/solvers/minres.py:_minres_core
-    with M = I (reference src/minres.jl): unnormalized-Lanczos recurrence,
-    Givens chain, forward-error window (`window` shift registers), conlim
-    and machine-precision stops.  Returns (x, niter, rNorm, status_code,
-    inconsistent) — status codes follow krylov_tpu._runtime.
+    (reference src/minres.jl): unnormalized-Lanczos recurrence, Givens
+    chain, forward-error window (`window` shift registers), conlim and
+    machine-precision stops.  ``dinv`` optionally applies a diagonal
+    (Jacobi) centered preconditioner in-kernel (v = dinv·r₂, β² = ⟨r₂,v⟩
+    — the general core's M semantics).  Returns (x, niter, rNorm,
+    status_code, inconsistent, precond_violation) — status codes follow
+    krylov_tpu._runtime.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -490,10 +493,18 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
     itmax_s = jnp.asarray(itmax, jnp.int32).reshape(1, 1)
     scal_s = jnp.asarray(
         [atol, rtol, etol, ctol, lam], T).reshape(5, 1)
+    precond = dinv is not None
+    if precond:
+        dw = jnp.zeros((npad,), T).at[:n].set(dinv).reshape(rows, LANES)
 
-    def kernel(itmax_ref, s_ref, b_ref, pd_ref,
-               x_ref, niter_ref, rnorm_ref, status_ref, incon_ref,
-               r2pad_ref, r1_ref, w1_ref, w2_ref):
+    def kernel(itmax_ref, s_ref, b_ref, pd_ref, *rest):
+        if precond:
+            (d_ref, x_ref, niter_ref, rnorm_ref, status_ref, incon_ref,
+             viol_ref, vpad_ref, r1_ref, w1_ref, w2_ref, r2_ref) = rest
+        else:
+            (x_ref, niter_ref, rnorm_ref, status_ref, incon_ref,
+             viol_ref, vpad_ref, r1_ref, w1_ref, w2_ref) = rest
+        r2pad_ref = vpad_ref
         atol_v = s_ref[0, 0]
         rtol_v = s_ref[1, 0]
         etol_v = s_ref[2, 0]
@@ -505,11 +516,19 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
         x_ref[:] = jnp.zeros((rows, LANES), T)
         r1_ref[:] = bv
         r2pad_ref[:] = jnp.zeros((rows + 2 * P, LANES), T)
-        r2pad_ref[P: P + rows] = bv
+        if precond:
+            v0 = d_ref[:] * bv
+            r2pad_ref[P: P + rows] = v0
+            r2_ref[:] = bv
+            beta1_sq = jnp.sum(bv * v0)
+        else:
+            r2pad_ref[P: P + rows] = bv
+            beta1_sq = jnp.sum(bv * bv)
         w1_ref[:] = jnp.zeros((rows, LANES), T)
         w2_ref[:] = jnp.zeros((rows, LANES), T)
+        viol_ref[0, 0] = (beta1_sq < 0).astype(jnp.int32)
 
-        beta1 = jnp.sqrt(jnp.sum(bv * bv))
+        beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
         eps_lim = atol_v + rtol_v * beta1
         status0 = jnp.where(
             beta1 == 0, jnp.int32(_ZERO_RESIDUAL),
@@ -538,15 +557,25 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
                                 oldbeta)
             y = jnp.where(it >= 2, y - (beta / safe_ob) * r1_ref[:], y)
             alpha = jnp.sum(v * y) / beta
-            y = y - (alpha / beta) * v
+            r2c = r2_ref[:] if precond else v
+            y = y - (alpha / beta) * r2c
 
             delta = cs * dbar + sn * alpha
             w_unscaled = v / beta - delta * w2_ref[:] - eps_prev * w1_ref[:]
 
-            r1_ref[:] = v
-            r2pad_ref[P: P + rows] = y
+            r1_ref[:] = r2c
             oldbeta_n = beta
-            beta_sq = jnp.sum(y * y)
+            if precond:
+                r2_ref[:] = y
+                v_next = d_ref[:] * y
+                r2pad_ref[P: P + rows] = v_next
+                beta_sq = jnp.sum(y * v_next)
+                viol_ref[0, 0] = viol_ref[0, 0] | (beta_sq < 0).astype(
+                    jnp.int32)
+                beta_sq = jnp.maximum(beta_sq, 0)
+            else:
+                r2pad_ref[P: P + rows] = y
+                beta_sq = jnp.sum(y * y)
             beta_n = jnp.sqrt(beta_sq)
             anorm2_n = anorm2 + alpha * alpha + oldbeta_n * oldbeta_n \
                 + beta_sq
@@ -591,7 +620,8 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
             resid_mach = (rNorm_n + 1.0) <= 1.0
             ill_cond_lim = (1.0 / acond) <= ctol_v
             solved_lim = test2 <= eps_lim
-            zero_resid_lim = test1 <= eps_T          # MisI path
+            zero_resid_lim = ((test1 <= eps_T)       # MisI-only test
+                              if not precond else jnp.zeros((), jnp.bool_))
             resid_lim = rNorm_n <= eps_lim
             fwd_err = (it >= window) & (
                 err_lbnd <= etol_v * jnp.sqrt(xenorm2_n))
@@ -624,17 +654,30 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
 
     vec_bytes = rows * LANES * np.dtype(T).itemsize
     pd_bytes = rows * LANES * np.dtype(pd.dtype).itemsize
-    x, niter, rnorm, status, incon = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [itmax_s, scal_s, bw, pdw]
+    scratch = [
+        pltpu.VMEM((rows + 2 * P, LANES), T),
+        pltpu.VMEM((rows, LANES), T),
+        pltpu.VMEM((rows, LANES), T),
+        pltpu.VMEM((rows, LANES), T),
+    ]
+    if precond:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(dw)
+        scratch.append(pltpu.VMEM((rows, LANES), T))
+    x, niter, rnorm, status, incon, viol = pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -646,31 +689,33 @@ def minres_dia_fused(pd, offsets, b, atol, rtol, etol, ctol, lam, itmax,
             jax.ShapeDtypeStruct((1, 1), T),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rows + 2 * P, LANES), T),
-            pltpu.VMEM((rows, LANES), T),
-            pltpu.VMEM((rows, LANES), T),
-            pltpu.VMEM((rows, LANES), T),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((nd * pd_bytes + 7 * vec_bytes) * 1.2)
+            vmem_limit_bytes=int(
+                (nd * pd_bytes
+                 + (9 if precond else 7) * vec_bytes) * 1.2)
             + (1 << 20)),
         interpret=interpret,
-    )(itmax_s, scal_s, bw, pdw)
+    )(*operands)
     return (x.reshape(-1)[:n], niter[0, 0], rnorm[0, 0], status[0, 0],
-            incon[0, 0])
+            incon[0, 0], viol[0, 0])
 
 
-def minres_dia_fused_supported(offsets, n, dtype, stencil_dtype=None):
-    """Static gate: working set (pd + 7 vectors) fits in VMEM (~100 MB).
+def minres_dia_fused_supported(offsets, n, dtype, stencil_dtype=None,
+                               precond=False):
+    """Static gate: working set (pd + 7 vectors, 9 with a Jacobi M)
+    fits in VMEM (~100 MB).
 
     A bf16-stored stencil halves the diagonal bytes, admitting 128³
     7-point problems (2M unknowns) that the f32 stencil would not.
     """
     if jnp.dtype(dtype).kind != "f":
         return False
-    return _fused_bytes(offsets, n, dtype, 7, stencil_dtype) < 100 * (1 << 20)
+    nvec = 9 if precond else 7
+    return _fused_bytes(offsets, n, dtype, nvec,
+                        stencil_dtype) < 100 * (1 << 20)
 
 
 # CR-specific status codes (krylov_tpu/solvers/cr.py)

@@ -323,22 +323,35 @@ def _minres_solve(
             f"  {'sin':>8s}  {'‖A‖':>7s}  {'κ(A)':>7s}  {'test1':>7s}"
             f"  {'test2':>7s}")
 
-    # Fast path: DIA stencil + default config → fused whole-solve kernel.
-    if (M is None and not linesearch and callback is None and verbose == 0
+    # Fast path: DIA stencil + default config → fused whole-solve kernel
+    # (M = I or a diagonal/Jacobi centered preconditioner).
+    from ..operators import DiagonalOperator
+    diag_M = isinstance(M, DiagonalOperator)
+    if ((M is None or diag_M) and not linesearch and callback is None
+            and verbose == 0
             and not history and timemax == float("inf")
             and getattr(A, "use_pallas", False)
             and getattr(A, "_pd", None) is not None):
         from ..ops.pallas_fused import (minres_dia_fused,
                                         minres_dia_fused_supported)
         if minres_dia_fused_supported(A.dia.offsets, n, b.dtype,
-                                      stencil_dtype=A._pd.dtype):
+                                      stencil_dtype=A._pd.dtype,
+                                      precond=diag_M):
             ctol = 1.0 / conlim if conlim > 0 else 0.0
             b_eff = b if x0 is None else \
                 b - (A.matvec(x0) + jnp.asarray(lam, b.dtype) * x0)
-            x, niter, rnorm, code_d, incon = minres_dia_fused(
+            dinv = None
+            if diag_M:
+                dinv = (1.0 / M.d if ldiv else M.d).astype(b.dtype)
+            x, niter, rnorm, code_d, incon, viol = minres_dia_fused(
                 A._pd, A.dia.offsets, b_eff, atol, rtol, etol, ctol,
-                float(lam), itmax, window=int(window))
-            niter, code, incon = jax.device_get([niter, code_d, incon])
+                float(lam), itmax, window=int(window), dinv=dinv)
+            niter, code, incon, viol = jax.device_get(
+                [niter, code_d, incon, viol])
+            if int(viol):
+                raise ValueError(
+                    "The linear operator `A` or the preconditioner `M` is "
+                    "not symmetric positive definite.")
             niter = int(niter)
             code = rt.final_status_code(int(code), niter, itmax, False)
             if code == rt.ZERO_RESIDUAL:

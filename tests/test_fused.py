@@ -367,6 +367,38 @@ class TestFusedBlockMinres:
             jnp.linalg.norm(B1))
 
 
+def test_minres_fused_jacobi_precond():
+    """Diagonal M routes through the fused MINRES kernel and matches the
+    general core (M-norm residual semantics)."""
+    from krylov_tpu import minres
+    from krylov_tpu.operators import DiagonalOperator
+
+    D, pd, b, n = _problem(dtype=np.float64)
+    data = np.asarray(D.data).copy()
+    zi = list(D.offsets).index(0)
+    data[zi] = 6.0 + 0.5 * np.sin(np.arange(n))
+    D2 = type(D)(jnp.asarray(data), D.offsets, D.shape)
+    M = DiagonalOperator(jnp.asarray(1.0 / data[zi]))
+    op_fast = DIAOperator(D2, use_pallas=True)
+    op_ref = DIAOperator(D2, use_pallas=False)
+    x, stats = minres(op_fast, b, M=M, atol=0.0, rtol=1e-8)
+    xr, stats_ref = minres(op_ref, b, M=M, atol=0.0, rtol=1e-8)
+    assert stats.niter == stats_ref.niter
+    assert stats.status == stats_ref.status
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-6 * float(jnp.max(jnp.abs(xr)))
+
+
+def test_minres_fused_precond_violation_raises():
+    from krylov_tpu import minres
+    from krylov_tpu.operators import DiagonalOperator
+
+    D, pd, b, n = _problem(dtype=np.float64)
+    M = DiagonalOperator(jnp.full(n, -1.0))
+    op = DIAOperator(D, use_pallas=True)
+    with pytest.raises(ValueError, match="positive definite"):
+        minres(op, b, M=M, atol=0.0, rtol=1e-8)
+
+
 def test_cg_fused_posdef_violation_raises():
     from krylov_tpu.operators import DiagonalOperator
     D, pd, b, n = _problem(dtype=np.float64)

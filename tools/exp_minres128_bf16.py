@@ -46,7 +46,7 @@ def many(S):
     @jax.jit
     def run(pd, b):
         def body(i, acc):
-            x, it, rn, st, inc = minres_dia_fused(
+            x, it, rn, st, inc, viol = minres_dia_fused(
                 pd, D.offsets, b + 0.0 * acc[0], 0.0, 1e-6, eps, 1e-8,
                 0.0, 2 * n)
             return (x, acc[1] + it)
