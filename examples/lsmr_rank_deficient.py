@@ -24,7 +24,9 @@ A = jnp.asarray((rng.standard_normal((m, r)) @
                  rng.standard_normal((r, n))) / np.sqrt(m))
 b = jnp.asarray(rng.standard_normal(m))
 
-x, stats = kt.lsmr(A, b, atol=0.0, rtol=0.0, axtol=1e-10, history=True)
+F64 = jax.config.jax_enable_x64
+x, stats = kt.lsmr(A, b, atol=0.0, rtol=0.0,
+                   axtol=1e-10 if F64 else 1e-5, history=True)
 res = np.asarray(b - A @ x)
 arn = float(np.linalg.norm(np.asarray(A).T @ res))
 x_pinv = np.linalg.pinv(np.asarray(A)) @ np.asarray(b)
@@ -32,5 +34,6 @@ print(f"lsmr: {stats.niter} its, |Aᴴr| = {arn:.2e}, "
       f"|x - x_pinv| = {float(np.linalg.norm(np.asarray(x) - x_pinv)):.2e}")
 print(f"status: {stats.status}")
 ar_hist = np.asarray(stats.Aresiduals[: stats.niter + 1])
-assert np.all(np.diff(ar_hist) <= 1e-8)      # monotone |Aᴴ r|
-assert arn < 1e-6
+arn0 = float(jnp.linalg.norm(A.conj().T @ b))
+assert np.all(np.diff(ar_hist) <= (1e-8 if F64 else 1e-4))  # monotone
+assert arn < (1e-6 if F64 else 1e-2) * max(arn0, 1.0)   # relative to |Ab|

@@ -13,12 +13,19 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import os
+
 import numpy as np
 import jax
-import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")   # undo TPU sitecustomize
+# this example builds FunctionOperators in f64: it is CPU-only (TPU has
+# no native f64; run the halo_poisson / tricg examples there instead)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import jax.numpy as jnp
 import krylov_tpu as kt
 
 rng = np.random.default_rng(0)

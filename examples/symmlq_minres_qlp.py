@@ -21,6 +21,8 @@ import krylov_tpu as kt
 
 rng = np.random.default_rng(0)
 n = 200
+F64 = jax.config.jax_enable_x64
+RTOL = 1e-10 if F64 else 1e-6
 
 # --- SYMMLQ on an indefinite (but nonsingular) symmetric system,
 # with the λ-est error upper bounds
@@ -30,7 +32,7 @@ A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
 xstar = jnp.asarray(rng.standard_normal(n))
 b = A @ xstar
 x, stats = kt.symmlq(A, b, lambda_est=0.9, history=True,
-                     atol=0.0, rtol=1e-10)
+                     atol=0.0, rtol=RTOL)
 err = float(jnp.linalg.norm(x - xstar))
 print(f"symmlq: {stats.niter} its, |x-x*| = {err:.2e}, "
       f"final err bound = {float(stats.errors[stats.niter]):.2e}")
@@ -45,10 +47,11 @@ rnorm = float(jnp.linalg.norm(c - B @ x))
 print(f"minres_qlp: x = {np.asarray(x)}, |r| = {rnorm:.2e}  "
       f"[{stats.status}]")
 assert stats.inconsistent
-assert np.allclose(np.asarray(x), [1.0, 1.0, 1.0, 0.0], atol=1e-6)
+assert np.allclose(np.asarray(x), [1.0, 1.0, 1.0, 0.0],
+                   atol=1e-6 if F64 else 1e-4)
 
 # --- MINARES minimizes |A rₖ| directly (best for that singular metric)
 x, stats = kt.minares(B, c)
 arnorm = float(jnp.linalg.norm(B @ (c - B @ x)))
 print(f"minares: {stats.niter} its, |A r| = {arnorm:.2e}")
-assert arnorm < 1e-6
+assert arnorm < (1e-6 if F64 else 1e-4)

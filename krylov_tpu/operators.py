@@ -462,10 +462,20 @@ def as_operator(A, need_adjoint=False):
     if isinstance(A, CSRMatrix):
         # On TPU the gather/segment-sum CSR SpMV is ~1000x off the Pallas
         # kernels; analyze the pattern once and route through DIA + SELL.
-        if jax.default_backend() not in ("cpu",):
-            op = HybridOperator.analyze(A)
-        else:
-            op = CSROperator(A)
+        # The analysis (O(nnz) host split + SELL packing) is cached on
+        # the matrix so repeated solves pay it once; other backends
+        # (cpu, gpu) keep the segment-sum CSROperator — the hybrid
+        # kernels are Mosaic-TPU-only.
+        if jax.default_backend() == "tpu":
+            op = getattr(A, "_hybrid_op", None)
+            if op is None:
+                op = HybridOperator.analyze(A)
+                A._hybrid_op = op
+            if need_adjoint:
+                op = op.with_adjoint()
+                A._hybrid_op = op   # adjoint-capable supersedes the plain one
+            return op
+        op = CSROperator(A)
         return op.with_adjoint() if need_adjoint else op
     from .ops.dia import DIAMatrix
     if isinstance(A, DIAMatrix):

@@ -151,7 +151,7 @@ def hybrid_from_csr(csr, diag_fill=0.5, max_diags=256):
             # beyond the SMEM scalar-prefetch budget: keep CSR
             sell = rem
     dia_pd = None
-    if dia is not None and jax.default_backend() not in ("cpu",):
+    if dia is not None and jax.default_backend() == "tpu":
         from .pallas_dia import dia_align
         dia_pd = dia_align(dia.data, dia.offsets, dia.shape[0])
     return HybridMatrix(dia, sell, csr.shape, dia_pd)

@@ -6,11 +6,13 @@ Architectures", arxiv.org/abs/2105.06176; the recurrence is Ghysels &
 Vanroose 2014).  Standard CG needs TWO dependent reduction rounds per
 iteration (⟨p, Ap⟩ gates the update that ⟨r', z'⟩ reads), so a
 row-sharded solve pays two sequential `psum` latencies per iteration.
-PIPECG reorders the recurrences so the iteration's three dot products
-(γ = ⟨r, u⟩, δ = ⟨w, u⟩, ‖r‖²) are mutually independent and independent
+PIPECG reorders the recurrences so the iteration's dot products
+(γ = ⟨r, u⟩, δ = ⟨w, u⟩) are mutually independent and independent
 of the iteration's matvec: under SPMD partitioning they fuse into ONE
 all-reduce round that can overlap the matvec — halving (and hiding)
-the per-iteration collective latency on a multi-chip mesh.
+the per-iteration collective latency on a multi-chip mesh.  Stopping
+matches cg's semantics: rNorm = √γ is the M-norm √⟨r, Mr⟩ (= ‖r‖ when
+M = I).
 `tests/test_parallel.py` pins the property by counting all-reduce
 rounds in the partitioned HLO.
 
@@ -49,6 +51,7 @@ class PipeCgState(NamedTuple):
     eps_lim: jax.Array
     iter: jax.Array
     status: jax.Array
+    precond_violation: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=("MisI",))
@@ -60,15 +63,16 @@ def _pipecg_core(A, M, b, x0, state_in, iter_cap, atol, rtol, *, MisI):
         return v if MisI else M.matvec(v)
 
     if state_in is None:
-        x = jnp.zeros_like(b) if x0 is None else x0
-        r = b - A.matvec(x) if x0 is not None else b
+        # warm starts are handled by the wrapper (residual-system shift)
+        x = jnp.zeros_like(b)
+        r = b
         u = precond(r)
         w = A.matvec(u)
-        # one fused reduction round: γ, δ, ‖r‖²
+        # one fused reduction round: γ, δ (rNorm = √γ, cg's M-norm)
         gamma = jnp.real(jnp.vdot(r, u))
         delta = jnp.real(jnp.vdot(w, u))
-        rsq = gamma if MisI else jnp.real(jnp.vdot(r, r))
-        rnorm = jnp.sqrt(jnp.maximum(rsq, 0))
+        viol = gamma < 0
+        rnorm = jnp.sqrt(jnp.maximum(gamma, 0))
         eps_lim = jnp.asarray(atol, T) + jnp.asarray(rtol, T) * rnorm
         safe_d = jnp.where(delta == 0, jnp.ones_like(delta), delta)
         alpha = gamma / safe_d
@@ -81,7 +85,7 @@ def _pipecg_core(A, M, b, x0, state_in, iter_cap, atol, rtol, *, MisI):
         state = PipeCgState(
             x=x, r=r, u=u, w=w, z=n_v, q=m, p=u, s=w,
             alpha=alpha, gamma=gamma, rnorm=rnorm, eps_lim=eps_lim,
-            iter=jnp.int32(0), status=status)
+            iter=jnp.int32(0), status=status, precond_violation=viol)
     else:
         state = state_in
 
@@ -95,17 +99,17 @@ def _pipecg_core(A, M, b, x0, state_in, iter_cap, atol, rtol, *, MisI):
         u = st.u - a * st.q
         w = st.w - a * st.z
 
-        # the iteration's ONLY reduction round: three independent dots
+        # the iteration's ONLY reduction round: two independent dots
         gamma_n = jnp.real(jnp.vdot(r, u))
         delta = jnp.real(jnp.vdot(w, u))
-        rsq = gamma_n if MisI else jnp.real(jnp.vdot(r, r))
 
         # matvec chain — independent of the dots above (this is the
         # overlap the pipelined reordering buys)
         m = precond(w)
         n_v = A.matvec(m)
 
-        rnorm = jnp.sqrt(jnp.maximum(rsq, 0))
+        viol = st.precond_violation | (gamma_n < 0)
+        rnorm = jnp.sqrt(jnp.maximum(gamma_n, 0))
         resid_mach = (rnorm + 1) <= 1
         solved = (rnorm <= st.eps_lim) | resid_mach
 
@@ -127,7 +131,7 @@ def _pipecg_core(A, M, b, x0, state_in, iter_cap, atol, rtol, *, MisI):
         return PipeCgState(
             x=x, r=r, u=u, w=w, z=z, q=q, p=p, s=s,
             alpha=alpha_n, gamma=gamma_n, rnorm=rnorm, eps_lim=st.eps_lim,
-            iter=st.iter + 1, status=status)
+            iter=st.iter + 1, status=status, precond_violation=viol)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -137,12 +141,13 @@ def pipelined_cg(A, b, x0=None, *, M=None, atol=None, rtol=None, itmax=0,
     """x, stats = pipelined_cg(A, b) — communication-hiding CG.
 
     Same problem class and stopping semantics as :func:`krylov_tpu.cg`
-    (Hermitian positive definite, centered preconditioner ``M``), with
-    the Ghysels-Vanroose recurrence: one fused all-reduce round per
-    iteration instead of CG's two dependent rounds.  Intended for
-    row-sharded multi-chip solves where collective latency dominates;
-    on a single chip plain ``cg`` is preferable (fewer vectors, fused
-    kernel).
+    (Hermitian positive definite, centered preconditioner ``M``,
+    rNorm = the M-norm √⟨r, Mr⟩), with the Ghysels-Vanroose recurrence:
+    one fused all-reduce round per iteration instead of CG's two
+    dependent rounds.  Warm starts solve the residual system and shift
+    back (the library-wide convention).  Intended for row-sharded
+    multi-chip solves where collective latency dominates; on a single
+    chip plain ``cg`` is preferable (fewer vectors, fused kernel).
     """
     start = time.perf_counter()
     A = as_operator(A)
@@ -154,16 +159,23 @@ def pipelined_cg(A, b, x0=None, *, M=None, atol=None, rtol=None, itmax=0,
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
+    b_eff = b if x0 is None else b - A.matvec(x0)
 
     def run(state, cap):
-        return _pipecg_core(A, M, b, x0, state, jnp.int32(cap), atol, rtol,
-                            MisI=M is None)
+        return _pipecg_core(A, M, b_eff, None, state, jnp.int32(cap),
+                            atol, rtol, MisI=M is None)
 
     state, overtimed = rt.drive(run, itmax, timemax, start)
     state = rt.host_state(state)
+    if bool(state.precond_violation):
+        raise ValueError(
+            "The linear operator `A` or the preconditioner `M` is not "
+            "symmetric positive definite.")
     niter = int(state.iter)
     code = rt.final_status_code(state.status, niter, itmax, overtimed)
     x = jnp.asarray(state.x)
+    if x0 is not None:
+        x = x + x0
     stats = SimpleStats(
         niter=niter,
         solved=rt.is_solved_code(code),

@@ -35,16 +35,18 @@ def med_time(fn, arg, reps=5):
     return float(np.median(ts))
 
 
-def time_call(call, b, n, niter, label, S=64):
+def time_call(call, pd_op, b, n, niter, label, S=64):
+    # pd is a jit ARGUMENT (CLAUDE.md: closed-over arrays embed as HLO
+    # constants and can trip the remote-compile tunnel's size limit)
     def many(S):
         @jax.jit
-        def run(bv):
+        def run(pd_, bv):
             def body(i, acc):
-                out = call(bv + 0.0 * acc[0])
+                out = call(pd_, bv + 0.0 * acc[0])
                 return (out[0].reshape(-1)[:n], acc[1] + out[1])
             x, tot = jax.lax.fori_loop(0, S, body, (bv, jnp.int32(0)))
             return jnp.sum(x) + tot
-        return run
+        return lambda bv: run(pd_op, bv)
 
     t1, tS = med_time(many(1), b), med_time(many(S), b)
     per_solve = (tS - t1) / (S - 1)
@@ -74,13 +76,13 @@ print(f"48^3 bf16 basis: niter={stbf.niter} {stbf.status!r} true={rbf:.2e}",
 assert stbf.solved and rbf <= 5 * r32 + 1e-5
 
 itmax = 2 * n
-time_call(lambda bv: gmres_dia_fused(opF._pd, opF.dia.offsets, bv, 0.0,
-                                     1e-6, itmax, mem=20),
-          b, n, int(st32.niter), "48^3 fused GMRES(20) f32 basis")
-time_call(lambda bv: gmres_dia_fused(opF._pd, opF.dia.offsets, bv, 0.0,
-                                     1e-6, itmax, mem=20,
-                                     basis_dtype=jnp.bfloat16),
-          b, n, int(stbf.niter), "48^3 fused GMRES(20) bf16 basis")
+time_call(lambda pd_, bv: gmres_dia_fused(pd_, opF.dia.offsets, bv, 0.0,
+                                          1e-6, itmax, mem=20),
+          opF._pd, b, n, int(st32.niter), "48^3 fused GMRES(20) f32 basis")
+time_call(lambda pd_, bv: gmres_dia_fused(pd_, opF.dia.offsets, bv, 0.0,
+                                          1e-6, itmax, mem=20,
+                                          basis_dtype=jnp.bfloat16),
+          opF._pd, b, n, int(stbf.niter), "48^3 fused GMRES(20) bf16 basis")
 
 # ---- 96³: only the compressed basis fits the VMEM gate --------------------
 N2 = 96
@@ -104,7 +106,8 @@ with jax.default_matmul_precision("highest"):
     r2 = float(jnp.linalg.norm(b2 - op2.matvec(x2)) / jnp.linalg.norm(b2))
 print(f"96^3 bf16 basis: niter={st2.niter} {st2.status!r} true={r2:.2e} "
       f"(wall {time.time()-t0:.1f}s, n={n2})", flush=True)
-time_call(lambda bv: gmres_dia_fused(op2._pd, op2.dia.offsets, bv, 0.0,
-                                     1e-6, 2 * n2, mem=20,
-                                     basis_dtype=jnp.bfloat16),
-          b2, n2, int(st2.niter), "96^3 fused GMRES(20) bf16 basis", S=8)
+time_call(lambda pd_, bv: gmres_dia_fused(pd_, op2.dia.offsets, bv, 0.0,
+                                          1e-6, 2 * n2, mem=20,
+                                          basis_dtype=jnp.bfloat16),
+          op2._pd, b2, n2, int(st2.niter), "96^3 fused GMRES(20) bf16 basis",
+          S=8)
