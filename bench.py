@@ -98,11 +98,18 @@ def main():
             _timed(lambda: fetch2(multi(ops, rhs, 1))) for _ in range(REPS))
         est = max(t1 - rtt, 2e-4)
         S = int(max(4, min(s_cap, round(target_spread / est) + 1)))
-        res = fetch2(multi(ops, rhs, S))
-        iS = res[0]
-        tS = statistics.median(
-            _timed(lambda: fetch2(multi(ops, rhs, S))) for _ in range(REPS))
-        spread = tS - t1
+        while True:
+            res = fetch2(multi(ops, rhs, S))
+            iS = res[0]
+            tS = statistics.median(
+                _timed(lambda: fetch2(multi(ops, rhs, S))) for _ in range(REPS))
+            spread = tS - t1
+            # t1 - rtt overestimates per-solve time (dispatch overhead
+            # beyond the rtt), so small configs can land an S whose spread
+            # sits in tunnel jitter; escalate S until the spread clears it.
+            if spread > 0.5 * target_spread or S >= s_cap:
+                break
+            S = int(min(s_cap, S * 8))
         out = {"niter": i1, "S": S, "spread_ms": round(spread * 1e3, 3),
                "t1_ms": round(t1 * 1e3, 3), "compile_s": round(compile_s, 1)}
         if itmax_note:

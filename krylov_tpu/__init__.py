@@ -95,10 +95,11 @@ from .interface import (
     krylov_solve_inplace,
     KRYLOV_METHODS,
 )
-from .show import show_stats, show_workspace
+from .show import show_stats, show_workspace, kstdout
 from .workspaces import (
     KrylovConstructor,
     KrylovWorkspace,
+    BlockKrylovWorkspace,
     METHOD_TABLE,
     solution,
     statistics,

@@ -7,7 +7,15 @@ device — the analogue of the reference's table with ktypeof-based
 architecture detection (src/krylov_show.jl:66-83).
 """
 
+import sys
+
 import numpy as np
+
+# Default stream for verbose solver output (reference ``kstdout``,
+# src/Krylov.jl:10): the reference pins Core.stdout so redirecting
+# Julia's stdout does not silence solver tables; in Python the
+# equivalent stable handle is the interpreter's real stdout.
+kstdout = sys.stdout
 
 
 SPECIAL_FIELDS = {

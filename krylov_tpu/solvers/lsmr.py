@@ -125,7 +125,9 @@ def _lsmr_core(
             thetatilde=jnp.zeros((), T), zeta=jnp.zeros((), T),
             dd=jnp.zeros((), T),
             anorm2=alpha * alpha, maxrbar=jnp.zeros((), T),
-            minrbar=jnp.asarray(1.0e100, T),
+            # reference lsmr.jl's 1e100 sentinel overflows narrow dtypes;
+            # finfo.max is the same "larger than any real rbar" bound.
+            minrbar=jnp.asarray(min(1.0e100, float(jnp.finfo(T).max)), T),
             xenorm2=jnp.zeros((), T), err_vec=jnp.zeros((window,), T),
             rNorm=beta1, ArNorm=ArNorm0, ArNorm0=ArNorm0, beta1=beta1,
             acond=jnp.zeros((), T), anorm=alpha, xnorm=jnp.zeros((), T),

@@ -226,6 +226,16 @@ class KrylovWorkspace:
         return "\n".join(lines)
 
 
+class BlockKrylovWorkspace(KrylovWorkspace):
+    """Supertype of the block-method workspaces.
+
+    Mirrors the reference's abstract ``BlockKrylovWorkspace`` (reference
+    src/block_krylov_workspaces.jl): ``BlockMinresWorkspace`` and
+    ``BlockGmresWorkspace`` subclass it, so ``isinstance(ws,
+    BlockKrylovWorkspace)`` distinguishes multi-RHS workspaces.
+    """
+
+
 # Generated per-method workspace classes (CgWorkspace, MinresWorkspace, ...)
 def _make_ws_class(method):
     cname = "".join(w.capitalize() for w in method.split("_")) + "Workspace"
@@ -249,7 +259,9 @@ def _make_ws_class(method):
                 dtype = shape_args[1].dtype
         KrylovWorkspace.__init__(self, method, m, n, dtype, **config)
 
-    cls = type(cname, (KrylovWorkspace,), {"__init__": __init__})
+    base = (BlockKrylovWorkspace if method.startswith("block_")
+            else KrylovWorkspace)
+    cls = type(cname, (base,), {"__init__": __init__})
     return cname, cls
 
 

@@ -98,6 +98,17 @@ class TestWorkspace:
             cname = "".join(s.capitalize() for s in method.split("_")) + "Workspace"
             assert hasattr(w, cname), cname
 
+    def test_block_supertype_and_kstdout(self):
+        # Reference exports: BlockKrylovWorkspace abstract supertype and
+        # the kstdout default verbose stream (src/Krylov.jl:10).
+        import sys
+        import krylov_tpu as kt
+        assert issubclass(kt.BlockGmresWorkspace, kt.BlockKrylovWorkspace)
+        assert issubclass(kt.BlockMinresWorkspace, kt.BlockKrylovWorkspace)
+        assert issubclass(kt.BlockKrylovWorkspace, kt.KrylovWorkspace)
+        assert not issubclass(kt.CgWorkspace, kt.BlockKrylovWorkspace)
+        assert kt.kstdout is sys.stdout
+
 
 class TestBlockSolvers:
     @pytest.mark.parametrize("FC", [np.float64, np.complex128],
