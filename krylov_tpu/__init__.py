@@ -112,6 +112,11 @@ from .workspaces import (
     elapsed_time,
 )
 
+# Differentiable solves (kt.diff.solve / kt.diff.lstsq): implicit
+# differentiation through the same solver cores — a TPU/JAX-native
+# extension with no reference analogue (Krylov.jl ships no AD rules).
+from . import diff
+
 # Re-export the generated per-method workspace classes (CgWorkspace,
 # MinresWorkspace, ...) to mirror the reference's exported workspace types
 # (reference src/krylov_workspaces.jl).
