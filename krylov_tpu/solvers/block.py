@@ -39,6 +39,8 @@ class BlockState(NamedTuple):
     eps_lim: jax.Array
     status: jax.Array
     hist_r: jax.Array
+    f_resid: jax.Array    # residual-decrease flag (pass-exit reason)
+    f_break: jax.Array    # breakdown flag (pass-exit reason)
 
 
 def _ls_residual_and_Y(H, rhs, k, mem, p, FC):
@@ -113,14 +115,23 @@ def _block_core(
             X=X, V=V, H=jnp.zeros((rows, mem * p), FC), rhs=rhs,
             inner_k=jnp.int32(0), iter=jnp.int32(0),
             rNorm=beta, eps_lim=eps_lim, status=status, hist_r=hist,
+            f_resid=jnp.zeros((), jnp.bool_),
+            f_break=jnp.zeros((), jnp.bool_),
         )
     else:
         state = state_in
 
-    def cond(s):
-        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+    # Two-level loop with an UNconditional, jnp.where-selected pass
+    # epilogue — same restructure as _gmres_core: any lax.cond in the
+    # loop nest defeats XLA's buffer aliasing for the (mem+1, n, p)
+    # basis and taxes every inner iteration (tools/exp_gmres_bisect.py).
 
-    def body(s):
+    def inner_cond(s):
+        done = (s.f_resid | s.f_break | (s.iter >= itmax)
+                | (s.inner_k >= mem))
+        return (s.status == rt.RUNNING) & ~done & (s.iter < iter_cap)
+
+    def inner_body(s):
         k = s.inner_k
         Vk = s.V[k]
         W = A.matmat(N_apply(Vk))
@@ -161,49 +172,68 @@ def _block_core(
         glob_done = resid_decrease | breakdown | tired
 
         cont = ~inner_done
-        V_next = jnp.where(cont, s.V.at[k + 1].set(Vn), s.V)
+        V_next = s.V.at[k + 1].set(jnp.where(cont, Vn, s.V[k + 1]))
 
-        mid = s._replace(V=V_next, H=H_new, inner_k=kk, iter=it, rNorm=rNorm)
-
-        def finalize(ms):
-            # X += N·(Σ_j V_j Y_j)
-            Yb = Y.reshape(mem, p, p)
-            XR = jnp.einsum("inp,ipq->nq", ms.V[:mem], Yb)
-            XR = N_apply(XR)
-            X_fin = ms.X + XR
-
-            def reinit(xf):
-                V, rhs, beta = init_pass(xf)
-                return V, rhs, beta
-
-            def keep(xf):
-                return ms.V, ms.rhs, ms.rNorm
-
-            Vr, rhsr, beta_r = jax.lax.cond(~glob_done, reinit, keep, X_fin)
-            code = jnp.int32(rt.BREAKDOWN)
-            code = jnp.where(tired, jnp.int32(rt.TIRED), code)
-            code = jnp.where(resid_decrease, jnp.int32(rt.SOLVED), code)
-            code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
-            return ms._replace(
-                X=X_fin, V=Vr, rhs=rhsr,
-                H=jnp.where(glob_done, ms.H, jnp.zeros_like(ms.H)),
-                inner_k=jnp.int32(0), rNorm=beta_r, status=code,
-            )
-
-        s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
+        s_out = s._replace(V=V_next, H=H_new, inner_k=kk, iter=it,
+                           rNorm=rNorm,
+                           f_resid=resid_decrease, f_break=breakdown)
         s_out = s_out._replace(
             hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
         if verbose > 0:
             rt.debug_row(verbose, s_out.iter, "{:5d}  {:7.1e}",
                          s_out.rNorm)
         if callback is not None:
+            # A user exit wins only when the pass epilogue would leave
+            # the solver RUNNING (pre-refactor semantics).
             user_exit = callback(s_out)
             s_out = s_out._replace(
-                status=jnp.where(user_exit & (s_out.status == rt.RUNNING),
-                                 jnp.int32(rt.USER_EXIT), s_out.status))
+                status=jnp.where(
+                    user_exit & (s_out.status == rt.RUNNING) & ~glob_done,
+                    jnp.int32(rt.USER_EXIT), s_out.status))
         return s_out
 
-    return jax.lax.while_loop(cond, body, state)
+    def outer_cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def outer_body(ms):
+        ms = jax.lax.while_loop(inner_cond, inner_body, ms)
+
+        tired = ms.iter >= itmax
+        inner_done = (ms.f_resid | ms.f_break | tired
+                      | (ms.inner_k >= mem))
+        glob_done = ms.f_resid | ms.f_break | tired
+        restart_now = inner_done & ~glob_done
+
+        # X += N·(Σ_j V_j Y_j), Y recomputed once per pass.
+        Y, _ = _ls_residual_and_Y(ms.H, ms.rhs, ms.inner_k, mem, p, FC)
+        Yb = Y.reshape(mem, p, p)
+        XR = jnp.einsum("inp,ipq->nq", ms.V[:mem], Yb)
+        XR = N_apply(XR)
+        X_fin = jnp.where(inner_done, ms.X + XR, ms.X)
+
+        # Restart re-init (pass not globally done), speculative + select.
+        Vr, rhsr, beta_r = init_pass(X_fin)
+
+        code = jnp.int32(rt.BREAKDOWN)
+        code = jnp.where(tired, jnp.int32(rt.TIRED), code)
+        code = jnp.where(ms.f_resid, jnp.int32(rt.SOLVED), code)
+        code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
+        code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
+        code = jnp.where(inner_done, code, ms.status)
+
+        return ms._replace(
+            X=X_fin,
+            V=jnp.where(restart_now, Vr, ms.V),
+            rhs=jnp.where(restart_now, rhsr, ms.rhs),
+            H=jnp.where(restart_now, jnp.zeros_like(ms.H), ms.H),
+            inner_k=jnp.where(inner_done, jnp.int32(0), ms.inner_k),
+            rNorm=jnp.where(restart_now, beta_r, ms.rNorm),
+            status=code,
+            f_resid=ms.f_resid & ~inner_done,
+            f_break=ms.f_break & ~inner_done,
+        )
+
+    return jax.lax.while_loop(outer_cond, outer_body, state)
 
 
 def _block_solve(

@@ -52,6 +52,8 @@ class FomState(NamedTuple):
     status: jax.Array
     inconsistent: jax.Array
     hist_r: jax.Array
+    f_resid: jax.Array    # residual-decrease flag (pass-exit reason)
+    f_break: jax.Array    # breakdown flag (pass-exit reason)
 
 
 def _orthogonalize(V, q, k, mem, extra_pass):
@@ -83,6 +85,11 @@ def _fom_back_substitute(U, z, k, mem):
         y = y.at[i].set(jnp.where(active, acc / safe, y[i]))
         return y
 
+    if mem <= 64:  # unrolled: scalar fori trips cost real time on TPU
+        y = y0
+        for _idx in range(mem):
+            y = body(_idx, y)
+        return y
     return jax.lax.fori_loop(0, mem, body, y0)
 
 
@@ -131,14 +138,23 @@ def _fom_core(
             z=z, inner_k=jnp.int32(0), iter=jnp.int32(0), npass=jnp.int32(1),
             rNorm=beta, eps_lim=eps_lim, status=status,
             inconsistent=jnp.zeros((), jnp.bool_), hist_r=hist,
+            f_resid=jnp.zeros((), jnp.bool_),
+            f_break=jnp.zeros((), jnp.bool_),
         )
     else:
         state = state_in
 
-    def cond(s):
-        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+    # Two-level loop with an UNconditional, jnp.where-selected pass
+    # epilogue — same restructure as _gmres_core: any lax.cond in the
+    # loop nest defeats XLA's buffer aliasing for the (mem, n) basis and
+    # taxes every inner iteration (tools/exp_gmres_bisect.py).
 
-    def body(s):
+    def inner_cond(s):
+        done = (s.f_resid | s.f_break | (s.iter >= itmax)
+                | (s.inner_k >= mem))
+        return (s.status == rt.RUNNING) & ~done & (s.iter < iter_cap)
+
+    def inner_body(s):
         k = s.inner_k
         vk = s.V[k]
         p = N_apply(vk)
@@ -148,12 +164,18 @@ def _fom_core(
         Hbis = knorm(q)
 
         # LU column update: uᵢ.ₖ = hᵢ.ₖ - lᵢ₋₁ uᵢ₋₁.ₖ sequentially
-        # (reference src/fom.jl:274-280).
+        # (reference src/fom.jl:274-280); unrolled for small mem (a
+        # fori_loop of tiny scalar trips costs real time per iteration).
         def lu_body(i, col):
             active = (i >= 1) & (i <= k)
             new = col[i] - s.l[i - 1] * col[i - 1]
             return col.at[i].set(jnp.where(active, new, col[i]))
-        ucol = jax.lax.fori_loop(1, mem, lu_body, hcol)
+        if mem <= 64:
+            ucol = hcol
+            for i in range(1, mem):
+                ucol = lu_body(i, ucol)
+        else:
+            ucol = jax.lax.fori_loop(1, mem, lu_body, hcol)
 
         ukk = ucol[k]
         safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
@@ -185,61 +207,77 @@ def _fom_core(
             jnp.where(cont, q / safe_H.astype(FC), s.V[(k + 1) % mem])
         )
 
-        mid = s._replace(V=V_next, U=U_new, l=l_new, z=z_new,
-                         inner_k=kk, iter=it, rNorm=rNorm)
-
-        def finalize(ms):
-            y = _fom_back_substitute(ms.U, ms.z, kk, mem)
-            xr = ms.V.T @ y
-            if not NisI:
-                xr = N_apply(xr)
-            x_fin = ms.x + xr
-
-            def reinit(xf):
-                w2 = b - A.matvec(xf)
-                r0 = M_apply(w2)
-                beta = knorm(r0)
-                safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
-                Vr = jnp.zeros((mem, n), FC).at[0].set(r0 / safe.astype(FC))
-                zr = jnp.zeros((mem,), FC).at[0].set(beta.astype(FC))
-                return Vr, zr, beta
-
-            def keep(xf):
-                return ms.V, ms.z, ms.rNorm
-
-            Vr, zr, beta_r = jax.lax.cond(~glob_done, reinit, keep, x_fin)
-
-            # Status (reference src/fom.jl:355-359, later wins).
-            code = jnp.int32(rt.TIRED)
-            code = jnp.where(breakdown, jnp.int32(INCONS_FOM), code)
-            code = jnp.where(resid_decrease, jnp.int32(rt.SOLVED), code)
-            code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
-
-            return ms._replace(
-                x=x_fin, V=Vr, z=zr,
-                U=jnp.where(glob_done, ms.U, jnp.zeros_like(ms.U)),
-                l=jnp.where(glob_done, ms.l, jnp.zeros_like(ms.l)),
-                inner_k=jnp.int32(0),
-                npass=jnp.where(glob_done, ms.npass, ms.npass + 1),
-                rNorm=beta_r, status=code,
-                inconsistent=ms.inconsistent
-                | (breakdown & ~resid_decrease),
-            )
-
-        s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
-        s_out = s_out._replace(hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
+        s_out = s._replace(V=V_next, U=U_new, l=l_new, z=z_new,
+                           inner_k=kk, iter=it, rNorm=rNorm,
+                           f_resid=resid_decrease, f_break=breakdown)
+        s_out = s_out._replace(
+            hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
         if verbose > 0:
             rt.debug_row(verbose, s_out.iter, "{:5d}  {:5d}  {:7.1e}",
                          s_out.npass, s_out.rNorm)
         if callback is not None:
+            # A user exit wins only when the pass epilogue would leave
+            # the solver RUNNING (pre-refactor semantics).
             user_exit = callback(s_out)
             s_out = s_out._replace(
-                status=jnp.where(user_exit & (s_out.status == rt.RUNNING),
-                                 jnp.int32(rt.USER_EXIT), s_out.status)
+                status=jnp.where(
+                    user_exit & (s_out.status == rt.RUNNING) & ~glob_done,
+                    jnp.int32(rt.USER_EXIT), s_out.status)
             )
         return s_out
 
-    return jax.lax.while_loop(cond, body, state)
+    def outer_cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def outer_body(ms):
+        ms = jax.lax.while_loop(inner_cond, inner_body, ms)
+
+        tired = ms.iter >= itmax
+        inner_done = (ms.f_resid | ms.f_break | tired
+                      | (ms.inner_k >= mem))
+        glob_done = ms.f_resid | ms.f_break | tired
+        restart_now = inner_done & ~glob_done
+
+        y = _fom_back_substitute(ms.U, ms.z, ms.inner_k, mem)
+        xr = ms.V.T @ y
+        if not NisI:
+            xr = N_apply(xr)
+        x_fin = jnp.where(inner_done, ms.x + xr, ms.x)
+
+        # Restart re-init (pass not globally done), speculative + select.
+        w2 = b - A.matvec(x_fin)
+        r0 = M_apply(w2)
+        beta = knorm(r0)
+        safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        Vr = jnp.zeros((mem, n), FC).at[0].set(r0 / safe.astype(FC))
+        zr = jnp.zeros((mem,), FC).at[0].set(beta.astype(FC))
+
+        # Status (reference src/fom.jl:355-359, later wins); a status
+        # already set by the callback (USER_EXIT) is preserved.
+        code = jnp.int32(rt.TIRED)
+        code = jnp.where(ms.f_break, jnp.int32(INCONS_FOM), code)
+        code = jnp.where(ms.f_resid, jnp.int32(rt.SOLVED), code)
+        code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
+        code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
+        code = jnp.where(inner_done, code, ms.status)
+
+        return ms._replace(
+            x=x_fin,
+            V=jnp.where(restart_now, Vr, ms.V),
+            z=jnp.where(restart_now, zr, ms.z),
+            U=jnp.where(restart_now, jnp.zeros_like(ms.U), ms.U),
+            l=jnp.where(restart_now, jnp.zeros_like(ms.l), ms.l),
+            inner_k=jnp.where(inner_done, jnp.int32(0), ms.inner_k),
+            npass=jnp.where(restart_now, ms.npass + 1, ms.npass),
+            rNorm=jnp.where(restart_now, beta, ms.rNorm),
+            status=code,
+            inconsistent=ms.inconsistent
+            | (ms.f_break & ~ms.f_resid & inner_done),
+            f_resid=ms.f_resid & ~inner_done,
+            f_break=ms.f_break & ~inner_done,
+        )
+
+    return jax.lax.while_loop(outer_cond, outer_body, state)
 
 
 def _fom_solve(
@@ -450,7 +488,12 @@ def _trunc_core(
                 Hc = Hc.at[diag].set(jnp.where(active, newv, Hc[diag]))
                 xi = jnp.where(active & (i == it1), -s.L[lslot] * xi, xi)
                 return Hc, xi
-            H, xi = jax.lax.fori_loop(0, mem, lu_body, (H, s.xi))
+            if mem <= 64:  # unrolled: scalar fori trips cost real time
+                H, xi = H, s.xi
+                for _o in range(mem):
+                    H, xi = lu_body(_o, (H, xi))
+            else:
+                H, xi = jax.lax.fori_loop(0, mem, lu_body, (H, s.xi))
             ukk = H[1]
             safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
             L_new = s.L.at[jnp.mod(it1, mem - 1)].set(Haux.astype(FC) / safe_u)
@@ -473,7 +516,11 @@ def _trunc_core(
                 Hc = Hc.at[diag].set(jnp.where(active, low, Hc[diag]))
                 Hc = Hc.at[diag + 1].set(jnp.where(active, tmp, Hc[diag + 1]))
                 return Hc
-            H = jax.lax.fori_loop(0, mem, rot_body, H)
+            if mem <= 64:  # unrolled: scalar fori trips cost real time
+                for _o in range(mem):
+                    H = rot_body(_o, H)
+            else:
+                H = jax.lax.fori_loop(0, mem, rot_body, H)
             ck, sk, rkk = sym_givens(H[1], Haux.astype(FC))
             H = H.at[1].set(jnp.asarray(rkk, FC))
             L_new = s.L.at[pos].set(jnp.real(ck))

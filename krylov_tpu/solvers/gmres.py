@@ -50,6 +50,8 @@ class GmresState(NamedTuple):
     status: jax.Array
     inconsistent: jax.Array
     hist_r: jax.Array
+    f_resid: jax.Array    # residual-decrease flag (pass-exit reason)
+    f_break: jax.Array    # breakdown flag (pass-exit reason)
 
 
 def _orthogonalize(V, q, k, mem, extra_pass):
@@ -69,7 +71,15 @@ def _orthogonalize(V, q, k, mem, extra_pass):
 
 
 def _apply_prev_rotations(hcol, c, s, k, mem):
-    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked)."""
+    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked).
+
+    Unrolled for small ``mem``: a ``fori_loop`` of tiny scalar updates
+    is a sequential chain of real loop trips on TPU (measured
+    ~38 µs/iteration at mem=20 vs fused-unrolled ~0 —
+    tools/exp_gmres_general.py); unrolling lets XLA fuse the whole
+    chain into one kernel.  Large ``mem`` (no-restart memory_cap path)
+    keeps the loop to bound trace size.
+    """
     def body(i, hcol):
         active = i < k
         hi, hi1 = hcol[i], hcol[i + 1]
@@ -77,6 +87,11 @@ def _apply_prev_rotations(hcol, c, s, k, mem):
         new_i1 = jnp.conj(s[i]) * hi - c[i] * hi1
         hcol = hcol.at[i].set(jnp.where(active, new_i, hi))
         hcol = hcol.at[i + 1].set(jnp.where(active, new_i1, hi1))
+        return hcol
+
+    if mem <= 64:
+        for i in range(mem):
+            hcol = body(i, hcol)
         return hcol
     return jax.lax.fori_loop(0, mem, body, hcol)
 
@@ -101,6 +116,11 @@ def _back_substitute(R, z, k, mem, btol):
         inconsistent = inconsistent | (active & sing)
         return y, inconsistent
 
+    if mem <= 64:  # unrolled: scalar fori trips cost real time on TPU
+        carry = (y0, jnp.zeros((), jnp.bool_))
+        for _idx in range(mem):
+            carry = body(_idx, carry)
+        return carry
     return jax.lax.fori_loop(0, mem, body, (y0, jnp.zeros((), jnp.bool_)))
 
 
@@ -155,14 +175,25 @@ def _gmres_core(
             npass=jnp.int32(1), rNorm=beta, eps_lim=eps_lim,
             status=status, inconsistent=jnp.zeros((), jnp.bool_),
             hist_r=hist,
+            f_resid=jnp.zeros((), jnp.bool_),
+            f_break=jnp.zeros((), jnp.bool_),
         )
     else:
         state = state_in
 
-    def cond(s):
-        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+    # Two-level loop: a per-ITERATION lax.cond around the pass epilogue
+    # (back-substitution + x update + restart re-init) forced a copy of
+    # the whole (mem, n) basis every iteration — measured ~90 µs/iter of
+    # pure structure at n=110592, mem=20 (tools/exp_gmres_general.py,
+    # exp_gmres_floor.py).  The inner while runs only the Arnoldi
+    # iteration; the epilogue runs once per pass in the outer body.
 
-    def body(s):
+    def inner_cond(s):
+        done = (s.f_resid | s.f_break | (s.iter >= itmax)
+                | (s.inner_k >= mem))
+        return (s.status == rt.RUNNING) & ~done & (s.iter < iter_cap)
+
+    def inner_body(s):
         k = s.inner_k
         vk = s.V[k]
         p = N_apply(vk)
@@ -205,70 +236,94 @@ def _gmres_core(
         )
         z_cont = z_new.at[k + 1].set(jnp.where(cont, zeta_next, z_new[k + 1]))
 
-        mid = s._replace(
-            x=s.x, V=V_next, Z=Z_new, R=R_new, c=c_new, s=s_new, z=z_cont,
+        s_out = s._replace(
+            V=V_next, Z=Z_new, R=R_new, c=c_new, s=s_new, z=z_cont,
             inner_k=kk, iter=it, rNorm=rNorm,
+            f_resid=resid_decrease, f_break=breakdown,
         )
-
-        def finalize(ms):
-            y, sing = _back_substitute(ms.R, ms.z, kk, mem, btol)
-            if flexible:
-                xr = ms.Z.T @ y
-            else:
-                xr = ms.V.T @ y
-                if not NisI:
-                    xr = N_apply(xr)
-            x_fin = ms.x + xr
-            inconsistent = ms.inconsistent | sing
-
-            # Restart re-init (pass not globally done).
-            def reinit(xf):
-                w2 = b - A.matvec(xf)
-                r0 = M_apply(w2)
-                beta = knorm(r0)
-                safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
-                Vr = jnp.zeros((mem, n), FC).at[0].set(r0 / safe.astype(FC))
-                zr = jnp.zeros((z_len,), FC).at[0].set(beta.astype(FC))
-                return Vr, zr, beta
-
-            def keep(xf):
-                return ms.V, ms.z, ms.rNorm
-
-            Vr, zr, beta_r = jax.lax.cond(~glob_done, reinit, keep, x_fin)
-
-            # Exit-status chain (reference src/gmres.jl:367-371, later wins).
-            code = jnp.int32(rt.BREAKDOWN)
-            code = jnp.where(tired, jnp.int32(rt.TIRED), code)
-            code = jnp.where(resid_decrease, jnp.int32(rt.SOLVED), code)
-            code = jnp.where(inconsistent, jnp.int32(rt.INCONSISTENT), code)
-            code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
-
-            return ms._replace(
-                x=x_fin, V=Vr, z=zr,
-                R=jnp.where(glob_done, ms.R, jnp.zeros_like(ms.R)),
-                c=jnp.where(glob_done, ms.c, jnp.zeros_like(ms.c)),
-                s=jnp.where(glob_done, ms.s, jnp.zeros_like(ms.s)),
-                inner_k=jnp.int32(0),
-                npass=jnp.where(glob_done, ms.npass, ms.npass + 1),
-                rNorm=beta_r, status=code, inconsistent=inconsistent,
-            )
-
-        s_out = jax.lax.cond(inner_done, finalize, lambda ms: ms, mid)
         hist = rt.hist_write(s_out.hist_r, it, rNorm, history)
         s_out = s_out._replace(hist_r=hist)
 
         if callback is not None:
+            # A user exit wins only when the pass epilogue would leave
+            # the solver RUNNING (pre-refactor semantics: the callback
+            # saw the post-finalize status).
             user_exit = callback(s_out)
             s_out = s_out._replace(
-                status=jnp.where(user_exit & (s_out.status == rt.RUNNING),
-                                 jnp.int32(rt.USER_EXIT), s_out.status)
+                status=jnp.where(
+                    user_exit & (s_out.status == rt.RUNNING) & ~glob_done,
+                    jnp.int32(rt.USER_EXIT), s_out.status)
             )
         if verbose > 0:
             rt.debug_row(verbose, it, "{:5d}  {:5d}  {:7.1e}  {:7.1e}",
                          s_out.npass, rNorm, Hbis)
         return s_out
 
-    return jax.lax.while_loop(cond, body, state)
+    def outer_cond(s):
+        return (s.status == rt.RUNNING) & (s.iter < iter_cap)
+
+    def outer_body(ms):
+        ms = jax.lax.while_loop(inner_cond, inner_body, ms)
+
+        # Pass epilogue, executed UNconditionally with jnp.where selects:
+        # any lax.cond in this loop nest defeats XLA's buffer aliasing
+        # for the (mem, n) basis and taxes every inner iteration
+        # (measured +78 µs/iter at n=110592, mem=20 —
+        # tools/exp_gmres_bisect.py variants E vs F).  When the inner
+        # loop stopped on iter_cap (chunked timemax re-entry) or a
+        # mid-pass user exit, inner_done is False and every select keeps
+        # the old state; the speculative back-substitution/matvec result
+        # is discarded.
+        tired = ms.iter >= itmax
+        inner_done = (ms.f_resid | ms.f_break | tired
+                      | (ms.inner_k >= mem))
+        glob_done = ms.f_resid | ms.f_break | tired
+        restart_now = inner_done & ~glob_done
+
+        y, sing = _back_substitute(ms.R, ms.z, ms.inner_k, mem, btol)
+        if flexible:
+            xr = ms.Z.T @ y
+        else:
+            xr = ms.V.T @ y
+            if not NisI:
+                xr = N_apply(xr)
+        x_fin = jnp.where(inner_done, ms.x + xr, ms.x)
+        inconsistent = ms.inconsistent | (sing & inner_done)
+
+        # Restart re-init (pass not globally done).
+        w2 = b - A.matvec(x_fin)
+        r0 = M_apply(w2)
+        beta = knorm(r0)
+        safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        Vr = jnp.zeros((mem, n), FC).at[0].set(r0 / safe.astype(FC))
+        zr = jnp.zeros((z_len,), FC).at[0].set(beta.astype(FC))
+
+        # Exit-status chain (reference src/gmres.jl:367-371, later wins);
+        # a status already set by the callback (USER_EXIT) is preserved.
+        code = jnp.int32(rt.BREAKDOWN)
+        code = jnp.where(tired, jnp.int32(rt.TIRED), code)
+        code = jnp.where(ms.f_resid, jnp.int32(rt.SOLVED), code)
+        code = jnp.where(inconsistent, jnp.int32(rt.INCONSISTENT), code)
+        code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
+        code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
+        code = jnp.where(inner_done, code, ms.status)
+
+        return ms._replace(
+            x=x_fin,
+            V=jnp.where(restart_now, Vr, ms.V),
+            z=jnp.where(restart_now, zr, ms.z),
+            R=jnp.where(restart_now, jnp.zeros_like(ms.R), ms.R),
+            c=jnp.where(restart_now, jnp.zeros_like(ms.c), ms.c),
+            s=jnp.where(restart_now, jnp.zeros_like(ms.s), ms.s),
+            inner_k=jnp.where(inner_done, jnp.int32(0), ms.inner_k),
+            npass=jnp.where(restart_now, ms.npass + 1, ms.npass),
+            rNorm=jnp.where(restart_now, beta, ms.rNorm),
+            status=code, inconsistent=inconsistent,
+            f_resid=ms.f_resid & ~inner_done,
+            f_break=ms.f_break & ~inner_done,
+        )
+
+    return jax.lax.while_loop(outer_cond, outer_body, state)
 
 
 def _gmres_like_solve(
