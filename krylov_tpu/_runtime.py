@@ -120,6 +120,24 @@ def resolve_itmax(itmax, default):
     return default if itmax == 0 else itmax
 
 
+def unrolled_fori(lo, hi, body, init, unroll_bound=64):
+    """fori_loop that unrolls when the static trip count is small.
+
+    On TPU a ``lax.fori_loop`` of tiny scalar updates (Givens/LU chains
+    over a solver's memory window) costs ~2 µs per trip — real
+    sequential loop iterations — while the unrolled chain fuses into
+    one kernel (measured 38 µs/iter saved on GMRES(20),
+    tools/exp_gmres_general.py).  ``hi`` must be a Python int; large
+    bounds keep the loop to bound trace size.
+    """
+    if hi - lo <= unroll_bound:
+        carry = init
+        for i in range(lo, hi):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(lo, hi, body, init)
+
+
 def hist_init(hist_len, dtype):
     """Preallocated history buffer (NaN-filled; trimmed on host)."""
     return jnp.full((max(hist_len, 1),), jnp.nan, dtype=dtype)

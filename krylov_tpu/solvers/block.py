@@ -183,12 +183,12 @@ def _block_core(
             rt.debug_row(verbose, s_out.iter, "{:5d}  {:7.1e}",
                          s_out.rNorm)
         if callback is not None:
-            # A user exit wins only when the pass epilogue would leave
-            # the solver RUNNING (pre-refactor semantics).
+            # Mid-pass iterations only; the pass-boundary call runs in
+            # the outer body on the post-epilogue state.
             user_exit = callback(s_out)
             s_out = s_out._replace(
                 status=jnp.where(
-                    user_exit & (s_out.status == rt.RUNNING) & ~glob_done,
+                    user_exit & (s_out.status == rt.RUNNING) & ~inner_done,
                     jnp.int32(rt.USER_EXIT), s_out.status))
         return s_out
 
@@ -221,7 +221,7 @@ def _block_core(
         code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
         code = jnp.where(inner_done, code, ms.status)
 
-        return ms._replace(
+        out = ms._replace(
             X=X_fin,
             V=jnp.where(restart_now, Vr, ms.V),
             rhs=jnp.where(restart_now, rhsr, ms.rhs),
@@ -232,6 +232,15 @@ def _block_core(
             f_resid=ms.f_resid & ~inner_done,
             f_break=ms.f_break & ~inner_done,
         )
+        if callback is not None:
+            # The pass-boundary iteration's callback call, on the
+            # post-epilogue state (single-loop formulation order).
+            user_exit = callback(out)
+            out = out._replace(
+                status=jnp.where(
+                    inner_done & user_exit & (out.status == rt.RUNNING),
+                    jnp.int32(rt.USER_EXIT), out.status))
+        return out
 
     return jax.lax.while_loop(outer_cond, outer_body, state)
 

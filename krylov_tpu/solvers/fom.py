@@ -85,12 +85,7 @@ def _fom_back_substitute(U, z, k, mem):
         y = y.at[i].set(jnp.where(active, acc / safe, y[i]))
         return y
 
-    if mem <= 64:  # unrolled: scalar fori trips cost real time on TPU
-        y = y0
-        for _idx in range(mem):
-            y = body(_idx, y)
-        return y
-    return jax.lax.fori_loop(0, mem, body, y0)
+    return rt.unrolled_fori(0, mem, body, y0)
 
 
 @functools.partial(
@@ -164,18 +159,12 @@ def _fom_core(
         Hbis = knorm(q)
 
         # LU column update: uᵢ.ₖ = hᵢ.ₖ - lᵢ₋₁ uᵢ₋₁.ₖ sequentially
-        # (reference src/fom.jl:274-280); unrolled for small mem (a
-        # fori_loop of tiny scalar trips costs real time per iteration).
+        # (reference src/fom.jl:274-280); unrolled for small mem.
         def lu_body(i, col):
             active = (i >= 1) & (i <= k)
             new = col[i] - s.l[i - 1] * col[i - 1]
             return col.at[i].set(jnp.where(active, new, col[i]))
-        if mem <= 64:
-            ucol = hcol
-            for i in range(1, mem):
-                ucol = lu_body(i, ucol)
-        else:
-            ucol = jax.lax.fori_loop(1, mem, lu_body, hcol)
+        ucol = rt.unrolled_fori(1, mem, lu_body, hcol)
 
         ukk = ucol[k]
         safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
@@ -216,12 +205,12 @@ def _fom_core(
             rt.debug_row(verbose, s_out.iter, "{:5d}  {:5d}  {:7.1e}",
                          s_out.npass, s_out.rNorm)
         if callback is not None:
-            # A user exit wins only when the pass epilogue would leave
-            # the solver RUNNING (pre-refactor semantics).
+            # Mid-pass iterations only; the pass-boundary call runs in
+            # the outer body on the post-epilogue state.
             user_exit = callback(s_out)
             s_out = s_out._replace(
                 status=jnp.where(
-                    user_exit & (s_out.status == rt.RUNNING) & ~glob_done,
+                    user_exit & (s_out.status == rt.RUNNING) & ~inner_done,
                     jnp.int32(rt.USER_EXIT), s_out.status)
             )
         return s_out
@@ -261,7 +250,7 @@ def _fom_core(
         code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
         code = jnp.where(inner_done, code, ms.status)
 
-        return ms._replace(
+        out = ms._replace(
             x=x_fin,
             V=jnp.where(restart_now, Vr, ms.V),
             z=jnp.where(restart_now, zr, ms.z),
@@ -276,6 +265,15 @@ def _fom_core(
             f_resid=ms.f_resid & ~inner_done,
             f_break=ms.f_break & ~inner_done,
         )
+        if callback is not None:
+            # The pass-boundary iteration's callback call, on the
+            # post-epilogue state (single-loop formulation order).
+            user_exit = callback(out)
+            out = out._replace(
+                status=jnp.where(
+                    inner_done & user_exit & (out.status == rt.RUNNING),
+                    jnp.int32(rt.USER_EXIT), out.status))
+        return out
 
     return jax.lax.while_loop(outer_cond, outer_body, state)
 
@@ -488,12 +486,7 @@ def _trunc_core(
                 Hc = Hc.at[diag].set(jnp.where(active, newv, Hc[diag]))
                 xi = jnp.where(active & (i == it1), -s.L[lslot] * xi, xi)
                 return Hc, xi
-            if mem <= 64:  # unrolled: scalar fori trips cost real time
-                H, xi = H, s.xi
-                for _o in range(mem):
-                    H, xi = lu_body(_o, (H, xi))
-            else:
-                H, xi = jax.lax.fori_loop(0, mem, lu_body, (H, s.xi))
+            H, xi = rt.unrolled_fori(0, mem, lu_body, (H, s.xi))
             ukk = H[1]
             safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
             L_new = s.L.at[jnp.mod(it1, mem - 1)].set(Haux.astype(FC) / safe_u)
@@ -516,11 +509,7 @@ def _trunc_core(
                 Hc = Hc.at[diag].set(jnp.where(active, low, Hc[diag]))
                 Hc = Hc.at[diag + 1].set(jnp.where(active, tmp, Hc[diag + 1]))
                 return Hc
-            if mem <= 64:  # unrolled: scalar fori trips cost real time
-                for _o in range(mem):
-                    H = rot_body(_o, H)
-            else:
-                H = jax.lax.fori_loop(0, mem, rot_body, H)
+            H = rt.unrolled_fori(0, mem, rot_body, H)
             ck, sk, rkk = sym_givens(H[1], Haux.astype(FC))
             H = H.at[1].set(jnp.asarray(rkk, FC))
             L_new = s.L.at[pos].set(jnp.real(ck))

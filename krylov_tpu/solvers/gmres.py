@@ -71,15 +71,8 @@ def _orthogonalize(V, q, k, mem, extra_pass):
 
 
 def _apply_prev_rotations(hcol, c, s, k, mem):
-    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked).
-
-    Unrolled for small ``mem``: a ``fori_loop`` of tiny scalar updates
-    is a sequential chain of real loop trips on TPU (measured
-    ~38 µs/iteration at mem=20 vs fused-unrolled ~0 —
-    tools/exp_gmres_general.py); unrolling lets XLA fuse the whole
-    chain into one kernel.  Large ``mem`` (no-restart memory_cap path)
-    keeps the loop to bound trace size.
-    """
+    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked);
+    unrolled for small mem (rt.unrolled_fori)."""
     def body(i, hcol):
         active = i < k
         hi, hi1 = hcol[i], hcol[i + 1]
@@ -89,11 +82,7 @@ def _apply_prev_rotations(hcol, c, s, k, mem):
         hcol = hcol.at[i + 1].set(jnp.where(active, new_i1, hi1))
         return hcol
 
-    if mem <= 64:
-        for i in range(mem):
-            hcol = body(i, hcol)
-        return hcol
-    return jax.lax.fori_loop(0, mem, body, hcol)
+    return rt.unrolled_fori(0, mem, body, hcol)
 
 
 def _back_substitute(R, z, k, mem, btol):
@@ -116,12 +105,7 @@ def _back_substitute(R, z, k, mem, btol):
         inconsistent = inconsistent | (active & sing)
         return y, inconsistent
 
-    if mem <= 64:  # unrolled: scalar fori trips cost real time on TPU
-        carry = (y0, jnp.zeros((), jnp.bool_))
-        for _idx in range(mem):
-            carry = body(_idx, carry)
-        return carry
-    return jax.lax.fori_loop(0, mem, body, (y0, jnp.zeros((), jnp.bool_)))
+    return rt.unrolled_fori(0, mem, body, (y0, jnp.zeros((), jnp.bool_)))
 
 
 @functools.partial(
@@ -245,13 +229,14 @@ def _gmres_core(
         s_out = s_out._replace(hist_r=hist)
 
         if callback is not None:
-            # A user exit wins only when the pass epilogue would leave
-            # the solver RUNNING (pre-refactor semantics: the callback
-            # saw the post-finalize status).
+            # Mid-pass iterations only; at the pass-boundary iteration
+            # the callback runs in the outer body on the post-epilogue
+            # state (finalized x / restarted rNorm), preserving the
+            # reference-order semantics of the single-loop formulation.
             user_exit = callback(s_out)
             s_out = s_out._replace(
                 status=jnp.where(
-                    user_exit & (s_out.status == rt.RUNNING) & ~glob_done,
+                    user_exit & (s_out.status == rt.RUNNING) & ~inner_done,
                     jnp.int32(rt.USER_EXIT), s_out.status)
             )
         if verbose > 0:
@@ -308,7 +293,7 @@ def _gmres_core(
         code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
         code = jnp.where(inner_done, code, ms.status)
 
-        return ms._replace(
+        out = ms._replace(
             x=x_fin,
             V=jnp.where(restart_now, Vr, ms.V),
             z=jnp.where(restart_now, zr, ms.z),
@@ -322,6 +307,15 @@ def _gmres_core(
             f_resid=ms.f_resid & ~inner_done,
             f_break=ms.f_break & ~inner_done,
         )
+        if callback is not None:
+            # The pass-boundary iteration's callback call, on the
+            # post-epilogue state (single-loop formulation order).
+            user_exit = callback(out)
+            out = out._replace(
+                status=jnp.where(
+                    inner_done & user_exit & (out.status == rt.RUNNING),
+                    jnp.int32(rt.USER_EXIT), out.status))
+        return out
 
     return jax.lax.while_loop(outer_cond, outer_body, state)
 

@@ -190,15 +190,9 @@ def _gpmr_core(
 
             return apply(co), apply(ce)
 
-        # Unrolled for small mem: a fori_loop of tiny scalar updates is a
-        # sequential chain of real loop trips on TPU (the GMRES rotation
-        # lesson, tools/exp_gmres_general.py); unrolling fuses the chain.
-        if mem <= 64:
-            for _i0 in range(mem):
-                col_o, col_e = rot_body(_i0, (col_o, col_e))
-        else:
-            col_o, col_e = jax.lax.fori_loop(0, mem, rot_body,
-                                             (col_o, col_e))
+        # Unrolled for small mem (the GMRES rotation lesson,
+        # tools/exp_gmres_general.py): rt.unrolled_fori fuses the chain.
+        col_o, col_e = rt.unrolled_fori(0, mem, rot_body, (col_o, col_e))
 
         # Current reflections (reference :411-443).
         do = col_o[2 * k - 2]

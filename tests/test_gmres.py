@@ -114,6 +114,32 @@ class TestGmresSpecifics:
         assert stats.status == "user-requested exit"
         assert stats.niter == 4
 
+    def test_callback_sees_pass_boundary_x(self):
+        # At a restart boundary the callback must observe the
+        # POST-epilogue state (x updated from the finished pass,
+        # rNorm = true restarted residual) — the single-loop-formulation
+        # order, regression for the two-level-loop restructure.
+        A, b = fx.sparse_laplacian(8)
+        Ad = np.zeros((0,))
+        bn = np.linalg.norm(np.asarray(b))
+        tol = 1e-6
+
+        def cb(state):
+            # state.x is only nonzero after a pass epilogue has run;
+            # exit as soon as the M-residual estimate carried in rNorm
+            # (exact at a fresh restart) crosses tol.
+            return state.rNorm <= tol * bn
+
+        x, stats = gmres(A, b, memory=5, restart=True, callback=cb,
+                         rtol=1e-30, atol=1e-30)
+        assert stats.status == "user-requested exit"
+        # The exit must happen AT a pass boundary (epilogue state), so
+        # the returned x already satisfies the tolerance.
+        from krylov_tpu.ops.sparse import spmv
+        r = np.asarray(b) - np.asarray(spmv(A, x))
+        assert np.linalg.norm(r) <= 5 * tol * bn
+        assert stats.niter % 5 == 0  # fired on a boundary iteration
+
     def test_fgmres_variable_preconditioner(self):
         # FGMRES tolerates a (fixed here) nonlinear right preconditioner.
         from krylov_tpu.operators import FunctionOperator

@@ -46,15 +46,18 @@ def main():
         return time.perf_counter() - t0
 
     def run(label, step):
+        # A and b passed as jit ARGUMENTS (CLAUDE.md: closed-over arrays
+        # embed as HLO constants and can 413 the remote-compile tunnel).
         @jax.jit
-        def multi(V, R, z, x, S):
+        def multi(A, b, V, R, z, x, S):
             def body(i, acc):
-                out = step(V, R, z * (1 + 0.001 * i), x)
+                out = step(A, b, V, R, z * (1 + 0.001 * i), x)
                 return acc + out
             return jax.lax.fori_loop(0, S, body, jnp.float32(0))
 
         def fetch(S):
-            return float(jax.device_get(multi(V, R, z, x, jnp.int32(S))))
+            return float(jax.device_get(
+                multi(A, b, V, R, z, x, jnp.int32(S))))
 
         fetch(1)
         t1 = statistics.median(_timed(lambda: fetch(1)) for _ in range(5))
@@ -64,21 +67,21 @@ def main():
         per = (tS - t1) / (S - 1)
         print(f"{label:30s} per_call={per*1e6:9.2f} us", flush=True)
 
-    def step_backsub(V, R, z, x):
+    def step_backsub(A, b, V, R, z, x):
         y, sing = gm._back_substitute(R, z, jnp.int32(mem), mem, btol)
         return jnp.sum(y)
 
-    def step_xupdate(V, R, z, x):
+    def step_xupdate(A, b, V, R, z, x):
         y = z[:mem]
         return jnp.sum(x + V.T @ y)
 
-    def step_reinit(V, R, z, x):
+    def step_reinit(A, b, V, R, z, x):
         w2 = b - A.matvec(x)
         beta = knorm(w2)
         Vr = jnp.zeros((mem, n), dtype).at[0].set(w2 / beta.astype(dtype))
         return jnp.sum(Vr[0]) + beta
 
-    def step_full(V, R, z, x):
+    def step_full(A, b, V, R, z, x):
         y, sing = gm._back_substitute(R, z, jnp.int32(mem), mem, btol)
         xf = x + V.T @ y
         w2 = b - A.matvec(xf)
