@@ -46,7 +46,7 @@ SYMMETRIC_METHODS = ("cg", "cr", "minres", "symmlq")
 GENERAL_METHODS = ("gmres", "fom", "bicgstab", "cgs", "bilq", "qmr")
 
 
-def _traced_x(method, A, M, N, b, atol, rtol, itmax, memory):
+def _traced_x(method, A, M, N, b, atol, rtol, itmax, memory, dot2=False):
     """One fully-traced solve ``x ≈ A⁻¹ b`` (no stats, no host sync).
 
     Calls the same jitted ``lax.while_loop`` cores as the public
@@ -60,7 +60,7 @@ def _traced_x(method, A, M, N, b, atol, rtol, itmax, memory):
         from .solvers.cg import _cg_core
         st = _cg_core(A, M, b, None, None, cap, atol, rtol, 0.0,
                       ldiv=False, linesearch=False, use_radius=False,
-                      **common)
+                      dot2=dot2, **common)
     elif method == "cr":
         from .solvers.cr import _cr_core
         gamma_tol = float(np.sqrt(jnp.finfo(T).eps))
@@ -115,7 +115,7 @@ def _swap_adj(op):
 
 
 def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
-          itmax=0, memory=20):
+          itmax=0, memory=20, dot2=False):
     """Differentiable ``x = A⁻¹ b`` for square systems.
 
     Traceable under jit/vmap and differentiable w.r.t. both ``b`` and
@@ -152,8 +152,12 @@ def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
     def matvec(v):
         return A.matvec(v)
 
+    if dot2 and method != "cg":
+        raise ValueError("dot2 (compensated inner products) is a CG option")
+
     def solve_fn(_mv, rhs):
-        return _traced_x(method, A, M, N, rhs, atol, rtol, itmax, memory)
+        return _traced_x(method, A, M, N, rhs, atol, rtol, itmax, memory,
+                         dot2=dot2)
 
     if hermitian and not is_complex:
         return lax.custom_linear_solve(matvec, b, solve_fn, symmetric=True)
@@ -162,7 +166,7 @@ def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
         # Hermitian complex: Aᵀ = conj(A), so Aᵀw = c ⇔ A conj(w) = conj(c).
         def transpose_fn(_mv, rhs):
             w = _traced_x(method, A, M, N, jnp.conj(rhs), atol, rtol,
-                          itmax, memory)
+                          itmax, memory, dot2=dot2)
             return jnp.conj(w)
     else:
         # General: Aᵀw = c ⇔ Aᴴ conj(w) = conj(c); preconditioners swap
@@ -207,7 +211,7 @@ class _NormalOperator(AbstractLinearOperator):
         return cls(*leaves)
 
 
-def lstsq(A, b, *, lam=0.0, atol=0.0, rtol=None, itmax=0):
+def lstsq(A, b, *, lam=0.0, atol=0.0, rtol=None, itmax=0, dot2=False):
     """Differentiable regularized least squares.
 
     ``x = argmin ‖Ax − b‖² + λ‖x‖²`` as the solution of the normal
@@ -239,7 +243,8 @@ def lstsq(A, b, *, lam=0.0, atol=0.0, rtol=None, itmax=0):
     rhs = A.rmatvec(b)
 
     def solve_fn(_mv, c):
-        return _traced_x("cg", H, None, None, c, atol, rtol, itmax, 0)
+        return _traced_x("cg", H, None, None, c, atol, rtol, itmax, 0,
+                         dot2=dot2)
 
     if not is_complex:
         return lax.custom_linear_solve(matvec, rhs, solve_fn, symmetric=True)
@@ -247,7 +252,8 @@ def lstsq(A, b, *, lam=0.0, atol=0.0, rtol=None, itmax=0):
     def transpose_fn(_mv, c):
         # H Hermitian: Hᵀw = c ⇔ H conj(w) = conj(c).
         return jnp.conj(
-            _traced_x("cg", H, None, None, jnp.conj(c), atol, rtol, itmax, 0))
+            _traced_x("cg", H, None, None, jnp.conj(c), atol, rtol, itmax, 0,
+                      dot2=dot2))
 
     return lax.custom_linear_solve(matvec, rhs, solve_fn,
                                    transpose_solve=transpose_fn)

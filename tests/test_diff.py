@@ -157,6 +157,65 @@ class TestComposition:
                            np.asarray(jax.grad(loss_ref)(A)), atol=1e-6)
 
 
+class TestBatchedOperators:
+    def test_vmap_over_operator_leaves(self):
+        # A batch of operators: vmap over the dense leaf compiles to one
+        # batched program (the TPU replacement for a host loop).
+        rng = np.random.default_rng(20)
+        nb, n = 4, 12
+        As = jnp.asarray(np.stack([_spd(n, seed=i) for i in range(nb)]))
+        Bs = jnp.asarray(rng.standard_normal((nb, n)))
+        xs = jax.jit(jax.vmap(lambda Am, bv: diff.solve(Am, bv,
+                                                        rtol=1e-12)))(As, Bs)
+        for i in range(nb):
+            ref = np.linalg.solve(np.asarray(As[i]), np.asarray(Bs[i]))
+            assert np.allclose(np.asarray(xs[i]), ref, atol=1e-7)
+
+    def test_grad_through_batched_operators(self):
+        nb, n = 3, 10
+        As = jnp.asarray(np.stack([_spd(n, seed=10 + i) for i in range(nb)]))
+        Bs = jnp.asarray(np.random.default_rng(21).standard_normal((nb, n)))
+
+        def loss(As_):
+            xs = jax.vmap(lambda Am, bv: diff.solve(Am, bv,
+                                                    rtol=1e-12))(As_, Bs)
+            return jnp.sum(xs ** 2)
+
+        def loss_ref(As_):
+            xs = jax.vmap(jnp.linalg.solve)(As_, Bs)
+            return jnp.sum(xs ** 2)
+
+        assert np.allclose(np.asarray(jax.grad(loss)(As)),
+                           np.asarray(jax.grad(loss_ref)(As)), atol=1e-6)
+
+
+class TestDot2:
+    def test_dot2_grad_f32(self):
+        # Compensated inner products: f32 diff-solve gradients reach the
+        # dense-f64 gradient within f32-storage error.
+        A64 = _spd(24, seed=30)
+        b64 = np.random.default_rng(31).standard_normal(24)
+        A = jnp.asarray(A64.astype(np.float32))
+        b = jnp.asarray(b64.astype(np.float32))
+
+        def f(Am, bv):
+            return jnp.sum(diff.solve(Am, bv, method="cg", rtol=1e-7,
+                                      dot2=True) ** 2)
+
+        gA, gb = jax.grad(f, argnums=(0, 1))(A, b)
+        x64 = np.linalg.solve(A64, b64)
+        g64 = np.linalg.solve(A64, 2 * x64)     # b̄ = A⁻ᵀ ∂f/∂x
+        rel = np.linalg.norm(np.asarray(gb, np.float64) - g64) / \
+            np.linalg.norm(g64)
+        assert rel < 1e-4
+        assert np.isfinite(np.asarray(gA)).all()
+
+    def test_dot2_rejected_off_cg(self):
+        A = _spd(8)
+        with pytest.raises(ValueError, match="dot2"):
+            diff.solve(A, np.ones(8), method="gmres", dot2=True)
+
+
 class TestComplex:
     def test_hermitian_cg_value_and_vjp(self):
         A = jnp.asarray(_herm(24))

@@ -20,6 +20,7 @@ EXAMPLES = [
     "cgne_crmr_least_norm.py",
     "lsmr_rank_deficient.py",
     "trimr_usymlqr_saddle.py",
+    "learned_regularization.py",
 ]
 
 
