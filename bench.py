@@ -264,6 +264,27 @@ def main():
         {"n": ncd, "rtol": rtol},
         **measure("bicgstab", adapters.make_bicgstab(Acd, Mcd, bcd, rtol,
                                                      600), s_cap=64))
+    # The general-sparse user path: the SAME problem handed over as CSR,
+    # routed through the one-time hybrid analysis (DIA peel + SELL
+    # remainder) and the general (non-fused) GMRES core.
+    if on_tpu:
+        from krylov_tpu import as_operator
+        from krylov_tpu.ops.sparse import csr_from_coo
+        ddc = np.asarray(Dcd.data)
+        hr, hc, hv = [], [], []
+        for di, k in enumerate(Dcd.offsets):
+            i = np.arange(max(0, -k), ncd - max(0, k))
+            j = i + k
+            keep = ddc[di, j] != 0
+            hr.append(i[keep]); hc.append(j[keep]); hv.append(ddc[di, j][keep])
+        csr_cd = csr_from_coo(np.concatenate(hr), np.concatenate(hc),
+                              np.concatenate(hv), (ncd, ncd), dtype=dtype)
+        Ahyb = as_operator(csr_cd)
+        configs["convdiff_gmres20_csr_hybrid"] = dict(
+            {"n": ncd, "rtol": rtol, "mem": 20, "nnz": int(csr_cd.nnz)},
+            **measure("gmres_csr_hybrid",
+                      adapters.make_gmres(Ahyb, Mcd, bcd, rtol, 600,
+                                          mem=20), s_cap=64))
     if on_tpu:
         pdcd = DIAOperator(Dcd)._pd
         configs["convdiff_gmres20_fused"] = dict(
