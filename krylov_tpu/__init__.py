@@ -116,6 +116,8 @@ from .workspaces import (
 # differentiation through the same solver cores — a TPU/JAX-native
 # extension with no reference analogue (Krylov.jl ships no AD rules).
 from . import diff
+# Batched small-systems solves: vmapped cores + per-item stats.
+from .batched import batched_solve, BatchedStats
 
 # Re-export the generated per-method workspace classes (CgWorkspace,
 # MinresWorkspace, ...) to mirror the reference's exported workspace types

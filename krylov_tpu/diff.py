@@ -46,12 +46,14 @@ SYMMETRIC_METHODS = ("cg", "cr", "minres", "symmlq")
 GENERAL_METHODS = ("gmres", "fom", "bicgstab", "cgs", "bilq", "qmr")
 
 
-def _traced_x(method, A, M, N, b, atol, rtol, itmax, memory, dot2=False):
-    """One fully-traced solve ``x ≈ A⁻¹ b`` (no stats, no host sync).
+def _traced_state(method, A, M, N, b, atol, rtol, itmax, memory,
+                  dot2=False):
+    """One fully-traced solve of ``Ax = b`` returning the core state.
 
     Calls the same jitted ``lax.while_loop`` cores as the public
     wrappers (solvers/<method>.py), with history/callback/verbose off
-    and the reference default options.
+    and the reference default options.  The state carries ``x``,
+    ``iter``, and ``status`` (device int code) on every method.
     """
     cap = jnp.int32(itmax)
     T = real_dtype(b.dtype)
@@ -106,7 +108,13 @@ def _traced_x(method, A, M, N, b, atol, rtol, itmax, memory, dot2=False):
         st = _qmr_core(A, b, b, None, None, cap, atol, rtol, **common)
     else:  # pragma: no cover - guarded by the public entry points
         raise ValueError(f"unsupported method {method!r}")
-    return st.x
+    return st
+
+
+def _traced_x(method, A, M, N, b, atol, rtol, itmax, memory, dot2=False):
+    """x of `_traced_state` (the custom_linear_solve inner solve)."""
+    return _traced_state(method, A, M, N, b, atol, rtol, itmax, memory,
+                         dot2).x
 
 
 def _swap_adj(op):
