@@ -63,7 +63,8 @@ class BatchedStats:
 
 
 def batched_solve(method, A, B, *, make_operator=None, M=None,
-                  atol=0.0, rtol=None, itmax=0, memory=20, dot2=False):
+                  atol=0.0, rtol=None, itmax=0, memory=20, dot2=False,
+                  lam=0.0, shape=None):
     """Solve ``A[i] x[i] = B[i]`` for every i in one compiled program.
 
     ``A`` is either a dense ``(nb, n, n)`` array, or — with
@@ -79,27 +80,47 @@ def batched_solve(method, A, B, *, make_operator=None, M=None,
     ``jax.vmap`` of :func:`krylov_tpu.diff.solve` instead (this entry
     point materializes host-side stats, which AD cannot cross).
     """
-    from .diff import SYMMETRIC_METHODS, GENERAL_METHODS, _traced_state
+    from .diff import (SYMMETRIC_METHODS, GENERAL_METHODS, LS_METHODS,
+                       _traced_state)
 
-    if method not in SYMMETRIC_METHODS and method not in GENERAL_METHODS:
+    supported = SYMMETRIC_METHODS + GENERAL_METHODS + LS_METHODS
+    if method not in supported:
         raise ValueError(
-            f"batched_solve supports {SYMMETRIC_METHODS + GENERAL_METHODS},"
-            f" got {method!r}")
+            f"batched_solve supports {supported}, got {method!r}")
+    is_ls = method in LS_METHODS
     start = time.perf_counter()
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError("B must be (nb, n)")
-    nb, n = B.shape
+    nb, m = B.shape
     if make_operator is None:
         A = jnp.asarray(A)
-        if A.shape != (nb, n, n):
+        if A.ndim != 3 or A.shape[:2] != (nb, m):
+            raise ValueError("dense A must be (nb, n, n) matching B"
+                             if not is_ls else
+                             "dense A must be (nb, m, n) with m = B cols")
+        if not is_ls and A.shape[1] != A.shape[2]:
             raise ValueError("dense A must be (nb, n, n) matching B")
+        n = A.shape[2]
         make_operator = MatrixOperator
+    elif is_ls:
+        if shape is None:
+            raise ValueError("least-squares batched_solve with "
+                             "make_operator needs shape=(m, n)")
+        n = shape[1]
+    else:
+        n = m
     M = as_operator(M)
     T = real_dtype(B.dtype)
-    atol = rt.default_tol(atol, T)
-    rtol = rt.default_tol(rtol, T)
-    itmax = rt.resolve_itmax(itmax, 2 * n)
+    if method in ("lsqr", "lsmr"):
+        # scalar-wrapper semantics: the primary LSQR/LSMR stops are the
+        # √eps axtol/btol backward-error tests; atol/rtol default to 0.
+        atol = 0.0 if atol is None else float(atol)
+        rtol = 0.0 if rtol is None else float(rtol)
+    else:
+        atol = rt.default_tol(atol, T)
+        rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, (m + n) if is_ls else 2 * n)
 
     # Cache the compiled batched program: a fresh closure per call would
     # re-trace every time (observed 1.6 s/call vs ms once cached).  The
@@ -109,18 +130,18 @@ def batched_solve(method, A, B, *, make_operator=None, M=None,
            itmax, memory, dot2, str(B.dtype), n)
     fn = _COMPILED.get(key)
     if fn is None:
-        def one(data_i, b_i, atol_, rtol_):
+        def one(data_i, b_i, atol_, rtol_, lam_):
             op = as_operator(make_operator(data_i))
             st = _traced_state(method, op, M, None, b_i, atol_, rtol_,
-                               itmax, memory, dot2)
+                               itmax, memory, dot2, lam=lam_)
             return st.x, st.iter, st.status
 
-        fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None)))
+        fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
         _COMPILED[key] = fn
 
     with jax.default_matmul_precision("highest"):
         X, iters, codes = fn(A, B, jnp.asarray(atol, T),
-                             jnp.asarray(rtol, T))
+                             jnp.asarray(rtol, T), jnp.asarray(lam, T))
     iters, codes = jax.device_get([iters, codes])
     iters = np.asarray(iters)
     codes = np.asarray(codes)

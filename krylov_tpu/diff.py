@@ -46,8 +46,13 @@ SYMMETRIC_METHODS = ("cg", "cr", "minres", "symmlq")
 GENERAL_METHODS = ("gmres", "fom", "bicgstab", "cgs", "bilq", "qmr")
 
 
+#: Rectangular least-squares methods usable via batched_solve (not
+#: diff.solve — use diff.lstsq for differentiable least squares).
+LS_METHODS = ("lsqr", "lsmr", "cgls")
+
+
 def _traced_state(method, A, M, N, b, atol, rtol, itmax, memory,
-                  dot2=False):
+                  dot2=False, lam=0.0):
     """One fully-traced solve of ``Ax = b`` returning the core state.
 
     Calls the same jitted ``lax.while_loop`` cores as the public
@@ -58,6 +63,22 @@ def _traced_state(method, A, M, N, b, atol, rtol, itmax, memory,
     cap = jnp.int32(itmax)
     T = real_dtype(b.dtype)
     common = dict(history=False, hist_len=0, callback=None, verbose=0)
+    if method in ("lsqr", "lsmr"):
+        from .solvers.lsqr import _lsqr_core
+        from .solvers.lsmr import _lsmr_core
+        core = _lsqr_core if method == "lsqr" else _lsmr_core
+        sq = jnp.asarray(np.sqrt(jnp.finfo(T).eps), T)
+        kw = dict(ldiv=False, window=5, use_radius=False,
+                  MisI=M is None, NisI=N is None, **common)
+        if method == "lsqr":
+            kw["dot2"] = dot2
+        return core(A, M, N, b, None, cap, jnp.int32(itmax),
+                    lam, sq, sq, atol, rtol, sq, 1.0e8, 0.0, **kw)
+    if method == "cgls":
+        from .solvers.cgls import _cgls_core
+        return _cgls_core(A, M, b, None, cap, atol, rtol, lam, 0.0,
+                          ldiv=False, use_radius=False, MisI=M is None,
+                          **common)
     if method == "cg":
         from .solvers.cg import _cg_core
         st = _cg_core(A, M, b, None, None, cap, atol, rtol, 0.0,

@@ -103,9 +103,50 @@ class TestBatchedSolve:
                    for s in stats.status)
         assert (stats.niter == 2).all()
 
+    @pytest.mark.parametrize("method", ["lsqr", "lsmr", "cgls"])
+    def test_least_squares_batch(self, method):
+        # Per-item parity with the scalar wrapper (lsqr/lsmr stop on the
+        # √eps backward-error tests, so the normal-equations solution is
+        # only matched to backward-error accuracy — the contract is the
+        # scalar wrapper, not np.linalg).
+        rng = np.random.default_rng(11)
+        nb, m, n = 5, 40, 16
+        As = rng.standard_normal((nb, m, n))
+        Bs = rng.standard_normal((nb, m))
+        lam = 0.3
+        X, stats = kt.batched_solve(method, As, Bs, lam=lam,
+                                    rtol=1e-12 if method == "cgls" else None)
+        assert X.shape == (nb, n)
+        assert stats.solved.all()
+        scalar = getattr(kt, method)
+        for i in range(nb):
+            kw = dict(lam=lam)
+            if method == "cgls":
+                kw["rtol"] = 1e-12
+            xs, st = scalar(As[i], Bs[i], **kw)
+            assert np.allclose(np.asarray(X[i]), np.asarray(xs), atol=1e-10)
+            # and both agree with the normal equations to method accuracy
+            H = As[i].T @ As[i] + lam * np.eye(n)
+            ref = np.linalg.solve(H, As[i].T @ Bs[i])
+            assert np.allclose(np.asarray(X[i]), ref, atol=1e-2)
+
+    def test_ls_niter_matches_scalar_wrapper(self):
+        rng = np.random.default_rng(12)
+        nb, m, n = 3, 30, 12
+        As = rng.standard_normal((nb, m, n))
+        Bs = rng.standard_normal((nb, m))
+        X, stats = kt.batched_solve("lsqr", As, Bs, lam=0.1)
+        for i in range(nb):
+            _, st = kt.lsqr(As[i], Bs[i], lam=0.1)
+            assert stats.niter[i] == st.niter
+            assert stats.status[i] == st.status
+
     def test_rejects(self):
         with pytest.raises(ValueError, match="supports"):
-            kt.batched_solve("lsqr", np.zeros((2, 3, 3)), np.zeros((2, 3)))
+            kt.batched_solve("craig", np.zeros((2, 3, 3)), np.zeros((2, 3)))
+        with pytest.raises(ValueError, match="shape"):
+            kt.batched_solve("lsqr", np.zeros((2, 7)), np.zeros((2, 3)),
+                             make_operator=lambda v: v)
         with pytest.raises(ValueError, match="nb, n"):
             kt.batched_solve("cg", np.zeros((2, 3, 3)), np.zeros(3))
         with pytest.raises(ValueError, match="dense A"):
