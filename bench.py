@@ -417,6 +417,28 @@ def main():
                       s_cap=64))
 
     # ------------------------------------------------------------------
+    # Batched small-systems solves (kt.batched_solve story): 256 dense
+    # SPD systems of n=256, one compiled program.
+    # ------------------------------------------------------------------
+    if on_tpu:
+        log("bench: batched cg...")
+        rng_b = np.random.default_rng(0)
+        nb_b, n_b = 256, 256
+        Qb = rng_b.standard_normal((nb_b, n_b, n_b)).astype(dtype)
+        As_b = jnp.asarray(Qb @ np.transpose(Qb, (0, 2, 1)) / n_b
+                           + 2.0 * np.eye(n_b, dtype=dtype))
+        Bs_b = jnp.asarray(
+            rng_b.standard_normal((nb_b, n_b)).astype(dtype))
+        bat = measure("batched_cg", adapters.make_batched_cg(
+            As_b, Bs_b, 1e-5, 3 * n_b), s_cap=64)
+        bat["nb"] = nb_b
+        bat["n"] = n_b
+        bat["us_per_system"] = round(
+            bat["spread_ms"] / (bat["S"] - 1) / nb_b * 1e3, 3) \
+            if bat.get("S", 1) > 1 and "spread_ms" in bat else None
+        configs["batched_cg_256x256"] = bat
+
+    # ------------------------------------------------------------------
     # BELL (block-ELL) MXU kernel
     # ------------------------------------------------------------------
     bell_gnnz = None

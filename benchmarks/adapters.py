@@ -292,3 +292,20 @@ def make_gpmr_fused(pd_a, pd_b, offs_a, offs_b, b, c, rtol, itmax,
             0.0, float(rtol), int(itmax), mem=int(mem))
         return it, _chk(x, y)
     return solve, (pd_a, pd_b, c), b
+
+
+def make_batched_cg(As, Bs, rtol, itmax):
+    """Batch of dense SPD systems through the vmapped CG core."""
+    from krylov_tpu.diff import _traced_state
+    from krylov_tpu.operators import MatrixOperator
+
+    def solve(ops, rhs):
+        (As_,) = ops
+        with _hi():
+            def one(A_i, b_i):
+                st = _traced_state("cg", MatrixOperator(A_i), None, None,
+                                   b_i, 0.0, float(rtol), int(itmax), 0)
+                return st.x, st.iter
+            X, iters = jax.vmap(one)(As_, rhs)
+        return jnp.sum(iters), _chk(X)
+    return solve, (As,), Bs

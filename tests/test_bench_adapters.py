@@ -176,3 +176,17 @@ def test_lsqr_fused_adapter_counts(convdiff):
     it = run_adapter(adapters.make_lsqr_fused(
         op._pd, pd_adj, A.dia.offsets, offs_adj, b, RTOL, 4000))
     assert stats.solved and abs(it - stats.niter) <= 2
+
+
+def test_batched_cg_adapter_counts():
+    rng = np.random.default_rng(0)
+    nb, n = 4, 20
+    Q = rng.standard_normal((nb, n, n))
+    As = jnp.asarray(Q @ np.transpose(Q, (0, 2, 1)) / n + 2 * np.eye(n))
+    Bs = jnp.asarray(rng.standard_normal((nb, n)))
+    it_sum = run_adapter(adapters.make_batched_cg(As, Bs, RTOL, 3 * n))
+    ref = 0
+    for i in range(nb):
+        _, st = kt.cg(As[i], Bs[i], atol=0.0, rtol=RTOL)
+        ref += st.niter
+    assert it_sum == ref
