@@ -51,6 +51,59 @@ GENERAL_METHODS = ("gmres", "fom", "bicgstab", "cgs", "bilq", "qmr")
 LS_METHODS = ("lsqr", "lsmr", "cgls")
 
 
+class _FusedResult:
+    """state-shaped (x, iter, status) view of a fused-kernel solve."""
+
+    def __init__(self, x, it, status):
+        self.x = x
+        self.iter = it
+        self.status = status
+
+
+def _try_fused(method, A, M, N, b, atol, rtol, itmax, memory, dot2):
+    """Route the inner solve to a whole-solve-in-VMEM Pallas kernel.
+
+    Valid inside ``custom_linear_solve``: the inner solve is a black box
+    (gradients flow only through the outer matvec), so using the fused
+    kernel changes speed, not derivatives.  Gated exactly like the
+    public wrappers' fast paths; requires static (Python float)
+    tolerances — traced tolerances (batched_solve) keep the general
+    core.
+    """
+    if not (isinstance(atol, float) and isinstance(rtol, float)):
+        return None
+    if dot2 or N is not None:
+        return None
+    if not (getattr(A, "use_pallas", False)
+            and getattr(A, "_pd", None) is not None):
+        return None
+    n = b.shape[0]
+    if method == "cg":
+        from .operators import DiagonalOperator
+        from .ops.pallas_fused import cg_dia_fused, cg_dia_fused_supported
+        dinv = None
+        if M is not None:
+            if not isinstance(M, DiagonalOperator):
+                return None
+            dinv = M.d.astype(b.dtype)  # diff has no ldiv: M applies as-is
+        if cg_dia_fused_supported(A.dia.offsets, n, b.dtype,
+                                  stencil_dtype=A._pd.dtype):
+            x, it, _rn, status, _viol = cg_dia_fused(
+                A._pd, A.dia.offsets, b, atol, rtol, itmax, dinv=dinv)
+            return _FusedResult(x, it, status)
+    elif method == "gmres" and M is None:
+        from .ops.pallas_fused import (gmres_dia_fused,
+                                       gmres_dia_fused_supported)
+        mem = max(1, min(int(memory), itmax))
+        if gmres_dia_fused_supported(A.dia.offsets, n, b.dtype, mem,
+                                     stencil_dtype=A._pd.dtype,
+                                     basis_dtype=None):
+            x, it, _rn, status, _inc, _np = gmres_dia_fused(
+                A._pd, A.dia.offsets, b, atol, rtol, itmax, mem=mem)
+            return _FusedResult(x, it, status)
+    return None
+
+
 def _traced_state(method, A, M, N, b, atol, rtol, itmax, memory,
                   dot2=False, lam=0.0):
     """One fully-traced solve of ``Ax = b`` returning the core state.
@@ -60,6 +113,9 @@ def _traced_state(method, A, M, N, b, atol, rtol, itmax, memory,
     and the reference default options.  The state carries ``x``,
     ``iter``, and ``status`` (device int code) on every method.
     """
+    fused = _try_fused(method, A, M, N, b, atol, rtol, itmax, memory, dot2)
+    if fused is not None:
+        return fused
     cap = jnp.int32(itmax)
     T = real_dtype(b.dtype)
     common = dict(history=False, hist_len=0, callback=None, verbose=0)
@@ -143,6 +199,22 @@ def _swap_adj(op):
     return None if op is None else op.H
 
 
+def _ad_matvec(A):
+    """A differentiable matvec closure for ``custom_linear_solve``.
+
+    The differentiated closure must have AD (transpose) rules; Pallas
+    kernels do not.  For a Pallas-backed DIA operator the closure uses
+    the XLA shift-and-add lowering (same math, differentiable) — the
+    kernel still runs the INNER solves, where it is a black box.
+    """
+    from .operators import DIAOperator
+    if isinstance(A, DIAOperator) and A.use_pallas:
+        from .ops.dia import dia_spmv
+        data, offsets = A.dia.data, A.dia.offsets
+        return lambda v: dia_spmv(data, offsets, v)
+    return A.matvec
+
+
 def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
           itmax=0, memory=20, dot2=False):
     """Differentiable ``x = A⁻¹ b`` for square systems.
@@ -178,8 +250,7 @@ def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
 
-    def matvec(v):
-        return A.matvec(v)
+    matvec = _ad_matvec(A)
 
     if dot2 and method != "cg":
         raise ValueError("dot2 (compensated inner products) is a CG option")
@@ -265,9 +336,11 @@ def lstsq(A, b, *, lam=0.0, atol=0.0, rtol=None, itmax=0, dot2=False):
     itmax = rt.resolve_itmax(itmax, m + n)
     lam = jnp.asarray(lam, T)
     H = _NormalOperator(A, lam)
+    A_mv = _ad_matvec(A)
 
     def matvec(v):
-        return A.rmatvec(A.matvec(v)) + lam.astype(v.dtype) * v
+        # rmatvec is the XLA (differentiable) path on every operator.
+        return A.rmatvec(A_mv(v)) + lam.astype(v.dtype) * v
 
     rhs = A.rmatvec(b)
 

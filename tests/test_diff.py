@@ -259,6 +259,39 @@ class TestComplex:
         assert np.allclose(np.asarray(gb), np.asarray(rb), atol=1e-6)
 
 
+class TestFusedRouting:
+    def test_cg_fused_inner_solve_gradient(self):
+        # A DIA stencil with use_pallas routes diff.solve's inner solve
+        # through the fused whole-solve kernel (interpret mode on CPU);
+        # gradients are unchanged — they flow through the outer matvec.
+        from krylov_tpu.ops.dia import poisson_dia, DIAMatrix
+        from krylov_tpu.operators import DIAOperator
+        from krylov_tpu import diff as d
+
+        D = poisson_dia(6, 6, 6, dtype=np.float32)
+        n = D.shape[0]
+        b = jnp.asarray(
+            np.random.default_rng(40).standard_normal(n).astype(np.float32))
+
+        # pin that the fused gate actually fires for this configuration
+        A_f = DIAOperator(D, use_pallas=True)
+        got = d._try_fused("cg", A_f, None, None, b, 0.0, 1e-6,
+                           2 * n, 20, False)
+        assert got is not None
+
+        def f(data, bv, use_pallas):
+            Dm = DIAMatrix(data, D.offsets, D.shape)
+            A = DIAOperator(Dm, use_pallas=use_pallas)
+            return jnp.sum(d.solve(A, bv, method="cg", rtol=1e-6) ** 2)
+
+        gf_d, gf_b = jax.grad(f, argnums=(0, 1))(D.data, b, True)
+        gg_d, gg_b = jax.grad(f, argnums=(0, 1))(D.data, b, False)
+        assert np.allclose(np.asarray(gf_b), np.asarray(gg_b),
+                           rtol=1e-3, atol=1e-4)
+        assert np.allclose(np.asarray(gf_d), np.asarray(gg_d),
+                           rtol=1e-3, atol=1e-4)
+
+
 class TestLstsq:
     def test_value_and_grads(self):
         rng = np.random.default_rng(16)
