@@ -433,9 +433,11 @@ def main():
             As_b, Bs_b, 1e-5, 3 * n_b), s_cap=64)
         bat["nb"] = nb_b
         bat["n"] = n_b
+        # derive only from a real differenced time, never the
+        # noise-floor fallback (it omits device_ms_per_solve)
         bat["us_per_system"] = round(
-            bat["spread_ms"] / (bat["S"] - 1) / nb_b * 1e3, 3) \
-            if bat.get("S", 1) > 1 and "spread_ms" in bat else None
+            bat["device_ms_per_solve"] / nb_b * 1e3, 3) \
+            if "device_ms_per_solve" in bat else None
         configs["batched_cg_256x256"] = bat
 
     # ------------------------------------------------------------------

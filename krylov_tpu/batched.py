@@ -42,7 +42,25 @@ def _status_overrides(method):
     if method == "fom":
         from .solvers.fom import _FOM_STATUS
         return _FOM_STATUS
+    if method == "symmlq":
+        from .solvers.symmlq import _STATUS
+        return _STATUS
     return None
+
+
+def _extra_solved_codes(method):
+    """Per-method solved codes beyond rt.is_solved_code (the same sets
+    the scalar wrappers use when building SimpleStats.solved)."""
+    if method == "symmlq":
+        from .solvers.symmlq import SOLVED_CG_PT, SOLVED_GEN, SOLVED_LQ
+        return (SOLVED_GEN, SOLVED_LQ, SOLVED_CG_PT)
+    if method == "bilq":
+        from .solvers.bilq import SOLVED_CG_PT2, SOLVED_LQ_PT
+        return (SOLVED_LQ_PT, SOLVED_CG_PT2)
+    if method == "cr":
+        from .solvers.cr import ZERO_CURV_B
+        return (ZERO_CURV_B,)
+    return ()
 
 
 class BatchedStats:
@@ -63,7 +81,7 @@ class BatchedStats:
 
 
 def batched_solve(method, A, B, *, make_operator=None, M=None,
-                  atol=0.0, rtol=None, itmax=0, memory=20, dot2=False,
+                  atol=None, rtol=None, itmax=0, memory=20, dot2=False,
                   lam=0.0, shape=None):
     """Solve ``A[i] x[i] = B[i]`` for every i in one compiled program.
 
@@ -88,6 +106,13 @@ def batched_solve(method, A, B, *, make_operator=None, M=None,
         raise ValueError(
             f"batched_solve supports {supported}, got {method!r}")
     is_ls = method in LS_METHODS
+    if M is not None and method in ("bilq", "qmr"):
+        raise ValueError(f"{method} takes no preconditioner")
+    if lam != 0.0 and not is_ls:
+        raise ValueError("lam is a least-squares option (lsqr/lsmr/cgls)")
+    if dot2 and method not in ("cg", "lsqr"):
+        raise ValueError("dot2 (compensated inner products) is a "
+                         "cg/lsqr option")
     start = time.perf_counter()
     B = jnp.asarray(B)
     if B.ndim != 2:
@@ -122,21 +147,44 @@ def batched_solve(method, A, B, *, make_operator=None, M=None,
         rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, (m + n) if is_ls else 2 * n)
 
+    needs_adjoint = is_ls or method in ("bilq", "qmr")
+
+    def _coerce(op):
+        from .ops.sparse import CSRMatrix
+        from .operators import CSROperator
+        if isinstance(op, CSRMatrix):
+            # Trace-safe segment-sum path: the TPU hybrid analysis and
+            # the CSR adjoint construction are host-side and cannot run
+            # on vmapped tracers.
+            if needs_adjoint:
+                raise ValueError(
+                    f"batched {method} needs rmatvec: make_operator must "
+                    "return an operator with adjoint storage built from "
+                    "the batched leaves (e.g. a FunctionOperator whose "
+                    "rmatvec uses a pre-computed transpose permutation)")
+            return CSROperator(op)
+        return as_operator(op)
+
     # Cache the compiled batched program: a fresh closure per call would
     # re-trace every time (observed 1.6 s/call vs ms once cached).  The
-    # key uses make_operator/M by identity — pass the same objects
-    # across calls to hit the cache; atol/rtol are traced arguments.
+    # key uses make_operator/M by identity — pass the SAME objects
+    # across calls to hit the cache (an inline-constructed lambda or M
+    # retraces); atol/rtol/lam are traced arguments.  Bounded FIFO: a
+    # process accumulating live compiled executables eventually trips
+    # jaxlib's executable ceiling (CLAUDE.md round-3 note).
     key = (method, make_operator, None if M is None else id(M),
            itmax, memory, dot2, str(B.dtype), n)
     fn = _COMPILED.get(key)
     if fn is None:
         def one(data_i, b_i, atol_, rtol_, lam_):
-            op = as_operator(make_operator(data_i))
+            op = _coerce(make_operator(data_i))
             st = _traced_state(method, op, M, None, b_i, atol_, rtol_,
                                itmax, memory, dot2, lam=lam_)
             return st.x, st.iter, st.status
 
         fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
+        while len(_COMPILED) >= 32:
+            _COMPILED.pop(next(iter(_COMPILED)))
         _COMPILED[key] = fn
 
     with jax.default_matmul_precision("highest"):
@@ -146,10 +194,12 @@ def batched_solve(method, A, B, *, make_operator=None, M=None,
     iters = np.asarray(iters)
     codes = np.asarray(codes)
     over = _status_overrides(method)
+    extra = _extra_solved_codes(method)
     fixed = [rt.final_status_code(int(c), int(k), itmax, False)
              for c, k in zip(codes, iters)]
     status = [rt.decode_status(c, over) for c in fixed]
-    solved = np.asarray([rt.is_solved_code(c) for c in fixed])
+    solved = np.asarray([rt.is_solved_code(c) or c in extra
+                         for c in fixed])
     stats = BatchedStats(iters, status, solved,
                          time.perf_counter() - start)
     return X, stats

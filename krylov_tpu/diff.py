@@ -204,15 +204,41 @@ def _ad_matvec(A):
 
     The differentiated closure must have AD (transpose) rules; Pallas
     kernels do not.  For a Pallas-backed DIA operator the closure uses
-    the XLA shift-and-add lowering (same math, differentiable) — the
-    kernel still runs the INNER solves, where it is a black box.
+    the XLA shift-and-add lowering, and for a HybridOperator the
+    segment-sum SpMV over its source CSR (same math, differentiable) —
+    the kernels still run the INNER solves, where they are black boxes.
+    NB: a HybridOperator built eagerly from concrete values captures its
+    CSR data as constants, so gradients w.r.t. the matrix values require
+    constructing the operator from traced values inside the
+    differentiated function (CSRMatrix/DIAMatrix inputs do this).
     """
-    from .operators import DIAOperator
+    from .operators import DIAOperator, HybridOperator
     if isinstance(A, DIAOperator) and A.use_pallas:
         from .ops.dia import dia_spmv
         data, offsets = A.dia.data, A.dia.offsets
         return lambda v: dia_spmv(data, offsets, v)
+    if isinstance(A, HybridOperator) and A._csr is not None:
+        from .ops.sparse import spmv
+        csr = A._csr
+        return lambda v: spmv(csr, v)
     return A.matvec
+
+
+def _coerce_diff(A, need_adjoint=False):
+    """Trace-safe, differentiable operator coercion for diff entry points.
+
+    A raw CSRMatrix goes to the segment-sum CSROperator on EVERY backend
+    (the TPU hybrid analysis is host-side — it cannot run on traced
+    values under jax.grad — and its Pallas kernels have no AD rules);
+    the adjoint, when needed, is built with traced-data-safe structure
+    permutation (CSRMatrix.transpose_conj_traced).
+    """
+    from .operators import CSROperator
+    from .ops.sparse import CSRMatrix
+    if isinstance(A, CSRMatrix):
+        csr_h = A.transpose_conj_traced() if need_adjoint else None
+        return CSROperator(A, csr_h)
+    return as_operator(A, need_adjoint=need_adjoint)
 
 
 def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
@@ -237,7 +263,8 @@ def solve(A, b, method="cg", *, M=None, N=None, atol=0.0, rtol=None,
     hermitian = method in SYMMETRIC_METHODS
     if hermitian and N is not None:
         raise ValueError(f"{method} takes no right preconditioner N")
-    A = as_operator(A)
+    # General methods solve the adjoint system in reverse mode.
+    A = _coerce_diff(A, need_adjoint=not hermitian)
     M = as_operator(M)
     N = as_operator(N)
     b = jnp.asarray(b)
@@ -322,7 +349,7 @@ def lstsq(A, b, *, lam=0.0, atol=0.0, rtol=None, itmax=0, dot2=False):
     normal equations when choosing ``rtol``/``itmax``.  Requires a
     unique minimizer (λ > 0 or full column rank).
     """
-    A = as_operator(A)
+    A = _coerce_diff(A, need_adjoint=True)
     b = jnp.asarray(b)
     if A.shape is None:
         raise ValueError("diff.lstsq needs an operator with a known shape")

@@ -52,6 +52,24 @@ class CSRMatrix:
         dense = jnp.zeros((m, n), dtype=self.dtype)
         return dense.at[self.rows, self.indices].add(self.data)
 
+    def transpose_conj_traced(self):
+        """Aᴴ with traced ``data`` allowed: the structure (rows/indices,
+        assumed concrete) is permuted host-side once; the values are
+        gathered with jnp so this works under jit/vmap/grad tracing."""
+        import jax.numpy as jnp
+        m, n = self.shape
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.indices)
+        order = np.lexsort((rows, cols))
+        new_rows = cols[order]
+        new_cols = rows[order]
+        indptr = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(indptr, new_rows + 1, 1)
+        indptr = np.cumsum(indptr).astype(np.int32)
+        new_data = jnp.conj(jnp.asarray(self.data))[order]
+        return CSRMatrix(new_data, new_cols.astype(np.int32), indptr,
+                         new_rows.astype(np.int32), (n, m))
+
     def transpose_conj(self):
         """Aᴴ as a new CSRMatrix (host-side construction)."""
         m, n = self.shape

@@ -134,6 +134,37 @@ class TestGradients:
                            atol=1e-6)
 
 
+class TestTracedCSRAdjoint:
+    def test_gmres_gradient_through_csr_values(self):
+        # General methods need Aᵀ solves in reverse mode; with a
+        # CSRMatrix built from TRACED values inside the differentiated
+        # function, the adjoint structure must be built trace-safely
+        # (CSRMatrix.transpose_conj_traced).
+        rng = np.random.default_rng(41)
+        n = 24
+        Ad = rng.standard_normal((n, n)) / np.sqrt(n) + 3.0 * np.eye(n)
+        mask = (np.abs(Ad) > 0.25) | np.eye(n, dtype=bool)
+        Ad = Ad * mask
+        rows, cols = np.nonzero(Ad)
+        from krylov_tpu.ops.sparse import CSRMatrix
+        tmpl = kt.csr_from_coo(rows, cols, Ad[rows, cols], (n, n))
+        vals = jnp.asarray(Ad[rows, cols])
+        b = jnp.asarray(rng.standard_normal(n))
+
+        def f(v):
+            A = CSRMatrix(v, tmpl.indices, tmpl.indptr, tmpl.rows,
+                          tmpl.shape)
+            return jnp.sum(diff.solve(A, b, method="gmres", rtol=1e-12,
+                                      memory=n) ** 2)
+
+        gv = jax.grad(f)(vals)
+        dense = jnp.asarray(Ad)
+        gd = jax.grad(
+            lambda Am: jnp.sum(jnp.linalg.solve(Am, b) ** 2))(dense)
+        assert np.allclose(np.asarray(gv), np.asarray(gd)[rows, cols],
+                           atol=1e-6)
+
+
 class TestComposition:
     def test_jit_vmap_over_rhs(self):
         A = jnp.asarray(_spd(N))
