@@ -118,6 +118,8 @@ from .workspaces import (
 from . import diff
 # Batched small-systems solves: vmapped cores + per-item stats.
 from .batched import batched_solve, BatchedStats
+# Ahead-of-time solver export for serving (jax.export artifacts).
+from .aot import export_solver, load_solver
 
 # Re-export the generated per-method workspace classes (CgWorkspace,
 # MinresWorkspace, ...) to mirror the reference's exported workspace types
