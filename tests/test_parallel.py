@@ -240,3 +240,28 @@ class TestPipelinedCg:
         # reduction round where CG pays two dependent rounds
         assert n_pipe >= 1
         assert 2 * n_pipe <= n_cg
+
+
+class TestShardedBatch:
+    def test_batched_solve_over_mesh(self, mesh):
+        # Data-parallel batches: shard the leading batch axis over the
+        # mesh; the vmapped program partitions with no communication and
+        # the solution keeps the batch sharding.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import krylov_tpu as kt
+
+        nd = mesh.devices.size
+        rng = np.random.default_rng(0)
+        nb, n = 2 * nd, 20
+        Q = rng.standard_normal((nb, n, n))
+        As = jnp.asarray(Q @ np.transpose(Q, (0, 2, 1)) / n + 2 * np.eye(n))
+        Bs = jnp.asarray(rng.standard_normal((nb, n)))
+        axis = mesh.axis_names[0]
+        As_s = jax.device_put(As, NamedSharding(mesh, P(axis)))
+        Bs_s = jax.device_put(Bs, NamedSharding(mesh, P(axis)))
+        X, stats = kt.batched_solve("cg", As_s, Bs_s, rtol=1e-10)
+        assert stats.solved.all()
+        assert X.sharding.spec == P(axis)
+        for i in range(nb):
+            ref = np.linalg.solve(np.asarray(As[i]), np.asarray(Bs[i]))
+            assert np.allclose(np.asarray(X[i]), ref, atol=1e-7)
