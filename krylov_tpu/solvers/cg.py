@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from .. import _runtime as rt
 from .._dtypes import real_dtype
 from ..operators import as_operator, precond_apply
-from ..ops.kops import (kdotr, kdotr2, knorm2, to_boundary, two_sum,
-                        dw_add, dw_norm)
+from ..ops.kops import kdotr, kdotr2, to_boundary
 from ..stats import SimpleStats
 
 
@@ -250,92 +249,19 @@ def _cg_fused_path(A, b, x0, atol, rtol, itmax, start, dinv=None,
     return x, stats, None
 
 
-@functools.partial(jax.jit, static_argnames=("use_dia",))
-def _ir_update(A, b, x_hi, x_lo, d, *, use_dia):
-    """One double-word refinement step: fold the correction ``d`` into the
-    dw solution and recompute the dw residual r = b − A·(x_hi + x_lo) with
-    compensated products/sums (one dispatch per outer iteration)."""
-    from ..ops.dia import dia_spmv_dw
-
-    x_hi, x_lo = dw_add(x_hi, x_lo, d)
-    if use_dia:
-        y_hi, y_lo = dia_spmv_dw(A.dia.data, A.dia.offsets, x_hi, x_lo)
-    else:
-        with jax.default_matmul_precision("highest"):
-            y_hi = A.matvec(x_hi)
-            y_lo = A.matvec(x_lo)
-    s, e = two_sum(b, -y_hi)
-    r_hi, r_lo = two_sum(s, e - y_lo)
-    return x_hi, x_lo, r_hi, r_lo, dw_norm(r_hi, r_lo)
-
-
 def _cg_ir(A, b, x0, M, ldiv, atol, rtol, itmax, timemax, start):
     """precision="double_word": iterative refinement to fp64-grade TRUE
-    residuals from f32 storage (SURVEY.md §7.2 "fp64 on TPU").
+    residuals from f32 storage (SURVEY.md §7.2 "fp64 on TPU"; shared
+    driver in solvers/_refine.py).  Inner solves are plain f32 CG (the
+    fused whole-solve-in-VMEM kernel when eligible)."""
+    from ._refine import ir_solve
 
-    Inner solves are plain f32 CG (the fused whole-solve-in-VMEM kernel
-    when eligible); the outer loop accumulates x and the residual in
-    double-word (hi, lo) f32 pairs with compensated SpMV, so the limit
-    accuracy is ~2⁻⁴⁸ instead of f32's 2⁻²⁴.  Returns x as a host f64
-    array (x_hi + x_lo exceeds f32 representation; the on-chip state
-    stays f32).  Matches the reference's Float64 behavior
-    (test/test_mp.jl:31-33: convergence to √eps(T) for every T)."""
-    from ..operators import DIAOperator
+    def inner(rhs, rtol_i, it_left):
+        d, st, _ = _cg_solve(A, rhs, M=M, ldiv=ldiv, atol=0.0,
+                             rtol=rtol_i, itmax=it_left)
+        return d, st.niter
 
-    n = b.shape[0]
-    T = real_dtype(b.dtype)
-    use_dia = isinstance(A, DIAOperator)
-    bNorm = float(knorm2(b))
-    target = atol + rtol * bNorm
-    # inner f32 passes stop where f32 rounding floors the true residual
-    inner_rtol = max(float(np.sqrt(np.finfo(T).eps)) * 0.2, 1e-5)
-
-    x_hi = jnp.zeros(n, b.dtype)
-    x_lo = jnp.zeros(n, b.dtype)
-    zero = jnp.zeros(n, b.dtype)
-    d0 = zero if x0 is None else jnp.asarray(x0, b.dtype)
-    x_hi, x_lo, r_hi, r_lo, rnorm_d = _ir_update(
-        A, b, zero, zero, d0, use_dia=use_dia)
-    rnorm = float(rnorm_d)
-    total = 0
-    code = rt.SOLVED if rnorm <= target else rt.RUNNING
-    prev = float("inf")
-    while code == rt.RUNNING:
-        if total >= itmax:
-            code = rt.TIRED
-            break
-        if time.perf_counter() - start > timemax:
-            code = rt.OVERTIMED
-            break
-        if rnorm >= 0.5 * prev:
-            # refinement stalled: f32 inner solves can no longer reduce the
-            # dw residual (operator too ill-conditioned for IR)
-            code = rt.ILL_COND_MACH
-            break
-        prev = rnorm
-        rtol_i = max(inner_rtol, 0.1 * target / rnorm)
-        d, st, _ = _cg_solve(
-            A, r_hi + r_lo, M=M, ldiv=ldiv, atol=0.0, rtol=rtol_i,
-            itmax=itmax - total)
-        total += max(st.niter, 1)
-        x_hi, x_lo, r_hi, r_lo, rnorm_d = _ir_update(
-            A, b, x_hi, x_lo, d, use_dia=use_dia)
-        rnorm = float(rnorm_d)
-        if rnorm <= target:
-            code = rt.SOLVED
-    x = (np.asarray(x_hi, dtype=np.float64)
-         + np.asarray(x_lo, dtype=np.float64))
-    stats = SimpleStats(
-        niter=total,
-        solved=rt.is_solved_code(code),
-        inconsistent=False,
-        indefinite=False,
-        npc_count=0,
-        residuals=np.zeros(0),
-        timer=time.perf_counter() - start,
-        status=rt.decode_status(code),
-    )
-    return x, stats, None
+    return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)
 
 
 def _cg_solve(

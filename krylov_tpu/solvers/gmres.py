@@ -425,14 +425,52 @@ def _gmres_like_solve(
     return x, stats, state
 
 
-def gmres(A, b, x0=None, **kwargs):
+def _gmres_ir(A, b, x0, *, atol=None, rtol=None, itmax=0,
+              timemax=float("inf"), **inner_kw):
+    """precision="double_word": GMRES-based iterative refinement
+    (Carson & Higham, SIAM J. Sci. Comput. 2018) to fp64-grade TRUE
+    residuals from f32 storage for general square systems — inner
+    correction solves are plain working-precision GMRES with the caller's
+    M/N/memory/restart options (the fused whole-solve-in-VMEM kernel when
+    eligible); shared dw driver in solvers/_refine.py."""
+    from ._refine import ir_solve
+
+    start = time.perf_counter()
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, 2 * b.shape[0])
+
+    def inner(rhs, rtol_i, it_left):
+        d, st, _ = _gmres_like_solve(False, A, rhs, atol=0.0, rtol=rtol_i,
+                                     itmax=it_left, **inner_kw)
+        return d, st.niter
+
+    return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)
+
+
+def gmres(A, b, x0=None, *, precision=None, **kwargs):
     """x, stats = gmres(A, b; memory=20, restart=False, ...).
 
-    TPU extension: ``basis_dtype=jnp.bfloat16`` stores the Krylov panel
-    compressed on the fused DIA path (compressed-basis GMRES,
-    arxiv.org/abs/2009.12101) — arithmetic stays in the working dtype
-    and the VMEM gate admits ~2× larger problems/memory.
+    TPU extensions:
+    - ``basis_dtype=jnp.bfloat16`` stores the Krylov panel compressed on
+      the fused DIA path (compressed-basis GMRES,
+      arxiv.org/abs/2009.12101) — arithmetic stays in the working dtype
+      and the VMEM gate admits ~2× larger problems/memory.
+    - ``precision="double_word"`` runs GMRES-based iterative refinement
+      (Carson & Higham 2018) — fp64-grade TRUE residuals from f32
+      device storage.  M/N/memory/restart pass through to the inner
+      solves; history and callback are not supported.
     """
+    from ._refine import check_ir_config
+
+    if check_ir_config("GMRES", precision,
+                       history=kwargs.get("history", False),
+                       callback=kwargs.get("callback")):
+        x, stats, _ = _gmres_ir(A, b, x0, **kwargs)
+        return x, stats
     x, stats, _ = _gmres_like_solve(False, A, b, x0, **kwargs)
     return x, stats
 

@@ -415,7 +415,50 @@ def _minres_solve(
     return x, stats, state
 
 
-def minres(A, b, x0=None, **kwargs):
-    """x, stats = minres(A, b; ...) — Hermitian (indefinite) systems."""
+def _minres_ir(A, b, x0, *, M=None, ldiv=False, atol=None, rtol=None,
+               itmax=0, timemax=float("inf"), **_defaults):
+    """precision="double_word": iterative refinement to fp64-grade TRUE
+    residuals from f32 storage for Hermitian (indefinite) systems —
+    inner correction solves are plain working-precision MINRES (the
+    fused whole-solve-in-VMEM kernel when eligible); shared dw driver
+    in solvers/_refine.py."""
+    from ._refine import ir_solve
+
+    start = time.perf_counter()
+    A = as_operator(A)
+    M = as_operator(M)
+    b = jnp.asarray(b)
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, 2 * b.shape[0])
+
+    def inner(rhs, rtol_i, it_left):
+        d, st, _ = _minres_solve(A, rhs, M=M, ldiv=ldiv, atol=0.0,
+                                 rtol=rtol_i, itmax=it_left)
+        return d, st.niter
+
+    return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)
+
+
+def minres(A, b, x0=None, *, precision=None, **kwargs):
+    """x, stats = minres(A, b; ...) — Hermitian (indefinite) systems.
+
+    TPU extension: ``precision="double_word"`` runs double-word iterative
+    refinement around working-precision MINRES solves — fp64-grade TRUE
+    residuals (rtol down to ~√eps(Float64)) from f32 device storage.
+    Plain configuration only (M/ldiv allowed; no λ-shift, linesearch,
+    etol window, history, or callback).
+    """
+    from ._refine import check_ir_config
+
+    if check_ir_config("MINRES", precision,
+                       history=kwargs.get("history", False),
+                       callback=kwargs.get("callback"),
+                       linesearch=kwargs.get("linesearch", False),
+                       lam=kwargs.get("lam", 0.0),
+                       etol=kwargs.get("etol") or 0.0):
+        x, stats, _ = _minres_ir(A, b, x0, **kwargs)
+        return x, stats
     x, stats, _ = _minres_solve(A, b, x0, **kwargs)
     return x, stats

@@ -5,10 +5,12 @@ Covers the two precision policies wired into the solver cores:
 * ``precision="compensated"`` — Ogita-Rump-Oishi Dot2 reductions
   (ops/kops.py kdotr2/knorm2) replace the working-precision dots inside
   the CG and LSQR cores.
-* ``precision="double_word"`` — CG iterative refinement: plain-f32 inner
-  solves + double-word (hi, lo) accumulation of x and the residual with a
-  compensated SpMV, reaching TRUE residuals at fp64 tolerances
-  (reference bar: test/test_mp.jl:31-33 — convergence to √eps(T)).
+* ``precision="double_word"`` — iterative refinement (solvers/_refine.py):
+  plain-f32 inner solves + double-word (hi, lo) accumulation of x and the
+  residual with a compensated SpMV, reaching TRUE residuals at fp64
+  tolerances (reference bar: test/test_mp.jl:31-33 — convergence to
+  √eps(T)).  Wired into CG (SPD), MINRES (symmetric indefinite), and
+  GMRES (general square; GMRES-IR per Carson & Higham 2018).
 
 The reference-niter anchors are the Float64 runs of the same fixtures.
 """
@@ -145,6 +147,117 @@ def test_cg_double_word_rejects_unsupported():
         kt.cg(DIAOperator(D), b, precision="double_word", history=True)
     with pytest.raises(ValueError):
         kt.cg(DIAOperator(D), b, precision="nope")
+
+
+# ---------------------------------------------------------------------------
+# MINRES / GMRES double-word iterative refinement (shared solvers/_refine.py
+# driver; GMRES-IR per Carson & Higham 2018)
+# ---------------------------------------------------------------------------
+
+def _shifted_poisson(N, shift, dtype):
+    """Symmetric indefinite A = Poisson − shift·I in DIA form."""
+    D = poisson_dia(N, N, N, dtype=dtype)
+    k0 = list(D.offsets).index(0)
+    data = np.asarray(D.data).copy()
+    data[k0] -= shift
+    from krylov_tpu.ops.dia import DIAMatrix
+    return DIAMatrix(jnp.asarray(data), D.offsets, D.shape)
+
+
+def test_minres_double_word_indefinite():
+    """fp64-tolerance TRUE residual from f32 storage on a symmetric
+    indefinite system, with iteration parity vs the Float64 run."""
+    shift = 4.0
+    D32 = _shifted_poisson(12, shift, np.float32)
+    D64 = _shifted_poisson(12, shift, np.float64)
+    n = 12 ** 3
+    rng = np.random.default_rng(3)
+    b32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b64 = jnp.asarray(np.asarray(b32, np.float64))
+
+    x_ref, st_ref = kt.minres(DIAOperator(D64), b64, atol=0.0, rtol=RTOL64)
+    assert st_ref.solved
+
+    x, st = kt.minres(DIAOperator(D32), b32, atol=0.0, rtol=RTOL64,
+                      precision="double_word")
+    assert st.solved
+    assert x.dtype == np.float64
+    r = np.asarray(b64) - np.asarray(
+        dia_spmv(D64.data, D64.offsets, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 2.0 * RTOL64 * np.linalg.norm(np.asarray(b64))
+    # IR pays one inner solve per outer digit batch; on an indefinite
+    # near-singular spectrum the f32 inner solves plateau earlier, so the
+    # inflation vs one f64 solve is ~#outer-passes (3 here), not ~1.4 as
+    # in the SPD CG case.
+    assert st.niter <= 3.5 * st_ref.niter
+
+
+def _promote_dia(D32):
+    """The f32 stencil viewed exactly in f64 — the system IR certifies.
+
+    convdiff entries (±1.2, ±0.8, ...) are not exactly representable in
+    f32, so the residual bar must be measured against the STORED operator,
+    not an independent f64 rebuild (which differs at the 1-ulp level and
+    shows up scaled by ‖x‖ — above fp64 tolerances)."""
+    from krylov_tpu.ops.dia import DIAMatrix
+    return DIAMatrix(jnp.asarray(np.asarray(D32.data, np.float64)),
+                     D32.offsets, D32.shape)
+
+
+def test_gmres_double_word_convdiff():
+    """GMRES-IR: fp64-tolerance TRUE residual from f32 storage on the
+    nonsymmetric convection-diffusion fixture."""
+    from krylov_tpu.ops.dia import convdiff_dia
+    D32 = convdiff_dia(10, 10, 10, pe=0.3, dtype=np.float32)
+    D64 = convdiff_dia(10, 10, 10, pe=0.3, dtype=np.float64)
+    n = 10 ** 3
+    rng = np.random.default_rng(4)
+    b32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b64 = jnp.asarray(np.asarray(b32, np.float64))
+
+    x_ref, st_ref = kt.gmres(DIAOperator(D64), b64, atol=0.0, rtol=RTOL64,
+                             memory=40)
+    assert st_ref.solved
+
+    x, st = kt.gmres(DIAOperator(D32), b32, atol=0.0, rtol=RTOL64,
+                     memory=40, precision="double_word")
+    assert st.solved
+    assert x.dtype == np.float64
+    Dp = _promote_dia(D32)
+    r = np.asarray(b64) - np.asarray(
+        dia_spmv(Dp.data, Dp.offsets, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 2.0 * RTOL64 * np.linalg.norm(np.asarray(b64))
+    assert st.niter <= 1.6 * st_ref.niter
+
+
+def test_gmres_double_word_restarted_inner():
+    """Inner GMRES(m) restarts compose with the outer dw refinement."""
+    from krylov_tpu.ops.dia import convdiff_dia
+    D32 = convdiff_dia(8, 8, 8, pe=0.2, dtype=np.float32)
+    b = jnp.ones(512, jnp.float32)
+    x, st = kt.gmres(DIAOperator(D32), b, atol=0.0, rtol=RTOL64,
+                     memory=15, restart=True, precision="double_word")
+    assert st.solved
+    Dp = _promote_dia(D32)
+    r = np.ones(512) - np.asarray(
+        dia_spmv(Dp.data, Dp.offsets, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 2.0 * RTOL64 * np.sqrt(512.0)
+
+
+def test_minres_gmres_double_word_rejects_unsupported():
+    D = poisson_dia(4, 4, 4, dtype=np.float32)
+    b = jnp.ones(64, jnp.float32)
+    with pytest.raises(ValueError):
+        kt.minres(DIAOperator(D), b, precision="double_word", history=True)
+    with pytest.raises(ValueError):
+        kt.minres(DIAOperator(D), b, precision="double_word", lam=0.5)
+    with pytest.raises(ValueError):
+        kt.gmres(DIAOperator(D), b, precision="double_word",
+                 callback=lambda s: False)
+    with pytest.raises(ValueError):
+        kt.minres(DIAOperator(D), b, precision="compensated")
+    with pytest.raises(ValueError):
+        kt.gmres(DIAOperator(D), b, precision="nope")
 
 
 # ---------------------------------------------------------------------------
