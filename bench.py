@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line covering every BASELINE.md config.
+"""Benchmark harness — prints ONE compact JSON line (final stdout line,
+kept under ~1800 chars so the driver's 2000-char tail capture parses it);
+the full per-config detail is written to BENCH_DETAIL.json and stderr.
 
 Headline metric: SpMV throughput (Gnnz/s/chip) for the reference's
 get_div_grad 3-D Poisson operator at 128³ (Pallas DIA stencil kernel).
@@ -583,7 +585,66 @@ def main():
         d["cg_device_ms_per_solve_128cubed"] = cg128["device_ms_per_solve"]
     if mr64 and "device_ms_per_solve" in mr64:
         d["minres_device_ms_per_solve_64cubed"] = mr64["device_ms_per_solve"]
-    print(json.dumps(out))
+
+    # Full detail goes to a FILE (committable) and to stderr — NEVER to the
+    # tail of stdout.  The driver captures only the last ~2000 chars of
+    # stdout and json-parses them; round 3's single fat line outgrew that
+    # window and the whole artifact recorded `parsed: null`.  The one
+    # stdout line below is a compact headline guaranteed to fit.
+    import os
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+    log("bench: full detail -> " + detail_path)
+    log(json.dumps(out))
+
+    compact_cfgs = {}
+    for name, c in configs.items():
+        if not isinstance(c, dict):
+            continue
+        v = c.get("device_us_per_iter")
+        if v is None:
+            # nested configs (cg_poisson) carry sub-measurements
+            for sub in c.values():
+                if isinstance(sub, dict) and "device_us_per_iter" in sub:
+                    v = sub["device_us_per_iter"]
+                    break
+        if v is None:
+            fb = c.get("fallback_upper_bound_ms")
+            v = f"<={fb}ms/solve" if fb is not None else None
+        compact_cfgs[name] = v
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+        "detail": {
+            "spmv_gnnz_per_s": {
+                f"poisson_{N_big}cubed": round(spmv_big, 2),
+                f"poisson_{N_small}cubed": round(spmv_small, 2),
+                "hybrid_convdiff128_csr": (round(hyb_gnnz, 2)
+                                           if hyb_gnnz else None),
+                "bell": round(bell_gnnz, 2) if bell_gnnz else None,
+                "sell_fem": round(sell_gnnz, 2) if sell_gnnz else None,
+            },
+            "device_us_per_iter": compact_cfgs,
+            "full_detail_file": "BENCH_DETAIL.json",
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1800 and compact_cfgs:
+        # drop non-BASELINE extras first, never the five headline configs
+        keep_first = ("cg_poisson", "convdiff_gmres20", "convdiff_bicgstab",
+                      "lsqr_reg", "lsmr_reg", "saddle_tricg", "saddle_trimr",
+                      "saddle_gpmr", "block_gmres_shifted_poisson",
+                      "cg_lanczos_shift_poisson")
+        droppable = [k for k in compact_cfgs if k not in keep_first]
+        if not droppable:
+            break
+        compact_cfgs.pop(droppable[-1])
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _timed(fn):

@@ -326,17 +326,16 @@ class DIAOperator(AbstractLinearOperator):
                 self._pd, self.dia.offsets, self.shape[0])
         return self._pd_adj
 
-    def rmatvec(self, x):
-        # Aᴴ of a DIA matrix: conjugate data, negate offsets, shift vectors.
-        from .ops.dia import dia_spmv
+    def adjoint_dia(self):
+        """(data, offsets) of Aᴴ in DIA layout: conjugate data, negate
+        offsets, shift the stored diagonals.  A[i, i+k] = data[d, i+k] ⇒
+        Aᴴ[j, j−k] = conj(data[d, j]) stored at position (j − k)."""
         import jax.numpy as _jnp
         n = self.shape[0]
         datas = []
         offs = []
         for d, k in enumerate(self.dia.offsets):
             v = _jnp.conj(self.dia.data[d])
-            # A[i, i+k] = data[d, i+k] ⇒ Aᴴ[j, j-k] = conj(data[d, j])
-            # stored at position (j - k) for offset -k.
             if k == 0:
                 datas.append(v)
             elif k > 0:
@@ -344,8 +343,12 @@ class DIAOperator(AbstractLinearOperator):
             else:
                 datas.append(_jnp.pad(v[:n + k], (-k, 0)))
             offs.append(-k)
-        data = _jnp.stack(datas)
-        return dia_spmv(data, tuple(offs), x)
+        return _jnp.stack(datas), tuple(offs)
+
+    def rmatvec(self, x):
+        from .ops.dia import dia_spmv
+        data, offs = self.adjoint_dia()
+        return dia_spmv(data, offs, x)
 
     def matmat(self, X):
         from .ops.dia import dia_spmm

@@ -28,23 +28,83 @@ from .._dtypes import real_dtype
 from ..ops.kops import knorm2, two_sum, dw_add, dw_norm
 from ..stats import SimpleStats
 
-__all__ = ["ir_solve", "ir_update", "check_ir_config"]
+__all__ = ["ir_solve", "ir_update", "check_ir_config", "gemv_dw",
+           "dw_matvec", "ir_mode"]
 
 
-@functools.partial(jax.jit, static_argnames=("use_dia",))
-def ir_update(A, b, x_hi, x_lo, d, *, use_dia):
+def gemv_dw(Amat, x_hi, x_lo, adjoint=False):
+    """Compensated dense GEMV: (y_hi, y_lo) ≈ A·(x_hi + x_lo).
+
+    Per-element Dekker TwoProd of A with x_hi plus a compensated
+    pairwise row reduction — the dense analogue of dia_spmv_dw, closing
+    the ADVICE r3 finding that non-DIA residual recomputes carried
+    eps_f32·‖A‖·‖x‖ noise.  O(mn) VPU work, once per outer IR step.
+    """
+    from ..ops.kops import _two_prod_vec
+
+    if adjoint:
+        Amat = jnp.conj(Amat.T)
+    p, e = _two_prod_vec(Amat, x_hi[None, :])
+    lo = e + Amat * x_lo[None, :]
+    # compensated pairwise tree reduction along axis=1
+    err = jnp.zeros(p.shape[:1], p.dtype)
+    while p.shape[1] > 1:
+        k = p.shape[1]
+        if k % 2:
+            pad = [(0, 0), (0, 1)]
+            p = jnp.pad(p, pad)
+            lo = jnp.pad(lo, pad)
+        a, bb = p[:, 0::2], p[:, 1::2]
+        s = a + bb
+        bp = s - a
+        t = (a - (s - bp)) + (bb - bp)
+        p = s
+        err = err + jnp.sum(t + lo[:, 0::2] + lo[:, 1::2], axis=1)
+        lo = jnp.zeros_like(p)
+    return two_sum(p[:, 0], err)
+
+
+def ir_mode(A):
+    """Classify an operator for the dw residual recompute.
+
+    Returns "dia" or "dense"; raises for operator types whose residual
+    cannot be recomputed in compensated arithmetic (the fp64-grade
+    certificate would silently degrade to eps_f32·‖A‖·‖x‖ noise).
+    """
+    from ..operators import DIAOperator, MatrixOperator
+
+    if isinstance(A, DIAOperator):
+        return "dia"
+    if isinstance(A, MatrixOperator):
+        return "dense"
+    raise ValueError(
+        "precision='double_word' needs an operator whose residual can be "
+        "recomputed in compensated arithmetic: DIAOperator or "
+        "MatrixOperator (got %s). Wrap the matrix in one of those, or "
+        "use precision='compensated' where available (docs/precision.md)."
+        % type(A).__name__)
+
+
+def dw_matvec(A, x_hi, x_lo, *, mode, adjoint=False):
+    """(y_hi, y_lo) ≈ op·(x_hi + x_lo) in compensated arithmetic."""
+    from ..ops.dia import dia_spmv_dw
+
+    if mode == "dia":
+        if adjoint:
+            data, offsets = A.adjoint_dia()
+        else:
+            data, offsets = A.dia.data, A.dia.offsets
+        return dia_spmv_dw(data, offsets, x_hi, x_lo)
+    return gemv_dw(A.A, x_hi, x_lo, adjoint=adjoint)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def ir_update(A, b, x_hi, x_lo, d, *, mode):
     """One double-word refinement step: fold the correction ``d`` into the
     dw solution and recompute the dw residual r = b − A·(x_hi + x_lo) with
     compensated products/sums (one dispatch per outer iteration)."""
-    from ..ops.dia import dia_spmv_dw
-
     x_hi, x_lo = dw_add(x_hi, x_lo, d)
-    if use_dia:
-        y_hi, y_lo = dia_spmv_dw(A.dia.data, A.dia.offsets, x_hi, x_lo)
-    else:
-        with jax.default_matmul_precision("highest"):
-            y_hi = A.matvec(x_hi)
-            y_lo = A.matvec(x_lo)
+    y_hi, y_lo = dw_matvec(A, x_hi, x_lo, mode=mode)
     s, e = two_sum(b, -y_hi)
     r_hi, r_lo = two_sum(s, e - y_lo)
     return x_hi, x_lo, r_hi, r_lo, dw_norm(r_hi, r_lo)
@@ -77,21 +137,68 @@ def check_ir_config(method, precision, *, compensated=False, history=False,
     return True
 
 
+def square_ir_wrap(method, solve_fn, A, b, x0, kwargs, forward=(),
+                   reject=None):
+    """Intercept ``precision="double_word"`` in a square-solve wrapper.
+
+    Pops ``precision`` from ``kwargs``; returns (x, stats) when the dw
+    path ran, or None (caller proceeds with the plain solve).
+    ``solve_fn(A, rhs, **opts) -> (d, stats, state)`` is the method's
+    working-precision entry (x0 defaulted) used for the corrections.
+    ``forward`` — option names passed through to inner solves (e.g. a
+    preconditioner: it changes the iteration, not the fixed point).
+    ``reject`` — {name: default} options the dw certificate cannot honor;
+    a non-default value raises (compared against the default, so
+    truthy-by-default options are caught too — ADVICE r3).
+    """
+    from ..operators import as_operator
+
+    precision = kwargs.pop("precision", None)
+    flags = {}
+    for k, d in (reject or {}).items():
+        v = kwargs.get(k, d)
+        flags[k] = (v is not None) if d is None else (v != d)
+    flags["verbose"] = kwargs.get("verbose", 0)
+    if not check_ir_config(method, precision,
+                           history=kwargs.get("history", False),
+                           callback=kwargs.get("callback"), **flags):
+        return None
+    start = time.perf_counter()
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(kwargs.get("atol"), T)
+    rtol = rt.default_tol(kwargs.get("rtol"), T)
+    itmax = rt.resolve_itmax(kwargs.get("itmax", 0), 2 * b.shape[0])
+    timemax = kwargs.get("timemax", float("inf"))
+    fwd = {k: kwargs[k] for k in forward if k in kwargs}
+    x0a = None if x0 is None else jnp.asarray(x0, b.dtype)
+
+    def inner(rhs, rtol_i, it_left, time_left):
+        d, st, _ = solve_fn(A, rhs, atol=0.0, rtol=rtol_i, itmax=it_left,
+                            timemax=time_left if np.isfinite(time_left)
+                            else float("inf"), **fwd)
+        return d, st.niter
+
+    x, stats, _ = ir_solve(inner, A, b, x0a, atol, rtol, itmax, timemax,
+                           start)
+    return x, stats
+
+
 def ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start):
     """Double-word iterative refinement driver.
 
-    ``inner(rhs, rtol_i, it_left) -> (d, niter)`` solves A·d = rhs at
-    working precision (the method's own wrapper, so its fused fast path
-    applies).  Accumulates x and r = b − A·x in double-word f32 pairs;
-    stops on the dw TRUE residual at ``atol + rtol·‖b‖`` — tolerances the
-    working dtype alone cannot certify.  Returns x as a host f64 array
+    ``inner(rhs, rtol_i, it_left, time_left) -> (d, niter)`` solves
+    A·d = rhs at working precision (the method's own wrapper, so its
+    fused fast path applies) within the remaining ``timemax`` budget.
+    Accumulates x and r = b − A·x in double-word f32 pairs; stops on the
+    dw TRUE residual at ``atol + rtol·‖b‖`` — tolerances the working
+    dtype alone cannot certify.  Returns x as a host f64 array
     (x_hi + x_lo exceeds f32 representation; on-chip state stays f32).
     """
-    from ..operators import DIAOperator
-
     n = b.shape[0]
     T = real_dtype(b.dtype)
-    use_dia = isinstance(A, DIAOperator)
+    mode = ir_mode(A)
     bNorm = float(knorm2(b))
     target = atol + rtol * bNorm
     # inner passes stop where working-precision rounding floors the true
@@ -101,19 +208,25 @@ def ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start):
     zero = jnp.zeros(n, b.dtype)
     d0 = zero if x0 is None else jnp.asarray(x0, b.dtype)
     x_hi, x_lo, r_hi, r_lo, rnorm_d = ir_update(
-        A, b, zero, zero, d0, use_dia=use_dia)
+        A, b, zero, zero, d0, mode=mode)
     rnorm = float(rnorm_d)
     total = 0
     code = rt.SOLVED if rnorm <= target else rt.RUNNING
     prev = float("inf")
+    strikes = 0
     while code == rt.RUNNING:
         if total >= itmax:
             code = rt.TIRED
             break
-        if time.perf_counter() - start > timemax:
+        time_left = timemax - (time.perf_counter() - start)
+        if time_left <= 0:
             code = rt.OVERTIMED
             break
-        if rnorm >= 0.5 * prev:
+        # two-strike stall rule: SYMMLQ-style error-minimizing inners
+        # contract slowly near the target — a hard 2x-per-pass demand cut
+        # them off one pass short of the certificate
+        strikes = strikes + 1 if rnorm >= 0.8 * prev else 0
+        if strikes >= 2:
             # refinement stalled: working-precision inner solves can no
             # longer reduce the dw residual (operator too ill-conditioned
             # for IR at this storage precision)
@@ -121,10 +234,10 @@ def ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start):
             break
         prev = rnorm
         rtol_i = max(inner_rtol, 0.1 * target / rnorm)
-        d, niter = inner(r_hi + r_lo, rtol_i, itmax - total)
+        d, niter = inner(r_hi + r_lo, rtol_i, itmax - total, time_left)
         total += max(int(niter), 1)
         x_hi, x_lo, r_hi, r_lo, rnorm_d = ir_update(
-            A, b, x_hi, x_lo, d, use_dia=use_dia)
+            A, b, x_hi, x_lo, d, mode=mode)
         rnorm = float(rnorm_d)
         if rnorm <= target:
             code = rt.SOLVED
@@ -139,5 +252,144 @@ def ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start):
         residuals=np.zeros(0),
         timer=time.perf_counter() - start,
         status=rt.decode_status(code),
+    )
+    return x, stats, None
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def ir_update_ls(A, b, x_hi, x_lo, r_hi, r_lo, dx, dr, reg, *, mode):
+    """One augmented-system dw refinement step for regularized LS.
+
+    Folds the corrections into the dw pair (x, r) — r is carried as an
+    independent unknown of the augmented system [I A; Aᴴ −reg·I][r; x]
+    = [b; 0] (Carson-Higham LSIR) — then recomputes both dw augmented
+    residuals in compensated arithmetic:
+      f1 = b − r − A·x          (top block)
+      g  = Aᴴ·r − reg·x         (optimality gradient; bottom rhs is −g)
+    Returns (x_hi, x_lo, r_hi, r_lo, f1, f2, ‖f1‖_dw, ‖g‖_dw) with
+    f1/f2 collapsed to working precision for the inner correction solve
+    (their magnitudes shrink with the outer iteration, so the collapse
+    loses nothing — the whole point of the augmented formulation).
+    """
+    from ..ops.kops import _two_prod_vec
+
+    x_hi, x_lo = dw_add(x_hi, x_lo, dx)
+    r_hi, r_lo = dw_add(r_hi, r_lo, dr)
+    y_hi, y_lo = dw_matvec(A, x_hi, x_lo, mode=mode)
+    s, e = two_sum(b, -y_hi)
+    t_hi, t_lo = two_sum(s, e - y_lo)
+    s2, e2 = two_sum(t_hi, -r_hi)
+    f1_hi, f1_lo = two_sum(s2, e2 + t_lo - r_lo)
+    g_hi, g_lo = dw_matvec(A, r_hi, r_lo, mode=mode, adjoint=True)
+    p, pe = _two_prod_vec(jnp.full_like(x_hi, reg), x_hi)
+    sg, eg = two_sum(g_hi, -p)
+    g_hi, g_lo = two_sum(sg, g_lo + eg - pe - reg * x_lo)
+    return (x_hi, x_lo, r_hi, r_lo, f1_hi + f1_lo, -(g_hi + g_lo),
+            dw_norm(f1_hi, f1_lo), dw_norm(g_hi, g_lo))
+
+
+def ir_solve_ls(A, b, x0, reg, atol, rtol, itmax, timemax, start,
+                first=None, stats_cls=SimpleStats, **stats_extra):
+    """Double-word iterative refinement for min ‖b − Ax‖² + reg·‖x‖².
+
+    Carson-Higham least-squares IR (SIAM J. Sci. Comput. 2018; PAPERS.md)
+    on the AUGMENTED system [I A; Aᴴ −reg·I][r; x] = [b; 0]: the dw outer
+    loop carries both x and the residual r as unknowns, and each pass
+    solves the saddle correction system with TriMR (τ=1, ν=−reg — the
+    same structure the reference's trimr `sp`/SQD presets target) at
+    working precision, where the shrinking rhs keeps a fixed inner
+    relative tolerance sufficient.  A plain-LSQR inner correction floors
+    at ε_inner·‖A‖·‖r*‖ for inconsistent systems — the augmented form is
+    what breaks that floor.
+
+    Stops when the dw optimality gradient ‖Aᴴr − reg·x‖ ≤ atol +
+    rtol·‖Aᴴb‖ AND the dw consistency residual ‖b − r − Ax‖ ≤ atol +
+    rtol·‖b‖.  reg is the multiplier on x in the optimality system: λ²
+    for lsqr/lsmr, λ for cgls.  Returns x as a host f64 array.
+    """
+    from .tricg import _trimr_solve
+
+    n = A.shape[1]
+    m = A.shape[0]
+    T = real_dtype(b.dtype)
+    mode = ir_mode(A)
+    reg_s = jnp.asarray(reg, T)
+    zb = jnp.zeros_like(b)
+    gb_hi, gb_lo = dw_matvec(A, b, zb, mode=mode, adjoint=True)
+    target_g = atol + rtol * float(dw_norm(gb_hi, gb_lo))
+    target_f = atol + rtol * float(knorm2(b))
+    inner_rtol = 1e-4 if np.finfo(T).eps < 1e-10 else 1e-3
+
+    zx = jnp.zeros(n, b.dtype)
+    zr = jnp.zeros(m, b.dtype)
+    total = 0
+    dx0 = zx if x0 is None else jnp.asarray(x0, b.dtype)
+    if first is not None and x0 is None:
+        # pass 0 is the base method itself at working precision — TriMR's
+        # SSY process breaks down on a zero bottom rhs, and this keeps the
+        # first (dominant) solve on the method's own fast path
+        dx0, n0 = first(b, itmax, timemax - (time.perf_counter() - start))
+        total += max(int(n0), 1)
+    x_hi, x_lo, r_hi, r_lo, f1, f2, fnorm_d, gnorm_d = ir_update_ls(
+        A, b, zx, zx, zr, zr, dx0, zr, reg_s, mode=mode)
+    # seed the residual unknown: r ← collapse(b − A·x) so the augmented
+    # system's top residual starts at the dw rounding level
+    x_hi, x_lo, r_hi, r_lo, f1, f2, fnorm_d, gnorm_d = ir_update_ls(
+        A, b, x_hi, x_lo, r_hi, r_lo, zx, f1, reg_s, mode=mode)
+    fnorm, gnorm = float(fnorm_d), float(gnorm_d)
+    code = (rt.SOLVED if gnorm <= target_g and fnorm <= target_f
+            else rt.RUNNING)
+    prev = float("inf")
+    strikes = 0
+    while code == rt.RUNNING:
+        if total >= itmax:
+            code = rt.TIRED
+            break
+        time_left = timemax - (time.perf_counter() - start)
+        if time_left <= 0:
+            code = rt.OVERTIMED
+            break
+        err = max(gnorm / max(target_g, np.finfo(T).tiny),
+                  fnorm / max(target_f, np.finfo(T).tiny))
+        strikes = strikes + 1 if err >= 0.8 * prev else 0
+        if strikes >= 2:
+            # refinement stalled: the working-precision saddle solves no
+            # longer reduce the dw augmented residual
+            code = rt.ILL_COND_MACH
+            break
+        prev = err
+        kw = dict(sp=True) if reg == 0.0 else dict(tau=1.0, nu=-float(reg))
+        # the correction system is linear: normalize the rhs so the inner
+        # f32 solve never trips its absolute machine-precision floor
+        # (rhs norms shrink below eps_f32 as the dw loop converges)
+        scale = 1.0 / max(float(np.hypot(fnorm, gnorm)),
+                          float(np.finfo(np.float64).tiny))
+        scale = jnp.asarray(scale, T)
+        dr, dx, ist, _ = _trimr_solve(
+            A, scale * f1, scale * f2, atol=0.0, rtol=inner_rtol,
+            itmax=min(itmax - total, 4 * (m + n)),
+            timemax=time_left if np.isfinite(time_left) else float("inf"),
+            **kw)
+        dr = dr / scale
+        dx = dx / scale
+        total += max(int(ist.niter), 1)
+        x_hi, x_lo, r_hi, r_lo, f1, f2, fnorm_d, gnorm_d = ir_update_ls(
+            A, b, x_hi, x_lo, r_hi, r_lo, dx, dr, reg_s, mode=mode)
+        fnorm, gnorm = float(fnorm_d), float(gnorm_d)
+        if gnorm <= target_g and fnorm <= target_f:
+            code = rt.SOLVED
+    x = (np.asarray(x_hi, dtype=np.float64)
+         + np.asarray(x_lo, dtype=np.float64))
+    # solved via the ‖Aᴴr‖ certificate — the reference's SOLVED_AR string
+    status = ("found approximate minimum least-squares solution"
+              if rt.is_solved_code(code) else rt.decode_status(code))
+    stats = stats_cls(
+        niter=total,
+        solved=rt.is_solved_code(code),
+        inconsistent=False,
+        residuals=np.zeros(0),
+        timer=time.perf_counter() - start,
+        status=status,
+        **stats_extra,
     )
     return x, stats, None

@@ -520,7 +520,15 @@ def _qmr_solve(
 
 
 def qmr(A, b, x0=None, **kwargs):
-    """x, stats = qmr(A, b; c=b, ...)."""
+    """x, stats = qmr(A, b; c=b, ...).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (no custom shadow c)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("QMR", _qmr_solve, A, b, x0, kwargs,
+                         reject={"c": None})
+    if hit is not None:
+        return hit
     x, stats, _ = _qmr_solve(A, b, x0, **kwargs)
     return x, stats
 

@@ -256,9 +256,14 @@ def _cg_ir(A, b, x0, M, ldiv, atol, rtol, itmax, timemax, start):
     fused whole-solve-in-VMEM kernel when eligible)."""
     from ._refine import ir_solve
 
-    def inner(rhs, rtol_i, it_left):
+    def inner(rhs, rtol_i, it_left, time_left):
+        # a finite outer timemax is threaded through so one long inner
+        # solve cannot overrun the user's deadline; the default (inf)
+        # stays inf to keep inner solves on the fused fast path
         d, st, _ = _cg_solve(A, rhs, M=M, ldiv=ldiv, atol=0.0,
-                             rtol=rtol_i, itmax=it_left)
+                             rtol=rtol_i, itmax=it_left,
+                             timemax=time_left if np.isfinite(time_left)
+                             else float("inf"))
         return d, st.niter
 
     return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)

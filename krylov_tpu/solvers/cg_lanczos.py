@@ -248,7 +248,16 @@ def _cg_lanczos_solve(
 
 
 def cg_lanczos(A, b, x0=None, **kwargs):
-    """x, stats = cg_lanczos(A, b; ...) — CG via the Lanczos process."""
+    """x, stats = cg_lanczos(A, b; ...) — CG via the Lanczos process.
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (M/ldiv allowed)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("CG-LANCZOS", _cg_lanczos_solve, A, b, x0, kwargs,
+                         forward=("M", "ldiv"),
+                         reject={"check_curvature": False})
+    if hit is not None:
+        return hit
     x, stats, _ = _cg_lanczos_solve(A, b, x0, **kwargs)
     return x, stats
 

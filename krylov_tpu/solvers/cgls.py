@@ -203,7 +203,25 @@ def _cgls_solve(
 
 
 def cgls(A, b, **kwargs):
-    """x, stats = cgls(A, b; λ, radius, M, ...)."""
+    """x, stats = cgls(A, b; λ, radius, M, ...).
+
+    TPU extension: ``precision="double_word"`` — least-squares iterative
+    refinement to fp64-grade LS optimality from f32 storage.  CGLS's λ
+    enters the optimality system linearly (min ‖b−Ax‖² + λ‖x‖² ⇒
+    Aᴴ(b−Ax) = λx), so reg = λ (vs λ² for LSQR/LSMR).  Plain
+    configuration only (λ allowed).
+    """
+    from ._refine import check_ir_config
+    from .lsqr import _ls_ir, _ls_ir_guard
+
+    precision = kwargs.pop("precision", None)
+    if check_ir_config("CGLS", precision,
+                       **_ls_ir_guard("CGLS", kwargs)):
+        fwd = {k: kwargs[k] for k in ("lam", "atol", "rtol", "itmax",
+                                      "timemax") if k in kwargs}
+        x, stats, _ = _ls_ir("CGLS", _cgls_solve, A, b,
+                             reg_of_lam=lambda l: l, **fwd)
+        return x, stats
     x, stats, _ = _cgls_solve(A, b, **kwargs)
     return x, stats
 

@@ -453,7 +453,17 @@ def _cr_solve(
 
 
 def cr(A, b, x0=None, **kwargs):
-    """x, stats = cr(A, b; ...) — conjugate residuals (Hermitian definite)."""
+    """x, stats = cr(A, b; ...) — conjugate residuals (Hermitian definite).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (M/ldiv allowed)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("CR", _cr_solve, A, b, x0, kwargs,
+                         forward=("M", "ldiv"),
+                         reject={"radius": 0.0, "linesearch": False,
+                                 "gamma_tol": None})
+    if hit is not None:
+        return hit
     x, stats, _ = _cr_solve(A, b, x0, **kwargs)
     return x, stats
 
@@ -647,6 +657,13 @@ def _car_solve(
 
 
 def car(A, b, x0=None, **kwargs):
-    """x, stats = car(A, b; ...) — minimizes ‖Ar‖ (Hermitian definite)."""
+    """x, stats = car(A, b; ...) — minimizes ‖Ar‖ (Hermitian definite).
+
+    TPU extension: ``precision="double_word"`` — see cr."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("CAR", _car_solve, A, b, x0, kwargs,
+                         forward=("M", "ldiv"))
+    if hit is not None:
+        return hit
     x, stats, _ = _car_solve(A, b, x0, **kwargs)
     return x, stats

@@ -443,9 +443,12 @@ def _gmres_ir(A, b, x0, *, atol=None, rtol=None, itmax=0,
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * b.shape[0])
 
-    def inner(rhs, rtol_i, it_left):
+    def inner(rhs, rtol_i, it_left, time_left):
         d, st, _ = _gmres_like_solve(False, A, rhs, atol=0.0, rtol=rtol_i,
-                                     itmax=it_left, **inner_kw)
+                                     itmax=it_left,
+                                     timemax=time_left
+                                     if np.isfinite(time_left)
+                                     else float("inf"), **inner_kw)
         return d, st.niter
 
     return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)

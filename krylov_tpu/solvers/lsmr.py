@@ -386,6 +386,23 @@ def _lsmr_solve(
 
 
 def lsmr(A, b, **kwargs):
-    """x, stats = lsmr(A, b; λ, sqd, M, N, radius, ...)."""
+    """x, stats = lsmr(A, b; λ, sqd, M, N, radius, ...).
+
+    TPU extension: ``precision="double_word"`` — least-squares iterative
+    refinement to fp64-grade LS optimality from f32 storage (see lsqr;
+    shared driver in solvers/_refine.ir_solve_ls).  Plain configuration
+    only (λ allowed).
+    """
+    from ._refine import check_ir_config
+    from .lsqr import _ls_ir, _ls_ir_guard
+
+    precision = kwargs.pop("precision", None)
+    if check_ir_config("LSMR", precision,
+                       **_ls_ir_guard("LSMR", kwargs)):
+        fwd = {k: kwargs[k] for k in ("lam", "atol", "rtol", "itmax",
+                                      "timemax") if k in kwargs}
+        x, stats, _ = _ls_ir("LSMR", _lsmr_solve, A, b,
+                             stats_cls=LsmrStats, **fwd)
+        return x, stats
     x, stats, _ = _lsmr_solve(A, b, **kwargs)
     return x, stats

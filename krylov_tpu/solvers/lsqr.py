@@ -373,7 +373,78 @@ def _lsqr_solve(
     return jnp.asarray(state.x), stats, state
 
 
+def _ls_ir(method, solve_fn, A, b, *, lam=0.0, reg_of_lam=lambda l: l * l,
+           atol=None, rtol=None, itmax=0, timemax=float("inf"),
+           stats_cls=None, **stats_extra):
+    """Shared dw wiring for the Golub-Kahan LS family
+    (precision="double_word"): Carson-Higham augmented-system iterative
+    refinement (solvers/_refine.ir_solve_ls; TriMR inner corrections).
+    ``reg_of_lam`` maps the method's λ kwarg to the multiplier on x in
+    the optimality system Aᴴ(b−Ax) = reg·x (λ² for LSQR/LSMR, λ for
+    CGLS).  ``solve_fn`` is kept for signature symmetry with the square
+    dw wrappers (the certificate is method-independent)."""
+    from ._refine import ir_solve_ls
+    from ..stats import SimpleStats
+
+    start = time.perf_counter()
+    A = as_operator(A, need_adjoint=True)
+    b = jnp.asarray(b)
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    m, n = A.shape
+    # IR runs several inner solves; budget accordingly (a single-solve
+    # default of m+n starves the outer loop; the nu=0 saddle corrections
+    # of the unregularized case cost ~kappa(A)^2-grade TriMR iterations)
+    itmax = rt.resolve_itmax(itmax, 16 * (m + n))
+    reg = float(reg_of_lam(float(lam)))
+
+    def first(rhs, it_left, time_left):
+        d, st, _ = solve_fn(A, rhs, lam=lam, itmax=it_left,
+                            timemax=time_left if np.isfinite(time_left)
+                            else float("inf"))
+        return d, st.niter
+
+    return ir_solve_ls(A, b, None, reg, atol, rtol, itmax, timemax,
+                       start, first=first, stats_cls=stats_cls or SimpleStats,
+                       **stats_extra)
+
+
+def _ls_ir_guard(method, kwargs):
+    """check_ir_config flags for an LS-family dw request: every option the
+    dw certificate cannot honor, with truthy-by-default options compared
+    against their defaults (ADVICE r3: no silent swallowing)."""
+    return dict(
+        history=kwargs.get("history", False),
+        callback=kwargs.get("callback"),
+        M=kwargs.get("M"), N=kwargs.get("N"), ldiv=kwargs.get("ldiv", False),
+        radius=kwargs.get("radius", 0.0), sqd=kwargs.get("sqd", False),
+        etol=kwargs.get("etol") or 0.0,
+        axtol=kwargs.get("axtol") is not None,
+        btol=kwargs.get("btol") is not None,
+        window=kwargs.get("window", 5) != 5,
+        conlim=kwargs.get("conlim", 1.0e8) != 1.0e8,
+        verbose=kwargs.get("verbose", 0),
+    )
+
+
 def lsqr(A, b, **kwargs):
-    """x, stats = lsqr(A, b; λ, sqd, M, N, radius, ...)."""
+    """x, stats = lsqr(A, b; λ, sqd, M, N, radius, ...).
+
+    TPU extension: ``precision="double_word"`` runs least-squares
+    iterative refinement (Carson & Higham 2018) — the dw
+    normal-equations residual Aᴴ(b−Ax) − λ²x certifies fp64-grade LS
+    optimality from f32 device storage.  Plain configuration only
+    (λ allowed; no M/N/radius/sqd/etol/history/callback).
+    """
+    from ._refine import check_ir_config
+
+    precision = kwargs.get("precision")
+    if check_ir_config("LSQR", precision, compensated=True,
+                       **_ls_ir_guard("LSQR", kwargs)):
+        fwd = {k: kwargs[k] for k in ("lam", "atol", "rtol", "itmax",
+                                      "timemax") if k in kwargs}
+        x, stats, _ = _ls_ir("LSQR", _lsqr_solve, A, b, **fwd)
+        return x, stats
     x, stats, _ = _lsqr_solve(A, b, **kwargs)
     return x, stats

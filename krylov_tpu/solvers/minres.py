@@ -433,9 +433,11 @@ def _minres_ir(A, b, x0, *, M=None, ldiv=False, atol=None, rtol=None,
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * b.shape[0])
 
-    def inner(rhs, rtol_i, it_left):
+    def inner(rhs, rtol_i, it_left, time_left):
         d, st, _ = _minres_solve(A, rhs, M=M, ldiv=ldiv, atol=0.0,
-                                 rtol=rtol_i, itmax=it_left)
+                                 rtol=rtol_i, itmax=it_left,
+                                 timemax=time_left if np.isfinite(time_left)
+                                 else float("inf"))
         return d, st.niter
 
     return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)
@@ -457,7 +459,12 @@ def minres(A, b, x0=None, *, precision=None, **kwargs):
                        callback=kwargs.get("callback"),
                        linesearch=kwargs.get("linesearch", False),
                        lam=kwargs.get("lam", 0.0),
-                       etol=kwargs.get("etol") or 0.0):
+                       etol=kwargs.get("etol") or 0.0,
+                       # truthy-by-default options compared against their
+                       # defaults (can't silently swallow conlim=1e2 etc.)
+                       conlim=kwargs.get("conlim", 1.0e8) != 1.0e8,
+                       window=kwargs.get("window", 5) != 5,
+                       verbose=kwargs.get("verbose", 0)):
         x, stats, _ = _minres_ir(A, b, x0, **kwargs)
         return x, stats
     x, stats, _ = _minres_solve(A, b, x0, **kwargs)

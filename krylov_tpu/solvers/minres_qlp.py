@@ -414,6 +414,17 @@ def _minres_qlp_solve(
 
 
 def minres_qlp(A, b, x0=None, **kwargs):
-    """x, stats = minres_qlp(A, b; λ, Artol, linesearch, ...)."""
+    """x, stats = minres_qlp(A, b; λ, Artol, linesearch, ...).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (M/ldiv allowed; no
+    λ/Artol/linesearch)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("MINRES-QLP", _minres_qlp_solve, A, b, x0, kwargs,
+                         forward=("M", "ldiv"),
+                         reject={"lam": 0.0, "Artol": None,
+                                 "linesearch": False})
+    if hit is not None:
+        return hit
     x, stats, _ = _minres_qlp_solve(A, b, x0, **kwargs)
     return x, stats

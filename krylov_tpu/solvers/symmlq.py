@@ -478,6 +478,18 @@ def _symmlq_solve(
 
 
 def symmlq(A, b, x0=None, **kwargs):
-    """x, stats = symmlq(A, b; λ, λest, transfer_to_cg, ...)."""
+    """x, stats = symmlq(A, b; λ, λest, transfer_to_cg, ...).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (M/ldiv allowed; no
+    λ/λest/etol/window/conlim)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("SYMMLQ", _symmlq_solve, A, b, x0, kwargs,
+                         forward=("M", "ldiv"),
+                         reject={"lam": 0.0, "lambda_est": 0.0,
+                                 "etol": None, "window": 5,
+                                 "conlim": 1.0e8})
+    if hit is not None:
+        return hit
     x, stats, _ = _symmlq_solve(A, b, x0, **kwargs)
     return x, stats

@@ -743,7 +743,25 @@ def _trilqr_core(
 
 def _trilqr_status(state, code):
     from .bilq import _bilqr_status
-    return _bilqr_status(state, code)
+    status = _bilqr_status(state, code)
+    if status != "unknown":
+        return status
+    # Documented deviation (reference src/trilqr.jl:429-444): when the dual
+    # system Aᴴy = c is detected INCONSISTENT (AsNorm ≤ ξ) without the
+    # qr_tol/qr_mach tests firing, the reference's status chain has a hole
+    # and leaves the pre-loop initializer "unknown".  We emit an explicit
+    # status instead, phrased with the reference's least-squares vocabulary
+    # (src/usymqr.jl "found approximate least-squares solution").
+    if bool(getattr(state, "inconsistent_dual", False)):
+        lq = bool(state.solved_lq_tol) or bool(state.solved_lq_mach)
+        cg = bool(state.solved_cg_tol) or bool(state.solved_cg_mach)
+        if lq or cg:
+            pt = "xᶜ" if cg and not lq else "xᴸ"
+            return (f"Found a primal solution {pt} and an approximate "
+                    "least-squares dual solution t (dual system inconsistent)")
+        return ("Only found an approximate least-squares dual solution t "
+                "(dual system inconsistent)")
+    return status
 
 
 def _trilqr_solve(
@@ -787,7 +805,9 @@ def _trilqr_solve(
                 solved_lq_tol=fl[0], solved_lq_mach=fl[1],
                 solved_cg_tol=fl[2], solved_cg_mach=fl[3],
                 solved_qr_tol=fl[4], solved_qr_mach=fl[5],
-                solved_primal=fl[6], solved_dual=fl[7], breakdown=False)
+                solved_primal=fl[6], solved_dual=fl[7],
+                inconsistent_dual=fl[8] if len(fl) > 8 else False,
+                breakdown=False)
             stats = AdjointStats(
                 niter=niter,
                 solved_primal=fl[6], solved_dual=fl[7],
@@ -827,7 +847,7 @@ def _trilqr_solve(
     sv = _StView()
     for f in ("solved_lq_tol", "solved_lq_mach", "solved_cg_tol",
               "solved_cg_mach", "solved_qr_tol", "solved_qr_mach",
-              "solved_primal", "solved_dual"):
+              "solved_primal", "solved_dual", "inconsistent_dual"):
         setattr(sv, f, getattr(state, f))
     status = _trilqr_status(sv, code)
 
