@@ -28,10 +28,12 @@ BF16_EXCLUDE = {"minres_qlp", "minares", "lslq", "lnlq", "craigmr",
                 # jnp.linalg.qr has no bf16 kernel
                 "block_minres", "block_gmres", "gpmr"}
 
-# Two-sided/SSY methods on complex fixtures run at f64-complex only (the
-# c64 recurrences drift past √eps(f32) on the adjoint-pair fixtures).
-C64_EXCLUDE = {"usymlqr", "trilqr", "bilqr", "qmr", "minares", "lslq",
-               "cgs", "trimr"}
+# Round-4 note: the former C64_EXCLUDE set (usymlqr/trilqr/bilqr/qmr/
+# minares/lslq/cgs/trimr — "c64 drift on the adjoint-pair fixtures") is
+# gone: after the round-3 conjugation fixes every method passes the
+# complex64 bar (measured 4e-7 .. 3e-4 vs the 6.9e-3 bar), so the whole
+# basket now runs at c64.
+C64_EXCLUDE = set()
 
 
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32, jnp.float64],
@@ -52,7 +54,7 @@ def test_complex_full_basket(method, dtype):
     if method in ("minres", "minres_qlp"):
         pass  # Hermitian fixtures are built complex-aware in drive_method
     if dtype == jnp.complex64 and method in C64_EXCLUDE:
-        pytest.skip("c64 drift on the adjoint-pair fixtures")
+        pytest.skip("excluded at complex64")
     rr, stats, extras = fx.drive_method(method, dtype)
     slack = 100 if method in ("usymlqr", "tricg", "trimr", "gpmr") else 20
     assert rr <= slack * tol_for(dtype), (method, stats.status, rr)
