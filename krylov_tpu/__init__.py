@@ -117,9 +117,9 @@ from .workspaces import (
 # extension with no reference analogue (Krylov.jl ships no AD rules).
 from . import diff
 # Batched small-systems solves: vmapped cores + per-item stats.
-from .batched import batched_solve, BatchedStats
+from .batched import batched_solve, batched_solve_xy, BatchedStats
 # Ahead-of-time solver export for serving (jax.export artifacts).
-from .aot import export_solver, load_solver
+from .aot import export_solver, export_solver_xy, load_solver
 
 # Re-export the generated per-method workspace classes (CgWorkspace,
 # MinresWorkspace, ...) to mirror the reference's exported workspace types

@@ -25,7 +25,8 @@ from jax import export as jexport
 from . import _runtime as rt
 from ._dtypes import real_dtype
 
-__all__ = ["export_solver", "load_solver", "decode_status"]
+__all__ = ["export_solver", "export_solver_xy", "load_solver",
+           "decode_status"]
 
 
 def _spec(x):
@@ -88,6 +89,47 @@ def export_solver(method, make_operator, data, b, *, atol=None, rtol=None,
     return exported.serialize()
 
 
+def export_solver_xy(method, make_operator, data, b, c, *, atol=None,
+                     rtol=None, itmax=0, tau=1.0, nu=-1.0,
+                     platforms=None):
+    """Serialize one configured (x, y) solve to bytes.
+
+    ``method`` ∈ :data:`krylov_tpu.diff.XY_METHODS` ("tricg"/"trimr"
+    saddle-point systems, "bilqr" adjoint pairs).  Inputs of the
+    exported program are ``(data_leaves, b, c)``; outputs are
+    ``(x, y, niter, status_code)``.  Same artifact/loading contract as
+    :func:`export_solver` (load with :func:`load_solver`; call with
+    three arguments).
+    """
+    from .diff import XY_METHODS, _traced_state_xy
+    from .operators import as_operator
+
+    if method not in XY_METHODS:
+        raise ValueError(f"export_solver_xy supports {XY_METHODS}, "
+                         f"got {method!r}")
+    b_spec = _spec(b)
+    c_spec = _spec(c)
+    data_spec = jax.tree_util.tree_map(_spec, data)
+    T = real_dtype(b_spec.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+
+    def fn(data_leaves, rhs_b, rhs_c):
+        op = as_operator(make_operator(data_leaves))
+        cap = rt.resolve_itmax(
+            itmax, 2 * rhs_b.shape[0] if method == "bilqr"
+            else rhs_b.shape[0] + rhs_c.shape[0])
+        st = _traced_state_xy(method, op, rhs_b, rhs_c, atol, rtol, cap,
+                              tau=tau, nu=nu)
+        return st.x, st.y, st.iter, st.status
+
+    with jax.default_matmul_precision("highest"):
+        exported = jexport.export(
+            jax.jit(fn),
+            platforms=platforms)(data_spec, b_spec, c_spec)
+    return exported.serialize()
+
+
 def load_solver(blob):
     """Rehydrate an :func:`export_solver` artifact.
 
@@ -97,8 +139,8 @@ def load_solver(blob):
     """
     exported = jexport.deserialize(blob)
 
-    def solve(data, b):
-        return exported.call(data, b)
+    def solve(*args):
+        return exported.call(*args)
 
     return solve
 

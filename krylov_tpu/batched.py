@@ -24,7 +24,7 @@ from . import _runtime as rt
 from ._dtypes import real_dtype
 from .operators import MatrixOperator, as_operator
 
-__all__ = ["batched_solve", "BatchedStats"]
+__all__ = ["batched_solve", "batched_solve_xy", "BatchedStats"]
 
 _COMPILED = {}  # (method, make_op, id(M), itmax, memory, dot2, dtype, n) -> fn
 
@@ -203,3 +203,107 @@ def batched_solve(method, A, B, *, make_operator=None, M=None,
     stats = BatchedStats(iters, status, solved,
                          time.perf_counter() - start)
     return X, stats
+
+
+def batched_solve_xy(method, A, B, C, *, make_operator=None, atol=None,
+                     rtol=None, itmax=0, tau=1.0, nu=-1.0, shape=None):
+    """Solve nb (x, y) systems in one compiled program.
+
+    ``method`` ∈ :data:`krylov_tpu.diff.XY_METHODS`:
+
+    * ``"tricg"`` / ``"trimr"`` — saddle-point systems
+      ``[τI A[i]; A[i]ᴴ νI][x;y] = [B[i]; C[i]]`` (τ/ν SHARED across the
+      batch; defaults τ=1, ν=−1 like the scalar wrappers).
+    * ``"bilqr"`` — adjoint pairs ``A[i]x = B[i]`` and ``A[i]ᴴy = C[i]``.
+
+    ``A`` is a dense ``(nb, m, n)`` array (``(nb, n, n)`` for bilqr) or,
+    with ``make_operator``, any pytree of batched leaves; ``B`` is
+    ``(nb, m)``, ``C`` is ``(nb, n)``.  Returns ``(X, Y, stats)``.
+    Reference analogue: the C API drives every (x, y) method through one
+    entry point (interfaces/src/LibKrylov.jl:125-142); this is the
+    batched TPU equivalent.
+    """
+    from .diff import XY_METHODS, _traced_state_xy
+
+    if method not in XY_METHODS:
+        raise ValueError(f"batched_solve_xy supports {XY_METHODS}, "
+                         f"got {method!r}")
+    start = time.perf_counter()
+    B = jnp.asarray(B)
+    C = jnp.asarray(C, dtype=B.dtype)
+    if B.ndim != 2 or C.ndim != 2 or B.shape[0] != C.shape[0]:
+        raise ValueError("B and C must be (nb, m) and (nb, n)")
+    nb, m = B.shape
+    n = C.shape[1]
+    if method == "bilqr" and m != n:
+        raise ValueError("bilqr systems must be square")
+    if make_operator is None:
+        A = jnp.asarray(A)
+        if A.ndim != 3 or A.shape[0] != nb or A.shape[1:] != (m, n):
+            raise ValueError("dense A must be (nb, m, n) matching (B, C)")
+        make_operator = MatrixOperator
+    T = real_dtype(B.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, m + n if method != "bilqr" else 2 * n)
+
+    def _coerce(op):
+        from .ops.sparse import CSRMatrix
+        if isinstance(op, CSRMatrix):
+            raise ValueError(
+                f"batched {method} needs rmatvec: make_operator must "
+                "return an operator with adjoint storage built from the "
+                "batched leaves")
+        return as_operator(op)
+
+    key = (method, make_operator, itmax, float(tau), float(nu),
+           str(B.dtype), m, n, "xy")
+    fn = _COMPILED.get(key)
+    if fn is None:
+        def one(data_i, b_i, c_i, atol_, rtol_):
+            op = _coerce(make_operator(data_i))
+            st = _traced_state_xy(method, op, b_i, c_i, atol_, rtol_,
+                                  itmax, tau=tau, nu=nu)
+            extras = ()
+            if method == "bilqr":
+                extras = (st.solved_lq_tol, st.solved_lq_mach,
+                          st.solved_cg_tol, st.solved_cg_mach,
+                          st.solved_qr_tol, st.solved_qr_mach,
+                          st.solved_primal, st.solved_dual, st.breakdown)
+            return st.x, st.y, st.iter, st.status, extras
+
+        fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, None)))
+        while len(_COMPILED) >= 32:
+            _COMPILED.pop(next(iter(_COMPILED)))
+        _COMPILED[key] = fn
+
+    with jax.default_matmul_precision("highest"):
+        X, Y, iters, codes, extras = fn(A, B, C, jnp.asarray(atol, T),
+                                        jnp.asarray(rtol, T))
+    iters, codes, extras = jax.device_get([iters, codes, extras])
+    iters = np.asarray(iters)
+    codes = np.asarray(codes)
+    fixed = [rt.final_status_code(int(cd), int(k), itmax, False)
+             for cd, k in zip(codes, iters)]
+    if method == "bilqr":
+        import types
+        from .solvers.bilq import _bilqr_status
+        names = ("solved_lq_tol", "solved_lq_mach", "solved_cg_tol",
+                 "solved_cg_mach", "solved_qr_tol", "solved_qr_mach",
+                 "solved_primal", "solved_dual", "breakdown")
+        status = []
+        solved = []
+        for i, cd in enumerate(fixed):
+            shim = types.SimpleNamespace(
+                **{nm: bool(np.asarray(ex)[i])
+                   for nm, ex in zip(names, extras)})
+            status.append(_bilqr_status(shim, cd))
+            solved.append(bool(shim.solved_primal and shim.solved_dual))
+        solved = np.asarray(solved)
+    else:
+        from .solvers.tricg import _STATUS as _TRI_STATUS
+        status = [rt.decode_status(cd, _TRI_STATUS) for cd in fixed]
+        solved = np.asarray([rt.is_solved_code(cd) for cd in fixed])
+    stats = BatchedStats(iters, status, solved,
+                         time.perf_counter() - start)
+    return X, Y, stats

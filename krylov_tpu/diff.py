@@ -50,6 +50,29 @@ GENERAL_METHODS = ("gmres", "fom", "bicgstab", "cgs", "bilq", "qmr")
 #: diff.solve — use diff.lstsq for differentiable least squares).
 LS_METHODS = ("lsqr", "lsmr", "cgls")
 
+#: (x, y) methods usable via batched_solve_xy: saddle-point
+#: [τI A; Aᴴ νI][x;y]=[b;c] (tricg/trimr) and the adjoint pair
+#: Ax=b / Aᴴy=c (bilqr).
+XY_METHODS = ("tricg", "trimr", "bilqr")
+
+
+def _traced_state_xy(method, A, b, c, atol, rtol, itmax,
+                     tau=1.0, nu=-1.0):
+    """One fully-traced (x, y) solve returning the core state (x, y,
+    iter, status + the bilqr convergence flags) — the batched_solve_xy
+    engine, driving the same jitted cores as the public wrappers."""
+    cap = jnp.int32(itmax)
+    common = dict(history=False, hist_len=0, callback=None, verbose=0)
+    if method in ("tricg", "trimr"):
+        from .solvers.tricg import _tricg_core, _trimr_core
+        core = _tricg_core if method == "tricg" else _trimr_core
+        return core(A, None, None, b, c, None, None, None, cap, atol,
+                    rtol, float(tau), float(nu), ldiv=False, MisI=True,
+                    NisI=True, **common)
+    from .solvers.bilq import _bilqr_core
+    return _bilqr_core(A, b, c, None, None, None, cap, atol, rtol,
+                       transfer_to_bicg=True, **common)
+
 
 class _FusedResult:
     """state-shaped (x, iter, status) view of a fused-kernel solve."""

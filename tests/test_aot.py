@@ -83,3 +83,40 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="supports"):
             kt.export_solver("craig", MatrixOperator,
                              jnp.zeros((4, 4)), jnp.zeros(4))
+
+
+def test_export_solver_xy_tricg_roundtrip():
+    """(x, y) export: the artifact solves the saddle system bit-identically
+    to the live library (VERDICT r3 #8)."""
+    rng = np.random.default_rng(0)
+    n = 24
+    A = (rng.standard_normal((n, n)) / np.sqrt(n) * 0.4).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    blob = kt.export_solver_xy("tricg", MatrixOperator, jnp.asarray(A),
+                               jnp.asarray(b), jnp.asarray(c), rtol=1e-5)
+    solve = kt.load_solver(blob)
+    x, y, it, code = solve(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c))
+    x2, y2, st2 = kt.tricg(MatrixOperator(jnp.asarray(A)), jnp.asarray(b),
+                           jnp.asarray(c), rtol=1e-5)
+    assert int(it) == st2.niter
+    assert float(jnp.max(jnp.abs(x - x2))) == 0.0
+    assert float(jnp.max(jnp.abs(y - y2))) == 0.0
+    from krylov_tpu.aot import decode_status
+    assert decode_status(code, int(it), 2 * n) == st2.status
+
+
+def test_export_solver_xy_bilqr():
+    rng = np.random.default_rng(1)
+    n = 24
+    A = (rng.standard_normal((n, n)) / np.sqrt(n) * 0.4
+         + 2.0 * np.eye(n)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    blob = kt.export_solver_xy("bilqr", MatrixOperator, jnp.asarray(A),
+                               jnp.asarray(b), jnp.asarray(c), rtol=1e-5)
+    x, y, it, code = kt.load_solver(blob)(jnp.asarray(A), jnp.asarray(b),
+                                          jnp.asarray(c))
+    rp = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    rd = np.linalg.norm(c - A.T @ np.asarray(y)) / np.linalg.norm(c)
+    assert max(rp, rd) <= 5e-4
