@@ -120,6 +120,21 @@ def resolve_itmax(itmax, default):
     return default if itmax == 0 else itmax
 
 
+def affine_chain_scan(a, b, x0):
+    """All states of the affine recurrence x_{i+1} = a_i·x_i + b_i.
+
+    Returns (len(a)+1,): [x0, x1, ..., x_len].  The prefix maps
+    (x ↦ A·x + B) compose associatively, so the whole chain runs as one
+    log₂-depth lax.associative_scan — the vectorized replacement for the
+    sequential Givens/LU scalar chains of the long-recurrence solvers
+    (an unrolled mem=20 chain of tiny dynamic updates measured
+    ~70 µs/iter on TPU; this form is a single fusion)."""
+    import jax as _jax
+    A, B = _jax.lax.associative_scan(
+        lambda p, q: (q[0] * p[0], q[0] * p[1] + q[1]), (a, b))
+    return jnp.concatenate([x0[None], A * x0 + B])
+
+
 def unrolled_fori(lo, hi, body, init, unroll_bound=64):
     """fori_loop that unrolls when the static trip count is small.
 

@@ -57,16 +57,16 @@ class FomState(NamedTuple):
 
 
 def _orthogonalize(V, q, k, mem, extra_pass):
-    mask = jnp.arange(mem) <= k
-    Vm = jnp.where(mask[:, None], V, 0)
-    h = jnp.conj(Vm) @ q
-    q = q - Vm.T @ h
-    h2 = jnp.conj(Vm) @ q
-    q = q - Vm.T @ h2
+    # no masking: rows beyond inner_k are exactly zero within a pass
+    # (see solvers/gmres.py:_orthogonalize)
+    h = jnp.conj(V) @ q
+    q = q - V.T @ h
+    h2 = jnp.conj(V) @ q
+    q = q - V.T @ h2
     h = h + h2
     if extra_pass:
-        h3 = jnp.conj(Vm) @ q
-        q = q - Vm.T @ h3
+        h3 = jnp.conj(V) @ q
+        q = q - V.T @ h3
         h = h + h3
     return q, h
 
@@ -158,13 +158,15 @@ def _fom_core(
         q, hcol = _orthogonalize(s.V, q, k, mem, reorthogonalization)
         Hbis = knorm(q)
 
-        # LU column update: uᵢ.ₖ = hᵢ.ₖ - lᵢ₋₁ uᵢ₋₁.ₖ sequentially
-        # (reference src/fom.jl:274-280); unrolled for small mem.
-        def lu_body(i, col):
-            active = (i >= 1) & (i <= k)
-            new = col[i] - s.l[i - 1] * col[i - 1]
-            return col.at[i].set(jnp.where(active, new, col[i]))
-        ucol = rt.unrolled_fori(1, mem, lu_body, hcol)
+        # LU column update: uᵢ.ₖ = hᵢ.ₖ - lᵢ₋₁ uᵢ₋₁.ₖ
+        # (reference src/fom.jl:274-280) — a first-order affine
+        # recurrence in uᵢ, vectorized as one associative prefix scan
+        # (rt.affine_chain_scan; the unrolled sequential chain cost
+        # ~70 µs/iter at mem=20 on TPU).
+        iidx = jnp.arange(1, mem)
+        act = (iidx <= k)
+        a_ch = jnp.where(act, -s.l[:mem - 1], jnp.zeros((), FC))
+        ucol = rt.affine_chain_scan(a_ch, hcol[1:mem], hcol[0])
 
         ukk = ucol[k]
         safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
@@ -475,18 +477,31 @@ def _trunc_core(
         H = H.at[0].set(0)
 
         if diom:
-            # LU column update (reference src/diom.jl:251-266).
-            def lu_body(o, carry):
-                Hc, xi = carry
-                i = jnp.maximum(2, it1 - mem + 2) + o      # 1-based row
-                active = i <= it1
-                lslot = jnp.mod(i - 1, mem - 1)
-                diag = it1 - i + 1
-                newv = Hc[diag] - s.L[lslot] * Hc[diag + 1]
-                Hc = Hc.at[diag].set(jnp.where(active, newv, Hc[diag]))
-                xi = jnp.where(active & (i == it1), -s.L[lslot] * xi, xi)
-                return Hc, xi
-            H, xi = rt.unrolled_fori(0, mem, lu_body, (H, s.xi))
+            # LU column update (reference src/diom.jl:251-266) — the
+            # window chain H[diag] = H_orig[diag] - L*(previous H[diag+1])
+            # is a first-order affine recurrence (the value each step
+            # writes at diag is what the next step reads at its diag+1),
+            # vectorized as one associative prefix scan over the window
+            # (rt.affine_chain_scan; the unrolled sequential form cost
+            # ~70 us/iter of tiny-op overhead on TPU at mem=20).
+            Lh = mem + 2
+            d0 = jnp.minimum(it1 - 1, mem - 1)   # number of active steps
+            o_ix = jnp.arange(mem)
+            act_o = o_ix < d0
+            i_1b = jnp.maximum(2, it1 - mem + 2) + o_ix
+            Lcoef = s.L[jnp.mod(i_1b - 1, mem - 1)]
+            Hrev = H[::-1]
+            Hpad = jnp.concatenate([Hrev, jnp.zeros((mem,), FC)])
+            # H_orig[diag] for diag = d0 - o (start >= 2, never clamps)
+            segR = jax.lax.dynamic_slice(Hpad, (Lh - 1 - d0,), (mem,))
+            a_ch = jnp.where(act_o, -Lcoef, jnp.zeros((), FC))
+            carry0 = H[jnp.clip(d0 + 1, 0, Lh - 1)]
+            carries = rt.affine_chain_scan(a_ch, segR, carry0)
+            upd = jnp.where(act_o, carries[1:], segR)
+            Hpad = jax.lax.dynamic_update_slice(Hpad, upd, (Lh - 1 - d0,))
+            H = Hpad[:Lh][::-1]
+            xi = jnp.where(it1 >= 2,
+                           -s.L[jnp.mod(it1 - 1, mem - 1)] * s.xi, s.xi)
             ukk = H[1]
             safe_u = jnp.where(ukk == 0, jnp.ones((), FC), ukk)
             L_new = s.L.at[jnp.mod(it1, mem - 1)].set(Haux.astype(FC) / safe_u)
@@ -496,20 +511,33 @@ def _trunc_core(
             xi_next = xi
             denom = safe_u
         else:
-            # Apply previous rotations (reference src/dqgmres.jl:257-266).
-            def rot_body(o, Hc):
-                i = jnp.maximum(1, it1 - mem) + o          # 1-based
-                active = i <= it1 - 1
-                slot = jnp.mod(i - 1, mem)
-                diag = it1 - i
-                ci = s.L[slot]
-                si = s.Ssin[slot]
-                tmp = ci * Hc[diag + 1] + si * Hc[diag]
-                low = jnp.conj(si) * Hc[diag + 1] - ci * Hc[diag]
-                Hc = Hc.at[diag].set(jnp.where(active, low, Hc[diag]))
-                Hc = Hc.at[diag + 1].set(jnp.where(active, tmp, Hc[diag + 1]))
-                return Hc
-            H = rt.unrolled_fori(0, mem, rot_body, H)
+            # Apply previous rotations (reference src/dqgmres.jl:257-266)
+            # — same affine-chain vectorization as
+            # gmres._apply_prev_rotations, over the sliding window: step i
+            # reads H[diag+1] (the "low" value step i-1 wrote), so
+            # carry' = conj(s_i)*carry - c_i*H_orig[diag]; kept entries
+            # are c_i*carry + s_i*H_orig[diag].
+            Lh = mem + 2
+            d0 = jnp.minimum(it1 - 1, mem)       # number of active steps
+            o_ix = jnp.arange(mem)
+            act_o = o_ix < d0
+            i_1b = jnp.maximum(1, it1 - mem) + o_ix
+            slot = jnp.mod(i_1b - 1, mem)
+            ci = s.L[slot].astype(FC)
+            si = s.Ssin[slot]
+            Hrev = H[::-1]
+            Hpad = jnp.concatenate([Hrev, jnp.zeros((mem,), FC)])
+            segR = jax.lax.dynamic_slice(Hpad, (Lh - 1 - d0,), (mem,))
+            a_ch = jnp.where(act_o, jnp.conj(si), jnp.ones((), FC))
+            b_ch = jnp.where(act_o, -ci * segR, jnp.zeros((), FC))
+            carry0 = H[jnp.clip(d0 + 1, 0, Lh - 1)]
+            carries = rt.affine_chain_scan(a_ch, b_ch, carry0)
+            tmp = ci * carries[:mem] + si * segR
+            seg_up = jax.lax.dynamic_slice(Hpad, (Lh - 2 - d0,), (mem,))
+            upd = jnp.where(act_o, tmp, seg_up)
+            Hpad = jax.lax.dynamic_update_slice(Hpad, upd, (Lh - 2 - d0,))
+            H = Hpad[:Lh][::-1]
+            H = H.at[1].set(jnp.take(carries, d0))
             ck, sk, rkk = sym_givens(H[1], Haux.astype(FC))
             H = H.at[1].set(jnp.asarray(rkk, FC))
             L_new = s.L.at[pos].set(jnp.real(ck))

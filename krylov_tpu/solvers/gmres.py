@@ -55,34 +55,53 @@ class GmresState(NamedTuple):
 
 
 def _orthogonalize(V, q, k, mem, extra_pass):
-    """CGS2 (+ optional third pass): project q against V[0..k]."""
-    mask = jnp.arange(mem) <= k
-    Vm = jnp.where(mask[:, None], V, 0)
-    h = jnp.conj(Vm) @ q
-    q = q - Vm.T @ h
-    h2 = jnp.conj(Vm) @ q
-    q = q - Vm.T @ h2
+    """CGS2 (+ optional third pass): project q against V[0..k].
+
+    No masking: rows of V beyond the current inner_k are exactly zero
+    inside a pass (V is rebuilt as zeros.at[0] on every restart and rows
+    are written sequentially), so whole-basis matmuls project against
+    V[0..k] for free.  The former jnp.where mask materialized a full
+    (mem, n) copy of V twice per iteration — ~35 MB of pure HBM traffic
+    at n=110592, mem=20, nearly half the measured 117 µs/iter general
+    GMRES cost (round-4 panel work).
+    """
+    h = jnp.conj(V) @ q
+    q = q - V.T @ h
+    h2 = jnp.conj(V) @ q
+    q = q - V.T @ h2
     h = h + h2
     if extra_pass:
-        h3 = jnp.conj(Vm) @ q
-        q = q - Vm.T @ h3
+        h3 = jnp.conj(V) @ q
+        q = q - V.T @ h3
         h = h + h3
     return q, h
 
 
 def _apply_prev_rotations(hcol, c, s, k, mem):
-    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked);
-    unrolled for small mem (rt.unrolled_fori)."""
-    def body(i, hcol):
-        active = i < k
-        hi, hi1 = hcol[i], hcol[i + 1]
-        new_i = c[i] * hi + s[i] * hi1
-        new_i1 = jnp.conj(s[i]) * hi - c[i] * hi1
-        hcol = hcol.at[i].set(jnp.where(active, new_i, hi))
-        hcol = hcol.at[i + 1].set(jnp.where(active, new_i1, hi1))
-        return hcol
+    """Apply Givens rotations Ω₀..Ω_{k-1} to the new column (masked).
 
-    return rt.unrolled_fori(0, mem, body, hcol)
+    Vectorized as an associative prefix scan: rotation i reads
+    carry_i (the value step i−1 left at position i) and the ORIGINAL
+    h_{i+1}, so the sequential dependence is the first-order affine
+    recurrence carry_{i+1} = conj(s_i)·carry_i − c_i·h_{i+1}, whose
+    prefix maps compose associatively ((A,B)∘(A',B') on
+    carry ↦ A·carry + B).  One log₂(mem)-depth scan on (mem,) arrays
+    replaces the unrolled 2·mem dynamic-update chain, which XLA ran as
+    ~40 sequential tiny ops costing ~70 µs/iter at mem=20 (round-4
+    breakdown, tools/exp_gmres_general.py lineage)."""
+    FC = hcol.dtype
+    idx = jnp.arange(mem)
+    active = idx < k
+    cF = c.astype(FC)
+    a = jnp.where(active, jnp.conj(s), jnp.ones((), FC))
+    b = jnp.where(active, -cF * hcol[1:], jnp.zeros((), FC))
+    A, B = jax.lax.associative_scan(
+        lambda x, y: (y[0] * x[0], y[0] * x[1] + y[1]), (a, b))
+    # carry_0 .. carry_mem (carry_j = h-value rotation j reads at slot j)
+    carry = jnp.concatenate([hcol[:1], A * hcol[0] + B])
+    out = jnp.where(active, cF * carry[:mem] + s * hcol[1:], hcol[:mem])
+    # the last active rotation (k−1) leaves carry_k at slot k
+    return jnp.concatenate([out, hcol[mem:]]).at[k].set(carry[k])
 
 
 def _back_substitute(R, z, k, mem, btol):
