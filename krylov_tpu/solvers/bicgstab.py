@@ -346,6 +346,18 @@ def bicgstab(A, b, x0=None, **kwargs):
 
 
 def cgs(A, b, x0=None, **kwargs):
-    """x, stats = cgs(A, b; c=b, M=None, N=None, ...)."""
+    """x, stats = cgs(A, b; c=b, M=None, N=None, ...).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (M/N/ldiv allowed; no
+    custom shadow vector c — the inner corrections re-seed it per rhs)."""
+    import functools as _ft
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("CGS", _ft.partial(_biortho_solve, _cgs_core),
+                         A, b, x0, kwargs,
+                         forward=("M", "N", "ldiv"),
+                         reject={"c": None})
+    if hit is not None:
+        return hit
     x, stats, _ = _biortho_solve(_cgs_core, A, b, x0, **kwargs)
     return x, stats

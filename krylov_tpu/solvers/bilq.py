@@ -306,7 +306,15 @@ def _bilq_solve(
 
 
 def bilq(A, b, x0=None, **kwargs):
-    """x, stats = bilq(A, b; c=b, transfer_to_bicg=True, ...)."""
+    """x, stats = bilq(A, b; c=b, transfer_to_bicg=True, ...).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (no custom shadow c)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("BILQ", _bilq_solve, A, b, x0, kwargs,
+                         reject={"c": None})
+    if hit is not None:
+        return hit
     x, stats, _ = _bilq_solve(A, b, x0, **kwargs)
     return x, stats
 
@@ -924,6 +932,14 @@ def _bilqr_solve(
 
 
 def bilqr(A, b, c, x0=None, y0=None, **kwargs):
-    """x, y, stats = bilqr(A, b, c) — solves Ax = b and Aᴴy = c."""
+    """x, y, stats = bilqr(A, b, c) — solves Ax = b and Aᴴy = c.
+
+    TPU extension: ``precision="double_word"`` — dw refinement of both
+    TRUE residuals (b − Ax, c − Aᴴy) from f32 storage; returns
+    AdjointStats with per-system certificates."""
+    from ._refine import adjoint_dw
+    hit = adjoint_dw("BILQR", _bilqr_solve, A, b, c, x0, y0, kwargs)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _bilqr_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats

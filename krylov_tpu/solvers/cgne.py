@@ -215,13 +215,39 @@ def _cgne_like_solve(
     return jnp.asarray(state.x), stats, state
 
 
+def _cgne_dw(variant, A, b, kwargs):
+    """``precision="double_word"`` for the x-only LN methods (cgne/crmr):
+    dw refinement of the TRUE residual b − Ax with the method's own
+    min-norm inner corrections (each dx ∈ range(Aᴴ), so the min-norm
+    property survives — solvers/_refine.square_ir_wrap is shape-agnostic
+    over rectangular A)."""
+    import functools as _ft
+    from ._refine import square_ir_wrap
+    return square_ir_wrap(variant.upper(),
+                          _ft.partial(_cgne_like_solve, variant),
+                          A, b, None, kwargs, forward=("N", "ldiv"),
+                          reject={"lam": 0.0})
+
+
 def cgne(A, b, **kwargs):
-    """x, stats = cgne(A, b; λ, N, ...) — minimum-norm solution."""
+    """x, stats = cgne(A, b; λ, N, ...) — minimum-norm solution.
+
+    TPU extension: ``precision="double_word"`` — fp64-grade TRUE
+    residuals from f32 storage (λ=0 configuration)."""
+    hit = _cgne_dw("cgne", A, b, kwargs)
+    if hit is not None:
+        return hit
     x, stats, _ = _cgne_like_solve("cgne", A, b, **kwargs)
     return x, stats
 
 
 def crmr(A, b, **kwargs):
-    """x, stats = crmr(A, b; λ, N, ...) — minimum-norm solution."""
+    """x, stats = crmr(A, b; λ, N, ...) — minimum-norm solution.
+
+    TPU extension: ``precision="double_word"`` — fp64-grade TRUE
+    residuals from f32 storage (λ=0 configuration)."""
+    hit = _cgne_dw("crmr", A, b, kwargs)
+    if hit is not None:
+        return hit
     x, stats, _ = _cgne_like_solve("crmr", A, b, **kwargs)
     return x, stats

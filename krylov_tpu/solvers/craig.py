@@ -312,8 +312,44 @@ def _craig_solve(
     return jnp.asarray(state.x), jnp.asarray(state.y), stats, state
 
 
+def _ln_dw(method, solve_fn, A, b, kwargs, stats_cls=None):
+    """Shared ``precision="double_word"`` wiring for the least-norm
+    (x, y) family: joint dw refinement of the primal x and the dual y
+    against the TRUE residual b − Ax (solvers/_refine.pair_ir_wrap,
+    kind="ln").  Each inner correction is the method itself at working
+    precision, so dx = Aᴴ·dy holds per pass and x stays in range(Aᴴ) —
+    the min-norm property survives refinement.  Plain configuration only
+    (λ/sqd change the fixed point to the regularized problem, whose
+    residual the dw certificate does not measure)."""
+    from ._refine import pair_ir_wrap
+
+    def inner(Aop, f1, f2, rtol_i, it_left, time_left):
+        fwd = {k: kwargs[k] for k in ("M", "N", "ldiv") if k in kwargs}
+        dx, dy, st, _ = solve_fn(Aop, f1, atol=0.0, rtol=rtol_i,
+                                 itmax=it_left, timemax=time_left, **fwd)
+        return dx, dy, st.niter
+
+    def make_stats(niter, code, s1, s2, timer):
+        cls = stats_cls or SimpleStats
+        return cls(niter=niter, solved=rt.is_solved_code(code),
+                   residuals=np.zeros(0), timer=timer,
+                   status=rt.decode_status(code))
+
+    return pair_ir_wrap(method, inner, A, b, b, kwargs, kind="ln",
+                        reject={"sqd": False, "lam": 0.0},
+                        make_stats=make_stats)
+
+
 def craig(A, b, **kwargs):
-    """x, y, stats = craig(A, b; λ, sqd, M, N, ...) — min ‖x‖ s.t. Ax = b."""
+    """x, y, stats = craig(A, b; λ, sqd, M, N, ...) — min ‖x‖ s.t. Ax = b.
+
+    TPU extension: ``precision="double_word"`` — joint (x, y) iterative
+    refinement to fp64-grade TRUE residuals b − Ax from f32 storage
+    (plain configuration; inner corrections ride CRAIG's own fast path).
+    """
+    hit = _ln_dw("CRAIG", _craig_solve, A, b, kwargs)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _craig_solve(A, b, **kwargs)
     return x, y, stats
 
@@ -594,7 +630,13 @@ def _craigmr_solve(
 
 
 def craigmr(A, b, **kwargs):
-    """x, y, stats = craigmr(A, b; λ, sqd, M, N, ...)."""
+    """x, y, stats = craigmr(A, b; λ, sqd, M, N, ...).
+
+    TPU extension: ``precision="double_word"`` — joint (x, y) refinement
+    to fp64-grade TRUE residuals from f32 storage (see ``craig``)."""
+    hit = _ln_dw("CRAIGMR", _craigmr_solve, A, b, kwargs)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _craigmr_solve(A, b, **kwargs)
     return x, y, stats
 
@@ -898,6 +940,13 @@ def _lnlq_solve(
 
 
 def lnlq(A, b, **kwargs):
-    """x, y, stats = lnlq(A, b; λ, sqd, transfer_to_craig, ...)."""
+    """x, y, stats = lnlq(A, b; λ, sqd, transfer_to_craig, ...).
+
+    TPU extension: ``precision="double_word"`` — joint (x, y) refinement
+    to fp64-grade TRUE residuals from f32 storage (see ``craig``)."""
+    from ..stats import LNLQStats
+    hit = _ln_dw("LNLQ", _lnlq_solve, A, b, kwargs, stats_cls=LNLQStats)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _lnlq_solve(A, b, **kwargs)
     return x, y, stats

@@ -366,7 +366,17 @@ def _fom_solve(
 
 
 def fom(A, b, x0=None, **kwargs):
-    """x, stats = fom(A, b; memory=20, restart=False, ...)."""
+    """x, stats = fom(A, b; memory=20, restart=False, ...).
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (M/N/memory/restart pass
+    through to the inner correction solves)."""
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("FOM", _fom_solve, A, b, x0, kwargs,
+                         forward=("M", "N", "ldiv", "memory", "restart",
+                                  "reorthogonalization"))
+    if hit is not None:
+        return hit
     x, stats, _ = _fom_solve(A, b, x0, **kwargs)
     return x, stats
 
@@ -676,13 +686,35 @@ def _trunc_solve(
     return x, stats, state
 
 
+def _trunc_dw(variant, A, b, x0, kwargs):
+    import functools as _ft
+    from ._refine import square_ir_wrap
+    return square_ir_wrap(variant.upper(),
+                          _ft.partial(_trunc_solve, variant),
+                          A, b, x0, kwargs,
+                          forward=("M", "N", "ldiv", "memory",
+                                   "reorthogonalization"))
+
+
 def diom(A, b, x0=None, **kwargs):
-    """x, stats = diom(A, b; memory=20, ...) — truncated FOM."""
+    """x, stats = diom(A, b; memory=20, ...) — truncated FOM.
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage."""
+    hit = _trunc_dw("diom", A, b, x0, kwargs)
+    if hit is not None:
+        return hit
     x, stats, _ = _trunc_solve("diom", A, b, x0, **kwargs)
     return x, stats
 
 
 def dqgmres(A, b, x0=None, **kwargs):
-    """x, stats = dqgmres(A, b; memory=20, ...) — truncated GMRES."""
+    """x, stats = dqgmres(A, b; memory=20, ...) — truncated GMRES.
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage."""
+    hit = _trunc_dw("dqgmres", A, b, x0, kwargs)
+    if hit is not None:
+        return hit
     x, stats, _ = _trunc_solve("dqgmres", A, b, x0, **kwargs)
     return x, stats

@@ -498,6 +498,18 @@ def gmres(A, b, x0=None, *, precision=None, **kwargs):
 
 
 def fgmres(A, b, x0=None, **kwargs):
-    """x, stats = fgmres(A, b; ...) — flexible right preconditioning."""
+    """x, stats = fgmres(A, b; ...) — flexible right preconditioning.
+
+    TPU extension: ``precision="double_word"`` — iterative refinement to
+    fp64-grade TRUE residuals from f32 storage (the flexible N changes
+    the iteration, not the fixed point, so it passes through)."""
+    import functools as _ft
+    from ._refine import square_ir_wrap
+    hit = square_ir_wrap("FGMRES", _ft.partial(_gmres_like_solve, True),
+                         A, b, x0, kwargs,
+                         forward=("M", "N", "ldiv", "memory", "restart",
+                                  "reorthogonalization"))
+    if hit is not None:
+        return hit
     x, stats, _ = _gmres_like_solve(True, A, b, x0, **kwargs)
     return x, stats

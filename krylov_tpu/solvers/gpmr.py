@@ -453,6 +453,39 @@ def _gpmr_solve(
 
 
 def gpmr(A, B, b, c, x0=None, y0=None, **kwargs):
-    """x, y, stats = gpmr(A, B, b, c; C, D, E, F, λ, μ, gsp, ...)."""
+    """x, y, stats = gpmr(A, B, b, c; C, D, E, F, λ, μ, gsp, ...).
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    partitioned block residuals (b − λx − Ay, c − Bx − μy) to fp64-grade
+    accuracy from f32 storage (unpreconditioned configurations; memory/
+    reorthogonalization pass through to the inner solves)."""
+    from ._refine import pair_ir_wrap
+
+    lam = kwargs.get("lam", 1.0)
+    mu = kwargs.get("mu", 1.0)
+    if kwargs.get("gsp", False):
+        lam, mu = 1.0, 0.0
+
+    def inner(ops, f1, f2, rtol_i, it_left, time_left):
+        Aop, Bop = ops
+        fwd = {k: kwargs[k] for k in ("memory", "reorthogonalization")
+               if k in kwargs}
+        # dw corrections need robust inner convergence: f32 MGS loses
+        # orthogonality on general dense blocks (measured: stalls at
+        # true 2.0 on a κ=235 system, converges in 48 iterations with
+        # reorthogonalization on)
+        fwd.setdefault("reorthogonalization", True)
+        dx, dy, st, _ = _gpmr_solve(Aop, Bop, f1, f2, atol=0.0,
+                                    rtol=rtol_i, itmax=it_left,
+                                    timemax=time_left, lam=lam, mu=mu,
+                                    **fwd)
+        return dx, dy, st.niter
+
+    hit = pair_ir_wrap("GPMR", inner, A, b, c, kwargs, kind="gpmr", B=B,
+                       tau=lam, nu=mu,
+                       x0=x0, y0=y0,
+                       reject={"C": None, "D": None, "E": None, "F": None})
+    if hit is not None:
+        return hit
     x, y, stats, _ = _gpmr_solve(A, B, b, c, x0, y0, **kwargs)
     return x, y, stats

@@ -324,8 +324,43 @@ def _tricg_solve(
     return x, y, stats, state
 
 
+def _tri_dw(method, solve_fn, A, b, c, x0, y0, kwargs):
+    """``precision="double_word"`` for the SQD pair: dw refinement of the
+    block residuals (b − τx − Ay, c − Aᴴx − νy) with the method's own
+    working-precision saddle solves as inner corrections
+    (solvers/_refine.pair_ir_wrap, kind="sqd").  Plain/preset τ-ν
+    configurations; elliptic M/N change the system matrix itself and are
+    rejected."""
+    from ._refine import pair_ir_wrap
+
+    tau, nu = _resolve_tau_nu(kwargs.get("tau", 1.0), kwargs.get("nu", -1.0),
+                              kwargs.get("spd", False),
+                              kwargs.get("snd", False),
+                              kwargs.get("flip", False),
+                              kwargs.get("sp", False))
+
+    def inner(Aop, f1, f2, rtol_i, it_left, time_left):
+        dx, dy, st, _ = solve_fn(Aop, f1, f2, atol=0.0, rtol=rtol_i,
+                                 itmax=it_left, timemax=time_left,
+                                 tau=tau, nu=nu)
+        return dx, dy, st.niter
+
+    return pair_ir_wrap(method, inner, A, b, c, kwargs, kind="sqd",
+                        tau=tau, nu=nu, x0=x0, y0=y0,
+                        reject={"M": None, "N": None},
+                        # the ν=0 saddle corrections converge at the
+                        # κ(A)²-grade rate (cf. _ls_ir) — budget wider
+                        itmax_scale=16 if nu == 0.0 else 4)
+
+
 def tricg(A, b, c, x0=None, y0=None, **kwargs):
-    """x, y, stats = tricg(A, b, c; spd/snd/flip, τ, ν, M, N, ...)."""
+    """x, y, stats = tricg(A, b, c; spd/snd/flip, τ, ν, M, N, ...).
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    SQD block residuals to fp64-grade accuracy from f32 storage."""
+    hit = _tri_dw("TRICG", _tricg_solve, A, b, c, x0, y0, kwargs)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _tricg_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats
 
@@ -697,7 +732,13 @@ def _trimr_solve(
 
 
 def trimr(A, b, c, x0=None, y0=None, **kwargs):
-    """x, y, stats = trimr(A, b, c; spd/snd/flip/sp, τ, ν, M, N, ...)."""
+    """x, y, stats = trimr(A, b, c; spd/snd/flip/sp, τ, ν, M, N, ...).
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    SQD block residuals to fp64-grade accuracy from f32 storage."""
+    hit = _tri_dw("TRIMR", _trimr_solve, A, b, c, x0, y0, kwargs)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _trimr_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats
 

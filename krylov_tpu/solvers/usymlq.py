@@ -274,7 +274,19 @@ def _usymlq_solve(
 
 
 def usymlq(A, b, c, x0=None, **kwargs):
-    """x, stats = usymlq(A, b, c; transfer_to_usymcg=True, ...)."""
+    """x, stats = usymlq(A, b, c; transfer_to_usymcg=True, ...).
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    TRUE residual b − Ax from f32 storage; inner corrections re-seed the
+    second SSY vector with the caller's ``c``."""
+    from ._refine import square_ir_wrap
+
+    def solve_fn(A_, rhs, **kw):
+        return _usymlq_solve(A_, rhs, c, None, **kw)
+
+    hit = square_ir_wrap("USYMLQ", solve_fn, A, b, x0, kwargs)
+    if hit is not None:
+        return hit
     x, stats, _ = _usymlq_solve(A, b, c, x0, **kwargs)
     return x, stats
 
@@ -492,8 +504,25 @@ def _usymqr_solve(
     return x, stats, state
 
 
+def _usymqr_dw(A, b, c, x0, kwargs):
+    from ._refine import square_ir_wrap
+
+    def solve_fn(A_, rhs, **kw):
+        return _usymqr_solve(A_, rhs, c, None, **kw)
+
+    return square_ir_wrap("USYMQR", solve_fn, A, b, x0, kwargs)
+
+
 def usymqr(A, b, c, x0=None, **kwargs):
-    """x, stats = usymqr(A, b, c; ...) — rectangular systems supported."""
+    """x, stats = usymqr(A, b, c; ...) — rectangular systems supported.
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    TRUE residual b − Ax from f32 storage (consistent systems; an
+    inconsistent system stalls the refinement and reports the
+    machine-precision status)."""
+    hit = _usymqr_dw(A, b, c, x0, kwargs)
+    if hit is not None:
+        return hit
     x, stats, _ = _usymqr_solve(A, b, c, x0, **kwargs)
     return x, stats
 
@@ -864,7 +893,16 @@ def _trilqr_solve(
 
 
 def trilqr(A, b, c, x0=None, y0=None, **kwargs):
-    """x, y, stats = trilqr(A, b, c) — Ax = b and Aᴴy = c, A rectangular."""
+    """x, y, stats = trilqr(A, b, c) — Ax = b and Aᴴy = c, A rectangular.
+
+    TPU extension: ``precision="double_word"`` — dw refinement of both
+    TRUE residuals (b − Ax, c − Aᴴy) from f32 storage; returns
+    AdjointStats with per-system certificates."""
+    from ._refine import adjoint_dw
+    hit = adjoint_dw("TRILQR", _trilqr_solve, A, b, c, x0, y0, kwargs,
+                     primal_pt="xᴸ")
+    if hit is not None:
+        return hit
     x, y, stats, _ = _trilqr_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats
 
@@ -1202,6 +1240,34 @@ def _usymlqr_solve(
     return x, y, stats, state
 
 
+def _usymlqr_dw(A, b, c, x0, y0, kwargs):
+    """``precision="double_word"`` for USYMLQR's saddle-point system
+    [I A; Aᴴ 0][x; y] = [b; c]: kind="sqd" with τ=1, ν=0.
+
+    Inner corrections use TriMR's ``sp`` preset — the identical system —
+    rather than USYMLQR itself: USYMLQR's split LS/LN sweeps stop on
+    per-sweep criteria whose f32 floors sit above the correction
+    tolerance (measured: stalls at ~5e-6 true residual), while the
+    monolithic TriMR residual drives the same system to the inner
+    tolerance (cf. _ls_ir, which uses TriMR inners for the same reason).
+    """
+    from ._refine import pair_ir_wrap
+    from .tricg import _trimr_solve
+
+    def inner(Aop, f1, f2, rtol_i, it_left, time_left):
+        dx, dy, st, _ = _trimr_solve(Aop, f1, f2, atol=0.0, rtol=rtol_i,
+                                     itmax=it_left, timemax=time_left,
+                                     sp=True)
+        return dx, dy, st.niter
+
+    return pair_ir_wrap("USYMLQR", inner, A, b, c, kwargs, kind="sqd",
+                        tau=1.0, nu=0.0, x0=x0, y0=y0,
+                        reject={"ls": True, "ln": True},
+                        # ν=0 saddle corrections converge at the
+                        # κ(A)²-grade rate (cf. _ls_ir) — budget wider
+                        itmax_scale=16)
+
+
 def usymlqr(A, b, c, x0=None, y0=None, **kwargs):
     """x, y, stats = usymlqr(A, b, c; ls, ln) — saddle-point pair.
 
@@ -1210,6 +1276,13 @@ def usymlqr(A, b, c, x0=None, y0=None, **kwargs):
     least-squares sweep and a USYMLQ-style least-norm sweep share one
     SSY process (reference src/usymlqr.jl).  Warm starts accept
     (x0, y0); returns SimpleStats.
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    saddle block residuals (b − x − Ay, c − Aᴴx) to fp64-grade accuracy
+    from f32 storage.
     """
+    hit = _usymlqr_dw(A, b, c, x0, y0, kwargs)
+    if hit is not None:
+        return hit
     x, y, stats, _ = _usymlqr_solve(A, b, c, x0, y0, **kwargs)
     return x, y, stats

@@ -437,3 +437,191 @@ def test_gemv_dw_matches_f64():
     got2 = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
     want2 = A.astype(np.float64).T @ za
     assert np.linalg.norm(got2 - want2) <= 1e-13 * np.linalg.norm(want2)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 basket widening (VERDICT r4 #3): precision="double_word" for the
+# least-norm (x, y) duals, saddle/SQD pairs, adjoint pairs, and the
+# remaining square methods — ≥30 methods total reaching ~2×√eps(Float64)
+# TRUE residuals from f32 storage (reference bar test/test_mp.jl:31-60).
+# ---------------------------------------------------------------------------
+
+def _well_conditioned(m, n, seed=0, lo=0.5, hi=1.5):
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((m, min(m, n))))
+    V, _ = np.linalg.qr(rng.standard_normal((n, min(m, n))))
+    sv = np.linspace(lo, hi, min(m, n))
+    return ((U * sv) @ V.T).astype(np.float32)
+
+
+LN_DW_METHODS = ("craig", "craigmr", "lnlq", "cgne", "crmr")
+
+
+@pytest.mark.parametrize("method", LN_DW_METHODS)
+def test_double_word_ln_basket(method):
+    """Least-norm family: dw refinement certifies the TRUE residual
+    b − Ax at the fp64 tolerance AND preserves the min-norm property
+    (x stays in range(Aᴴ)); y-returning methods keep x ≈ Aᴴy."""
+    rng = np.random.default_rng(3)
+    m, n = 40, 60                       # underdetermined
+    A32 = _well_conditioned(m, n, seed=3)
+    b32 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    out = getattr(kt, method)(MatrixOperator(jnp.asarray(A32)), b32,
+                              atol=0.0, rtol=RTOL64,
+                              precision="double_word")
+    x, st = out[0], out[-1]
+    assert st.solved, (method, st.status)
+    assert x.dtype == np.float64
+    A64 = A32.astype(np.float64)
+    b64 = np.asarray(b32, np.float64)
+    assert np.linalg.norm(b64 - A64 @ x) <= 2.0 * RTOL64 * np.linalg.norm(b64)
+    xs = np.linalg.pinv(A64) @ b64       # min-norm oracle
+    assert np.linalg.norm(x - xs) <= 1e-5 * np.linalg.norm(xs), method
+    if len(out) == 3:                    # (x, y, stats): dual consistency
+        y = out[1]
+        assert np.linalg.norm(x - A64.T @ y) <= \
+            1e-5 * np.linalg.norm(x), method
+
+
+@pytest.mark.parametrize("method,kw,tau,nu", [
+    ("tricg", {}, 1.0, -1.0),
+    ("tricg", {"spd": True}, 1.0, 1.0),
+    ("trimr", {}, 1.0, -1.0),
+    ("trimr", {"sp": True}, 1.0, 0.0),
+])
+def test_double_word_saddle_basket(method, kw, tau, nu):
+    """SQD pair family: dw refinement of both block residuals
+    (b − τx − Ay, c − Aᴴx − νy) at the fp64 combined tolerance."""
+    rng = np.random.default_rng(5)
+    m, n = 60, 40                        # tall: the ν=0 system nonsingular
+    # spd preset needs ‖A‖ < 1 so [I A; Aᴴ I] stays definite
+    hi = 0.8 if kw.get("spd") else 1.5
+    A32 = _well_conditioned(m, n, seed=5, lo=0.3, hi=hi)
+    b32 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    c32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x, y, st = getattr(kt, method)(MatrixOperator(jnp.asarray(A32)),
+                                   b32, c32, atol=0.0, rtol=RTOL64,
+                                   precision="double_word", **kw)
+    assert st.solved, (method, kw, st.status)
+    A64 = A32.astype(np.float64)
+    b64 = np.asarray(b32, np.float64)
+    c64 = np.asarray(c32, np.float64)
+    f1 = b64 - tau * x - A64 @ y
+    f2 = c64 - A64.T @ x - nu * y
+    rn = np.hypot(np.linalg.norm(f1), np.linalg.norm(f2))
+    assert rn <= 2.0 * RTOL64 * np.hypot(np.linalg.norm(b64),
+                                         np.linalg.norm(c64)), (method, kw)
+
+
+def test_double_word_usymlqr():
+    """USYMLQR's [I A; Aᴴ 0] saddle pair at the fp64 tolerance."""
+    # rhs seeds decorrelated from A's pre-QR draws: sharing the stream
+    # makes b a near-member of range(A) and triggers a serious SSY
+    # breakdown (observed: plain TriMR-sp stalls at 2.5e-4 on the
+    # correlated fixture, converges in 33 iterations otherwise)
+    rng = np.random.default_rng(106)
+    m, n = 60, 40
+    A32 = _well_conditioned(m, n, seed=6)
+    b32 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    c32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x, y, st = kt.usymlqr(MatrixOperator(jnp.asarray(A32)), b32, c32,
+                          atol=0.0, rtol=RTOL64, precision="double_word")
+    assert st.solved, st.status
+    A64 = A32.astype(np.float64)
+    f1 = np.asarray(b32, np.float64) - x - A64 @ y
+    f2 = np.asarray(c32, np.float64) - A64.T @ x
+    rn = np.hypot(np.linalg.norm(f1), np.linalg.norm(f2))
+    assert rn <= 2.0 * RTOL64 * np.hypot(
+        np.linalg.norm(np.asarray(b32)), np.linalg.norm(np.asarray(c32)))
+
+
+def test_double_word_gpmr():
+    """GPMR's [λI A; B μI] partitioned pair (B = Aᴴ here) at the fp64
+    combined tolerance; B gets its own compensated matvec."""
+    rng = np.random.default_rng(7)
+    m, n = 48, 48
+    A32 = _well_conditioned(m, n, seed=7)
+    B32 = A32.T.copy()
+    b32 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    c32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x, y, st = kt.gpmr(MatrixOperator(jnp.asarray(A32)),
+                       MatrixOperator(jnp.asarray(B32)), b32, c32,
+                       atol=0.0, rtol=RTOL64, precision="double_word")
+    assert st.solved, st.status
+    A64, B64 = A32.astype(np.float64), B32.astype(np.float64)
+    f1 = np.asarray(b32, np.float64) - x - A64 @ y
+    f2 = np.asarray(c32, np.float64) - B64 @ x - y
+    rn = np.hypot(np.linalg.norm(f1), np.linalg.norm(f2))
+    assert rn <= 2.0 * RTOL64 * np.hypot(
+        np.linalg.norm(np.asarray(b32)), np.linalg.norm(np.asarray(c32)))
+
+
+@pytest.mark.parametrize("method", ["bilqr", "trilqr"])
+def test_double_word_adjoint_basket(method):
+    """Adjoint pair family: BOTH TRUE residuals (b − Ax, c − Aᴴy) at the
+    fp64 tolerance, with per-system certificates in AdjointStats."""
+    rng = np.random.default_rng(8)
+    n = 50
+    R = rng.standard_normal((n, n)).astype(np.float32)
+    A32 = (np.eye(n, dtype=np.float32) + 0.3 * R / np.sqrt(n))
+    b32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    c32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x, y, st = getattr(kt, method)(MatrixOperator(jnp.asarray(A32)),
+                                   b32, c32, atol=0.0, rtol=RTOL64,
+                                   precision="double_word")
+    assert st.solved_primal and st.solved_dual, (method, st.status)
+    assert "Both primal and dual solutions" in st.status
+    A64 = A32.astype(np.float64)
+    b64 = np.asarray(b32, np.float64)
+    c64 = np.asarray(c32, np.float64)
+    assert np.linalg.norm(b64 - A64 @ x) <= 2.0 * RTOL64 * np.linalg.norm(b64)
+    assert np.linalg.norm(c64 - A64.T @ y) <= \
+        2.0 * RTOL64 * np.linalg.norm(c64)
+
+
+SQUARE_DW_R5 = ("bilq", "cgs", "fom", "diom", "dqgmres", "fgmres",
+                "usymlq", "usymqr")
+
+
+@pytest.mark.parametrize("method", SQUARE_DW_R5)
+def test_double_word_square_basket_r5(method):
+    """Remaining square methods: dw TRUE-residual certificate on the
+    shifted convection-diffusion stencil (general nonsymmetric)."""
+    from krylov_tpu.ops.dia import convdiff_dia as cb
+    N = 10
+    D32 = _shifted(N, +0.5, cb, np.float32)
+    n = N ** 3
+    rng = np.random.default_rng(9)
+    b32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    args = (DIAOperator(D32), b32)
+    if method.startswith("usym"):
+        c32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        args = (DIAOperator(D32), b32, c32)
+    x, st = getattr(kt, method)(*args, atol=0.0, rtol=RTOL64,
+                                precision="double_word")
+    assert st.solved, (method, st.status)
+    assert x.dtype == np.float64
+    Dp = _promote_dia(D32)
+    r = np.asarray(b32, np.float64) - np.asarray(
+        dia_spmv(Dp.data, Dp.offsets, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 2.0 * RTOL64 * np.linalg.norm(
+        np.asarray(b32, np.float64)), method
+
+
+def test_double_word_pair_guards():
+    """Non-default options the pair certificates cannot honor raise."""
+    A32 = _well_conditioned(24, 16, seed=1)
+    A = MatrixOperator(jnp.asarray(A32))
+    b = jnp.ones(24, jnp.float32)
+    c = jnp.ones(16, jnp.float32)
+    with pytest.raises(ValueError, match="lam"):
+        kt.craig(A, b, lam=0.5, precision="double_word")
+    with pytest.raises(ValueError, match="sqd"):
+        kt.lnlq(A, b, sqd=True, precision="double_word")
+    from krylov_tpu.operators import DiagonalOperator
+    with pytest.raises(ValueError, match="M"):
+        kt.tricg(A, b, c, M=DiagonalOperator(jnp.ones(24, jnp.float32)),
+                 precision="double_word")
+    Asq = MatrixOperator(jnp.asarray(_well_conditioned(16, 16, seed=2)))
+    with pytest.raises(ValueError, match="history"):
+        kt.bilqr(Asq, c, c, history=True, precision="double_word")
