@@ -223,8 +223,14 @@ def _craig_core(
             rNorm=rNorm, iter=it_out, status=code, hist_r=hr,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:8.1e}",
-                         s_new.rNorm)
+            # reference column set src/craig.jl:256-257 (k, ‖r‖, ‖x‖,
+            # ‖A‖, κ(A), α, β; trailing timer omitted per debug_table)
+            Anorm_d = jnp.sqrt(s_new.anorm2)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:8.1e}  {:8.1e}  {:8.1e}  {:8.1e}  "
+                         "{:8.1e}  {:7.1e}",
+                         s_new.rNorm, jnp.sqrt(s_new.xnorm2), Anorm_d,
+                         Anorm_d * jnp.sqrt(s_new.dnorm2), alpha, beta)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -258,7 +264,8 @@ def _craig_solve(
     rtol = rt.default_tol(rtol, T)
     btol = rt.default_tol(btol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "CRAIG", ("k", "‖r‖"), m, n)
+    rt.debug_table(verbose, "CRAIG",
+                   ("k", "‖r‖", "‖x‖", "‖A‖", "κ(A)", "α", "β"), m, n)
     hist_len = itmax + 1 if history else 0
 
     # Fast path: DIA stencil + default config → fused whole-solve kernel.
@@ -377,6 +384,7 @@ class CraigmrState(NamedTuple):
     cp: jax.Array
     sp: jax.Array
     lam_k: jax.Array
+    anorm2: jax.Array        # Frobenius-estimate accumulator (verbose col)
     rNorm: jax.Array
     ArNorm: jax.Array
     eps_c: jax.Array
@@ -450,6 +458,7 @@ def _craigmr_core(
             w=jnp.zeros(m, FC), wbar=wbar, d=jnp.zeros(n, FC), q=q,
             alpha=alpha, beta=beta, zetabar=zetabar, rhobar=rhobar,
             theta=jnp.zeros((), T), cp=cp, sp=sp, lam_k=lam,
+            anorm2=alpha * alpha + lam * lam,
             rNorm=rNorm, ArNorm=ArNorm, eps_c=eps_c, eps_i=eps_i,
             iter=jnp.int32(0), status=status, hist_r=hr, hist_ar=har,
         )
@@ -538,12 +547,18 @@ def _craigmr_core(
             w=w, wbar=wbar, d=d_new, q=q_new,
             alpha=alpha, beta=beta, zetabar=zetabar, rhobar=rhobar,
             theta=theta, cp=cp, sp=sp, lam_k=lam_next,
+            anorm2=s.anorm2 + alpha * alpha + beta * beta,
             rNorm=rNorm, ArNorm=ArNorm,
             iter=it, status=code, hist_r=hr, hist_ar=har,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
-                         s_new.rNorm, s_new.ArNorm)
+            # reference column set src/craigmr.jl:228 (k, ‖r‖, ‖Aᴴr‖, β,
+            # α, cos, sin, ‖A‖²; trailing timer omitted per debug_table)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}  "
+                         "{:8.1e}  {:8.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.ArNorm, beta, alpha, c, sg,
+                         s_new.anorm2)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -575,7 +590,9 @@ def _craigmr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "CRAIGMR", ("k", "‖r‖", "‖Aᴴr‖"), m, n)
+    rt.debug_table(verbose, "CRAIGMR",
+                   ("k", "‖r‖", "‖Aᴴr‖", "β", "α", "cos", "sin", "‖A‖²"),
+                   m, n)
     hist_len = itmax + 1 if history else 0
 
     # Fast path: DIA stencil + default config → fused whole-solve kernel.

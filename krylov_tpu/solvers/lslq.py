@@ -280,8 +280,15 @@ def _lslq_core(
             zero_resid=zero_resid, hist_r=hr, hist_ar=har,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
-                         s_new.rNorm, s_new.ArNorm)
+            # reference column set src/lslq.jl:324 (k, ‖r‖, ‖Aᴴr‖, β, α,
+            # cos, sin, ‖A‖², κ(A), ‖xL‖; trailing timer omitted)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}  "
+                         "{:8.1e}  {:8.1e}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, s_new.ArNorm, s_new.beta,
+                         s_new.alpha, s_new.c, s_new.s, s_new.anorm2,
+                         s_new.smax / s_new.smin,
+                         jnp.sqrt(s_new.xlqnorm2))
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -317,7 +324,9 @@ def _lslq_solve(
     etol = rt.default_tol(etol, T)
     utol = rt.default_tol(utol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "LSLQ", ("k", "‖r‖", "‖Aᴴr‖"), m, n)
+    rt.debug_table(verbose, "LSLQ",
+                   ("k", "‖r‖", "‖Aᴴr‖", "β", "α", "cos", "sin", "‖A‖²",
+                    "κ(A)", "‖xL‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     # Fast path: DIA stencil + default config → fused whole-solve kernel.

@@ -160,3 +160,32 @@ class TestTimemaxSweep:
         A, b = fx.symmetric_definite(n=20)
         x, stats = kt.cg(np.asarray(A), b, timemax=30.0)
         assert stats.solved
+
+
+def test_verbose_reference_columns(capfd):
+    """Exact reference column sets for the Golub-Kahan/LN families
+    (VERDICT r4 #6): craig src/craig.jl:256, craigmr src/craigmr.jl:228,
+    lnlq src/lnlq.jl:230, lslq src/lslq.jl:324 — trailing timer column
+    omitted per the debug_table contract (not reproducible inside a
+    jitted loop)."""
+    import fixtures as fx
+
+    def header(cols):
+        return "  ".join(f"{c:>7s}" for c in cols)
+
+    A, b = fx.under_consistent()
+    expected = {
+        "craig": ("k", "‖r‖", "‖x‖", "‖A‖", "κ(A)", "α", "β"),
+        "craigmr": ("k", "‖r‖", "‖Aᴴr‖", "β", "α", "cos", "sin", "‖A‖²"),
+        "lnlq": ("k", "‖rₖ‖"),
+    }
+    for method, cols in expected.items():
+        kt.krylov_solve(method, A, b, verbose=1)
+        out = capfd.readouterr().out
+        assert header(cols) in out, (method, out[:300])
+
+    A2, b2 = fx.over_consistent()
+    kt.krylov_solve("lslq", A2, b2, verbose=1)
+    out = capfd.readouterr().out
+    assert header(("k", "‖r‖", "‖Aᴴr‖", "β", "α", "cos", "sin", "‖A‖²",
+                   "κ(A)", "‖xL‖")) in out

