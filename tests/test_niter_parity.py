@@ -116,3 +116,106 @@ def test_jacobi_preconditioned_cg_iteration_drop():
                     itmax=5000)
     assert st2.solved
     assert st2.niter < 0.5 * st1.niter
+
+
+# ---------------------------------------------------------------------------
+# lstp known-solution anchors (VERDICT r4 #7): the reference's gen_lsq.jl
+# construction (test/gen_lsq.jl:2-54, LSQR's original test generator)
+# builds A = HY·D·HZ with a PRESCRIBED solution x* = ncol − [1:ncol] of
+# the damped problem — by construction Aᴴr = x* at x = x*, so x* is the
+# exact optimum of min ‖b−Ax‖² + reg·‖x‖² with reg = 1 (λ = 1 for the
+# λ²-damped methods, λ = 1 for the λ-damped ones, σ = 1 for the shifted
+# one).  These are closed-form anchors independent of any recorded
+# iteration table.
+# ---------------------------------------------------------------------------
+
+def _lstp_problem():
+    bls, Als, D, HY, HZ, Acond, rnorm = fx.gen_lsq(40, 36, ndupl=4,
+                                                   npower=1)
+    xstar = 36.0 - np.arange(1, 37.0)
+    return (MatrixOperator(jnp.asarray(Als)), jnp.asarray(bls), Als,
+            np.asarray(bls), xstar, float(Acond), float(rnorm))
+
+
+@pytest.mark.parametrize("method,kw,tol", [
+    ("lsqr", {"lam": 1.0}, 1e-6),      # min ‖b−Ax‖² + λ²‖x‖², λ=1
+    ("lsmr", {"lam": 1.0}, 1e-6),
+    # lslq returns the error-minimizing LQ point, which lags the optimum
+    # by one Krylov dimension at its ‖Aᴴr‖-based stop (the reference
+    # contract promises optimality-residual smallness for LSLQ, not
+    # x-accuracy — src/lslq.jl:84-137); anchor at the LQ-lag level
+    ("lslq", {"lam": 1.0}, 1e-2),
+    ("cgls", {"lam": 1.0}, 1e-6),      # min ‖b−Ax‖² + λ‖x‖²,  λ=1
+    ("crls", {"lam": 1.0}, 1e-6),
+])
+def test_lstp_known_solution(method, kw, tol):
+    A, b, A_np, b_np, xstar, _, _ = _lstp_problem()
+    x, stats = kt.krylov_solve(method, A, b, atol=1e-12, rtol=1e-12, **kw)
+    assert stats.solved or "machine precision" in stats.status, \
+        (method, stats.status)
+    assert np.linalg.norm(np.asarray(x) - xstar) <= \
+        tol * np.linalg.norm(xstar), method
+    # optimality at the prescribed solution: Aᴴ(b−Ax) = x (reg = 1)
+    g = A_np.T @ (b_np - A_np @ np.asarray(x)) - np.asarray(x)
+    assert np.linalg.norm(g) <= tol * np.linalg.norm(b_np)
+
+
+def test_lstp_known_solution_shifted():
+    """cgls_lanczos_shift with σ = 1 must land on the same prescribed
+    optimum (shift enters as min ‖b−Ax‖² + σ‖x‖²)."""
+    A, b, A_np, b_np, xstar, _, _ = _lstp_problem()
+    xs, stats = kt.cgls_lanczos_shift(A, b, jnp.asarray([1.0]),
+                                      atol=1e-12, rtol=1e-12)
+    x = np.asarray(xs[0])
+    assert np.linalg.norm(x - xstar) <= 1e-6 * np.linalg.norm(xstar)
+
+
+def test_lstp_residual_norm_matches_construction():
+    """gen_lsq returns ‖r‖ at the prescribed solution in closed form;
+    the solver's achieved residual must reproduce it (not undershoot —
+    x* is the exact optimum)."""
+    A, b, A_np, b_np, xstar, _, rnorm = _lstp_problem()
+    x, stats = kt.lsqr(A, b, lam=1.0, atol=1e-12, rtol=1e-12)
+    achieved = np.linalg.norm(b_np - A_np @ np.asarray(x))
+    assert abs(achieved - rnorm) <= 1e-6 * max(rnorm, 1.0)
+
+
+def test_lstp_finite_termination():
+    """D has ncol/ndupl = 9 distinct singular values (ndupl=4), so the
+    Golub-Kahan methods terminate in ≤ 9 + 2 iterations on the damped
+    problem (distinct eigenvalues of AᴴA + I) — LSQR paper property,
+    independent of any recorded table."""
+    A, b, *_ = _lstp_problem()
+    for method in ("lsqr", "lsmr"):
+        x, stats = kt.krylov_solve(method, A, b, lam=1.0, atol=1e-10,
+                                   rtol=1e-10)
+        assert stats.niter <= 11, (method, stats.niter)
+
+
+def test_lstp_condition_estimate():
+    """lstp's condition number is d_max/d_min in closed form; LSMR's
+    internal Acond estimate must land within an order of magnitude."""
+    A, b, A_np, b_np, xstar, Acond, _ = _lstp_problem()
+    x, stats = kt.lsmr(A, b, atol=1e-10, rtol=1e-10)
+    assert stats.Acond > 0
+    assert Acond / 10 <= stats.Acond <= 10 * Acond, \
+        (stats.Acond, Acond)
+
+
+def test_chebyshev_preconditioned_cg_ceiling():
+    """The reference pins IC(0)-preconditioned CG to ≤ 19 iterations on
+    its GPU fixture (test/gpu/nvidia.jl:57-59).  The equivalent
+    library-level anchor with the repo's polynomial preconditioner: a
+    degree-8 Chebyshev M on div_grad(16) (κ ≈ 400 → effective κ ≈
+    O(1)) must converge to 1e-8 within 19 iterations, and strictly
+    fewer than unpreconditioned CG."""
+    from krylov_tpu.precond import ChebyshevPreconditioner
+    D = poisson_dia(16, 16, 16, dtype=np.float64)
+    A = DIAOperator(D)
+    b = jnp.ones(D.shape[0])
+    x0, st0 = kt.cg(A, b, atol=0.0, rtol=1e-8)
+    M = ChebyshevPreconditioner(A, degree=8, lmin=0.05, lmax=12.0)
+    x1, st1 = kt.cg(A, b, M=M, atol=0.0, rtol=1e-8)
+    assert st1.solved
+    assert st1.niter <= 19, st1.niter
+    assert st1.niter < st0.niter
