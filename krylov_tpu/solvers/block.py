@@ -31,8 +31,9 @@ from ..stats import SimpleStats
 class BlockState(NamedTuple):
     X: jax.Array          # (n, p) accumulated solution
     V: jax.Array          # (mem+1, n, p) block basis
-    H: jax.Array          # ((mem+1)p, mem·p) block Hessenberg
-    rhs: jax.Array        # ((mem+1)p, p) E₁Γ
+    R: jax.Array          # ((mem+1)p, mem·p) transformed Hessenberg (upper)
+    g: jax.Array          # ((mem+1)p, p) transformed rhs Qᴴ·E₁Γ
+    Qacc: jax.Array       # ((mem+1)p, (mem+1)p) accumulated block-QR factor
     inner_k: jax.Array
     iter: jax.Array
     rNorm: jax.Array
@@ -41,27 +42,27 @@ class BlockState(NamedTuple):
     hist_r: jax.Array
     f_resid: jax.Array    # residual-decrease flag (pass-exit reason)
     f_break: jax.Array    # breakdown flag (pass-exit reason)
+    pass_beta: jax.Array  # TRUE residual at the current pass start
 
 
-def _ls_residual_and_Y(H, rhs, k, mem, p, FC):
-    """Solve the masked block LS problem after k inner iterations."""
-    rows = (mem + 1) * p
+def _solve_Y(R, g, k, mem, p):
+    """Back-solve the masked triangular system after k inner iterations.
+
+    R holds the PROGRESSIVELY transformed block Hessenberg (the inner
+    loop keeps Qaccᴴ·H̄ upper triangular incrementally), so Y costs one
+    masked triangular solve per PASS — the round-4 formulation re-QR'd
+    the dense ((mem+1)p × mem·p) Hessenberg every inner iteration, a
+    ~130×128 Householder chain that dominated the block-GMRES general
+    path (226 µs/block-iter vs 56 fused, BENCH_DETAIL r4)."""
     cols = mem * p
-    ridx = jnp.arange(rows)
     cidx = jnp.arange(cols)
-    rmask = ridx < (k + 1) * p
     cmask = cidx < k * p
-    Hm = jnp.where(rmask[:, None] & cmask[None, :], H, 0)
-    # Unused columns get identity rows (below the active block) so the
-    # masked system stays full-rank with zero solution there.
-    Hm = Hm + jnp.where(
-        (~cmask)[None, :] & (ridx[:, None] == cidx[None, :] + p),
-        jnp.ones((), FC), 0)
-    rhs_m = jnp.where(rmask[:, None], rhs, 0)
-    Q, R = jnp.linalg.qr(Hm)
-    Y = jax.scipy.linalg.solve_triangular(R, jnp.conj(Q.T) @ rhs_m)
-    resid = jnp.linalg.norm(rhs_m - Hm @ Y)
-    return Y, resid
+    act = cmask[:, None] & cmask[None, :]
+    Rsq = jnp.where(act, R[:cols], 0) \
+        + jnp.where((~cmask) & (cidx[:, None] == cidx[None, :]),
+                    jnp.ones((), R.dtype), 0)
+    g_m = jnp.where(cmask[:, None], g[:cols], 0)
+    return jax.scipy.linalg.solve_triangular(Rsq, g_m)
 
 
 @functools.partial(
@@ -112,11 +113,13 @@ def _block_core(
         hist = rt.hist_init(hist_len, T)
         hist = rt.hist_write(hist, 0, beta, history)
         state = BlockState(
-            X=X, V=V, H=jnp.zeros((rows, mem * p), FC), rhs=rhs,
+            X=X, V=V, R=jnp.zeros((rows, mem * p), FC), g=rhs,
+            Qacc=jnp.eye(rows, dtype=FC),
             inner_k=jnp.int32(0), iter=jnp.int32(0),
             rNorm=beta, eps_lim=eps_lim, status=status, hist_r=hist,
             f_resid=jnp.zeros((), jnp.bool_),
             f_break=jnp.zeros((), jnp.bool_),
+            pass_beta=beta,
         )
     else:
         state = state_in
@@ -137,9 +140,13 @@ def _block_core(
         W = A.matmat(N_apply(Vk))
         W = M_apply(W)
 
-        # Block orthogonalization: CGS2 over all previous blocks.
-        win = jnp.arange(mem + 1) <= k
-        Vm = jnp.where(win[:, None, None], s.V, 0)
+        # Block orthogonalization: CGS2 over all previous blocks.  No
+        # active-window mask: V's blocks beyond k are zero by
+        # construction (zero-initialized, written sequentially, zeroed
+        # on restart), and the mask materialized a full (mem+1, n, p)
+        # copy per iteration — measured ~50 µs of pure HBM traffic at
+        # 32³/p=4/mem=32.
+        Vm = s.V
         Hcol = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)       # (mem+1,p,p)
         W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol)
         Hcol2 = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)
@@ -150,32 +157,75 @@ def _block_core(
             W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol3)
             Hcol = Hcol + Hcol3
 
-        Vn, Hk1 = jnp.linalg.qr(W)
+        # CholQR2 block normalization (Householder jnp.linalg.qr costs
+        # 28 µs on this shape vs ~free for CholQR; the doubled pass
+        # restores orthogonality for mildly conditioned panels).  A
+        # rank-deficient panel NaNs the Cholesky — the breakdown test
+        # below is written NaN-safe (~(Hbis > btol)) so the pass exits
+        # and the poisoned candidate block is never committed.
+        # Q = W·R⁻¹ via the TRANSPOSE solve (Rᵀ Zᵀ = Wᵀ) — conjugating
+        # here would compute W·conj(R)⁻¹ and break the complex panels
+        G1 = jnp.conj(W.T) @ W
+        R1 = jnp.linalg.cholesky(G1, upper=True)
+        Q1 = jax.scipy.linalg.solve_triangular(R1.T, W.T, lower=True).T
+        G2 = jnp.conj(Q1.T) @ Q1
+        R2 = jnp.linalg.cholesky(G2, upper=True)
+        Vn = jax.scipy.linalg.solve_triangular(R2.T, Q1.T, lower=True).T
+        Hk1 = R2 @ R1
         Hbis = jnp.linalg.norm(Hk1)
+        # A (numerically) rank-deficient panel NaNs the Cholesky; an
+        # exactly-converged pass has W ≈ 0.  Commit a ZERO subdiagonal
+        # block instead (exact for a lucky breakdown: A·Vk = Σ Vi·Hi),
+        # flag breakdown, and never commit the poisoned Vn.
+        bad = ~jnp.isfinite(Hbis)
+        Hk1 = jnp.where(bad, jnp.zeros_like(Hk1), Hk1)
+        Hbis = jnp.where(bad, jnp.zeros_like(Hbis), Hbis)
+        Vn = jnp.where(bad, jnp.zeros_like(Vn), Vn)
 
-        # Write column block k of H.
+        # New column block k of H̄ (coefficients + subdiagonal block).
         Hcol_flat = Hcol[:mem].reshape(rows - p, p)
         Hfull = jnp.zeros((rows, p), FC).at[:rows - p].set(Hcol_flat)
-        Hfull = jax.lax.dynamic_update_slice(Hfull, Hk1, ((k + 1) * p, jnp.int32(0)))
-        H_new = jax.lax.dynamic_update_slice(s.H, Hfull, (jnp.int32(0), k * p))
+        Hfull = jax.lax.dynamic_update_slice(Hfull, Hk1,
+                                             ((k + 1) * p, jnp.int32(0)))
+
+        # Incremental block QR: apply the accumulated transform, then
+        # eliminate the subdiagonal block with ONE tiny (2p × p)
+        # complete-QR pivot — O(rows²·p) matmul work on the MXU instead
+        # of a full dense re-QR per iteration.
+        Z = jnp.conj(s.Qacc.T) @ Hfull                      # (rows, p)
+        Zblk = jax.lax.dynamic_slice(Z, (k * p, jnp.int32(0)), (2 * p, p))
+        Qs, Rs = jnp.linalg.qr(Zblk, mode="complete")       # (2p,2p),(2p,p)
+        Z = jax.lax.dynamic_update_slice(Z, Rs, (k * p, jnp.int32(0)))
+        R_new = jax.lax.dynamic_update_slice(s.R, Z, (jnp.int32(0), k * p))
+        gblk = jax.lax.dynamic_slice(s.g, (k * p, jnp.int32(0)), (2 * p, p))
+        g_new = jax.lax.dynamic_update_slice(
+            s.g, jnp.conj(Qs.T) @ gblk, (k * p, jnp.int32(0)))
+        Qcols = jax.lax.dynamic_slice(
+            s.Qacc, (jnp.int32(0), k * p), (rows, 2 * p)) @ Qs
+        Qacc_new = jax.lax.dynamic_update_slice(
+            s.Qacc, Qcols, (jnp.int32(0), k * p))
 
         kk = k + 1
         it = s.iter + 1
-        Y, resid = _ls_residual_and_Y(H_new, s.rhs, kk, mem, p, FC)
-        rNorm = resid
+        # block residual = trailing p×p block of the transformed rhs
+        rNorm = jnp.linalg.norm(jax.lax.dynamic_slice(
+            g_new, (kk * p, jnp.int32(0)), (p, p)))
 
         resid_decrease = (rNorm <= s.eps_lim) | ((rNorm + 1.0) <= 1.0)
-        breakdown = Hbis <= btol
+        breakdown = ~(Hbis > btol)          # NaN-safe (CholQR2 panel)
         tired = it >= itmax
         inner_tired = kk >= mem
         inner_done = resid_decrease | breakdown | tired | inner_tired
         glob_done = resid_decrease | breakdown | tired
 
-        cont = ~inner_done
-        V_next = s.V.at[k + 1].set(jnp.where(cont, Vn, s.V[k + 1]))
+        # Unconditional commit: when the pass ends here the candidate
+        # block is never read (Y uses blocks 0..kk−1; restart zeroes V),
+        # and the select's read-modify of the (mem+1, n, p) basis is
+        # pure overhead.  Breakdown panels are pre-sanitized to zero.
+        V_next = s.V.at[k + 1].set(Vn)
 
-        s_out = s._replace(V=V_next, H=H_new, inner_k=kk, iter=it,
-                           rNorm=rNorm,
+        s_out = s._replace(V=V_next, R=R_new, g=g_new, Qacc=Qacc_new,
+                           inner_k=kk, iter=it, rNorm=rNorm,
                            f_resid=resid_decrease, f_break=breakdown)
         s_out = s_out._replace(
             hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
@@ -201,22 +251,32 @@ def _block_core(
         tired = ms.iter >= itmax
         inner_done = (ms.f_resid | ms.f_break | tired
                       | (ms.inner_k >= mem))
-        glob_done = ms.f_resid | ms.f_break | tired
-        restart_now = inner_done & ~glob_done
 
-        # X += N·(Σ_j V_j Y_j), Y recomputed once per pass.
-        Y, _ = _ls_residual_and_Y(ms.H, ms.rhs, ms.inner_k, mem, p, FC)
+        # X += N·(Σ_j V_j Y_j), Y back-solved once per pass.
+        Y = _solve_Y(ms.R, ms.g, ms.inner_k, mem, p)
         Yb = Y.reshape(mem, p, p)
         XR = jnp.einsum("inp,ipq->nq", ms.V[:mem], Yb)
         XR = N_apply(XR)
         X_fin = jnp.where(inner_done, ms.X + XR, ms.X)
 
-        # Restart re-init (pass not globally done), speculative + select.
+        # Pass-boundary TRUE residual (also the restart re-init).  The
+        # recurrence residual of a CholQR2 panel can under-report when a
+        # block goes rank-deficient (round-3 lesson: rhs mass stranded
+        # on singular pivots), so BOTH convergence claims (f_resid) and
+        # breakdowns are verified here: claim confirmed → solved; claim
+        # unconfirmed but the pass made progress → restart and keep
+        # going; no progress → stop (exact-arithmetic breakdown:
+        # restarting would regenerate the same exhausted space).
         Vr, rhsr, beta_r = init_pass(X_fin)
+        true_conv = beta_r <= ms.eps_lim
+        progress = beta_r <= 0.9 * ms.pass_beta
+        claimed = ms.f_resid | ms.f_break
+        glob_done = tired | true_conv | (claimed & ~progress)
+        restart_now = inner_done & ~glob_done
 
         code = jnp.int32(rt.BREAKDOWN)
         code = jnp.where(tired, jnp.int32(rt.TIRED), code)
-        code = jnp.where(ms.f_resid, jnp.int32(rt.SOLVED), code)
+        code = jnp.where(true_conv, jnp.int32(rt.SOLVED), code)
         code = jnp.where(~glob_done, jnp.int32(rt.RUNNING), code)
         code = jnp.where(ms.status == rt.RUNNING, code, ms.status)
         code = jnp.where(inner_done, code, ms.status)
@@ -224,10 +284,12 @@ def _block_core(
         out = ms._replace(
             X=X_fin,
             V=jnp.where(restart_now, Vr, ms.V),
-            rhs=jnp.where(restart_now, rhsr, ms.rhs),
-            H=jnp.where(restart_now, jnp.zeros_like(ms.H), ms.H),
+            g=jnp.where(restart_now, rhsr, ms.g),
+            R=jnp.where(restart_now, jnp.zeros_like(ms.R), ms.R),
+            Qacc=jnp.where(restart_now, jnp.eye(rows, dtype=FC), ms.Qacc),
             inner_k=jnp.where(inner_done, jnp.int32(0), ms.inner_k),
-            rNorm=jnp.where(restart_now, beta_r, ms.rNorm),
+            rNorm=jnp.where(inner_done, beta_r, ms.rNorm),
+            pass_beta=jnp.where(restart_now, beta_r, ms.pass_beta),
             status=code,
             f_resid=ms.f_resid & ~inner_done,
             f_break=ms.f_break & ~inner_done,

@@ -80,8 +80,13 @@ BUDGETS = {
     "gpmr": lambda n, m: (12 + 1) * (n + m) + (2 * 12 + 2) ** 2 + 8 * 12,
     # block (p = P_)
     "block_minres": lambda n, m: 7 * n * P_ + 12 * P_ * P_,
-    "block_gmres": lambda n, m: (MEM + 2) * n * P_ + ((MEM + 1) * P_) ** 2
-    + (MEM + 1) * P_ * P_,
+    # block basis + TWO ((mem+1)p)² factors: the transformed Hessenberg
+    # R and the accumulated orthogonal factor Qacc of the progressive
+    # block QR (round-5 deviation from the reference's stored-reflector
+    # scheme, src/block_gmres.jl:145-148 — same asymptotic class,
+    # removes the per-iteration dense re-QR from the general path)
+    "block_gmres": lambda n, m: (MEM + 2) * n * P_
+    + 2 * ((MEM + 1) * P_) ** 2 + (MEM + 1) * P_ * P_,
 }
 
 EXTRA_KW = {
