@@ -213,8 +213,9 @@ def _bilq_core(
             solved_cg_flag=solved_cg & ~solved_lq, hist_r=hist,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
-                         s_new.rNorm)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}",
+                         jnp.abs(alpha), s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -246,7 +247,7 @@ def _bilq_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
-    rt.debug_table(verbose, "BILQ", ("k", "‖rₖ‖"), n)
+    rt.debug_table(verbose, "BILQ", ("k", "αₖ", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 
@@ -445,8 +446,9 @@ def _qmr_core(
             iter=it, status=code, hist_r=hist,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
-                         s_new.rNorm)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}",
+                         jnp.abs(alpha), s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -471,7 +473,7 @@ def _qmr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
-    rt.debug_table(verbose, "QMR", ("k", "‖rₖ‖"), n)
+    rt.debug_table(verbose, "QMR", ("k", "αₖ", "‖rₖ‖"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

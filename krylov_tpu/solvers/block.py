@@ -43,6 +43,7 @@ class BlockState(NamedTuple):
     f_resid: jax.Array    # residual-decrease flag (pass-exit reason)
     f_break: jax.Array    # breakdown flag (pass-exit reason)
     pass_beta: jax.Array  # TRUE residual at the current pass start
+    npass: jax.Array      # 1-based pass counter (verbose col)
 
 
 def _solve_Y(R, g, k, mem, p):
@@ -120,6 +121,7 @@ def _block_core(
             f_resid=jnp.zeros((), jnp.bool_),
             f_break=jnp.zeros((), jnp.bool_),
             pass_beta=beta,
+            npass=jnp.int32(1),
         )
     else:
         state = state_in
@@ -230,8 +232,9 @@ def _block_core(
         s_out = s_out._replace(
             hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
         if verbose > 0:
-            rt.debug_row(verbose, s_out.iter, "{:5d}  {:7.1e}",
-                         s_out.rNorm)
+            # reference column order src/block_gmres.jl:181 (pass, k, R)
+            rt.debug_row(verbose, s_out.npass, "{:5d}  {:5d}  {:7.1e}",
+                         s_out.iter, s_out.rNorm)
         if callback is not None:
             # Mid-pass iterations only; the pass-boundary call runs in
             # the outer body on the post-epilogue state.
@@ -290,6 +293,7 @@ def _block_core(
             inner_k=jnp.where(inner_done, jnp.int32(0), ms.inner_k),
             rNorm=jnp.where(inner_done, beta_r, ms.rNorm),
             pass_beta=jnp.where(restart_now, beta_r, ms.pass_beta),
+            npass=jnp.where(restart_now, ms.npass + 1, ms.npass),
             status=code,
             f_resid=ms.f_resid & ~inner_done,
             f_break=ms.f_break & ~inner_done,
@@ -325,7 +329,8 @@ def _block_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, max(2 * (n // p), 2))
-    rt.debug_table(verbose, "BLOCK-GMRES", ("k", "‖Rₖ‖"), n)
+    rt.debug_table(verbose, "BLOCK-GMRES",
+                   ("pass", "k", "‖Rₖ‖"), n)
     if restart:
         mem = min(int(memory), itmax)
     else:

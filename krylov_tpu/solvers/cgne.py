@@ -138,8 +138,13 @@ def _cgne_like_core(
                            rNorm=rNorm, pNorm=indNorm, iter=it, status=code,
                            hist_r=hr)
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:8.1e}",
-                         s_new.rNorm)
+            if variant == "crmr":
+                rt.debug_row(verbose, s_new.iter,
+                             "{:5d}  {:8.1e}  {:8.1e}",
+                             s_new.pNorm, s_new.rNorm)
+            else:
+                rt.debug_row(verbose, s_new.iter, "{:5d}  {:8.1e}",
+                             s_new.rNorm)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -165,7 +170,9 @@ def _cgne_like_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, variant.upper(), ("k", "‖r‖"), m, n)
+    rt.debug_table(verbose, variant.upper(),
+                   ("k", "‖Aᴴr‖", "‖r‖") if variant == "crmr"
+                   else ("k", "‖r‖"), m, n)
     hist_len = itmax + 1 if history else 0
 
     # Fast path: DIA stencil + default config → fused whole-solve kernel.

@@ -38,6 +38,7 @@ class CrState(NamedTuple):
     Ar: jax.Array
     npc_dir: jax.Array
     rho: jax.Array
+    quad: jax.Array       # quadratic model value m (verbose col, src/cr.jl:411)
     rNorm: jax.Array
     rNorm2: jax.Array
     pNorm: jax.Array
@@ -123,7 +124,7 @@ def _cr_core(
             x=x, r=r, p=r, q=Ar, Ar=Ar, npc_dir=npc_dir,
             rho=rho, rNorm=rNorm, rNorm2=rNorm * rNorm,
             pNorm=rNorm, pNorm2=rNorm * rNorm,
-            pr=rNorm * rNorm, pAp=rho,
+            pr=rNorm * rNorm, pAp=rho, quad=jnp.zeros((), T),
             xNorm=jnp.zeros((), T), ArNorm=knorm(Ar), eps_lim=eps_lim,
             descent=rNorm * rNorm > 0,
             iter=jnp.int32(0), status=status,
@@ -334,6 +335,8 @@ def _cr_core(
             pNorm2=jnp.where(exiting, s.pNorm2, pNorm2_next),
             pr=jnp.where(exiting, s.pr, pr_next),
             pAp=jnp.where(exiting, s.pAp, pAp_next),
+            quad=jnp.where(ls_exit, s.quad,
+                           s.quad - alpha * s.pr + alpha * alpha * s.pAp / 2),
             xNorm=jnp.where(ls_exit, s.xNorm, xNorm),
             ArNorm=ArNorm,
             descent=jnp.where(exiting, s.descent, pr_next > 0),
@@ -351,8 +354,9 @@ def _cr_core(
                     jnp.int32(rt.USER_EXIT), s_new.status)
             )
         if verbose > 0:
-            rt.debug_row(verbose, it_out, "{:5d}  {:8.1e}  {:8.1e}",
-                         xNorm, rNorm_out)
+            rt.debug_row(verbose, it_out,
+                         "{:5d}  {:8.1e}  {:8.1e}  {:8.1e}",
+                         xNorm, rNorm_out, s_new.quad)
         return s_new
 
     return jax.lax.while_loop(cond, body, state)
@@ -383,7 +387,7 @@ def _cr_solve(
     rtol = rt.default_tol(rtol, T)
     gamma_tol = sqrt_eps(T) if gamma_tol is None else float(gamma_tol)
     itmax = rt.resolve_itmax(itmax, 2 * n)
-    rt.debug_table(verbose, "CR", ("k", "‖x‖", "‖r‖"), n)
+    rt.debug_table(verbose, "CR", ("k", "‖x‖", "‖r‖", "quad"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

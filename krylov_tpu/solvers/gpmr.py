@@ -321,8 +321,9 @@ def _gpmr_core(
             rNorm=rNorm, iter=it, status=code, hist_r=hr,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
-                         s_new.rNorm)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, Haux, Faux)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -354,7 +355,8 @@ def _gpmr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "GPMR", ("k", "‖rₖ‖"), m, n)
+    rt.debug_table(verbose, "GPMR",
+                   ("k", "‖rₖ‖", "hₖ₊₁.ₖ", "fₖ₊₁.ₖ"), m, n)
     mem = max(2, min(max(int(memory), itmax), memory_cap, itmax))
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)

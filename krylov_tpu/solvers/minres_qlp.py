@@ -299,8 +299,13 @@ def _minres_qlp_core(
             hist_r=hr, hist_ar=har,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}",
-                         s_new.rNorm, s_new.ArNorm)
+            # reference column set src/minres_qlp.jl:208 (timer omitted):
+            # Rₖ.ₖ = the rotated R diagonal, Lₖ.ₖ = the QLP μ̄ₖ diagonal
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}  "
+                         "{:8.1e}  {:7.1e}  {:7.1e}  {:8.1e}",
+                         s_new.rNorm, s_new.ArNorm, beta_kp1, l_k,
+                         mubar_k, jnp.sqrt(anorm2), s_new.kappa, backward)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -333,7 +338,9 @@ def _minres_qlp_solve(
     rtol = rt.default_tol(rtol, T)
     Artol = rt.default_tol(Artol, T)
     itmax = rt.resolve_itmax(itmax, 2 * n)
-    rt.debug_table(verbose, "MINRES-QLP", ("k", "‖rₖ‖", "‖Arₖ₋₁‖"), n)
+    rt.debug_table(verbose, "MINRES-QLP",
+                   ("k", "‖rₖ‖", "‖Arₖ₋₁‖", "βₖ₊₁", "Rₖ.ₖ", "Lₖ.ₖ",
+                    "‖A‖", "κ(A)", "backward"), n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
 

@@ -235,8 +235,9 @@ def _tricg_core(
             rNorm=rNorm, iter=it, status=code, hist_r=hr,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
-                         s_new.rNorm)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, beta_kp1, gamma_kp1)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -265,7 +266,8 @@ def _tricg_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "TRICG", ("k", "‖rₖ‖"), m, n)
+    rt.debug_table(verbose, "TRICG",
+                   ("k", "‖rₖ‖", "βₖ₊₁", "γₖ₊₁"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)
@@ -642,8 +644,9 @@ def _trimr_core(
             rNorm=rNorm, iter=it, status=code, hist_r=hr,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}",
-                         s_new.rNorm)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         s_new.rNorm, beta_kp1, gamma_kp1)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -672,7 +675,8 @@ def _trimr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "TRIMR", ("k", "‖rₖ‖"), m, n)
+    rt.debug_table(verbose, "TRIMR",
+                   ("k", "‖rₖ‖", "βₖ₊₁", "γₖ₊₁"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)

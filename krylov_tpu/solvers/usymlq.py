@@ -1131,8 +1131,11 @@ def _usymlqr_core(
             iter=it, status=code, hist_r=hr, hist_ar=har,
         )
         if verbose > 0:
-            rt.debug_row(verbose, s_new.iter, "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}",
-                         s_new.rNorm_ls, s_new.rNorm_ln, s_new.AHrNorm)
+            # reference column set src/usymlqr.jl:239 (timer omitted)
+            rt.debug_row(verbose, s_new.iter,
+                         "{:5d}  {:7.1e}  {:7.1e}  {:7.1e}  {:7.1e}",
+                         beta_kp1, gamma_kp1, s_new.rNorm_ls,
+                         s_new.rNorm_ln)
         if callback is not None:
             user_exit = callback(s_new)
             s_new = s_new._replace(
@@ -1176,7 +1179,8 @@ def _usymlqr_solve(
     atol = rt.default_tol(atol, T)
     rtol = rt.default_tol(rtol, T)
     itmax = rt.resolve_itmax(itmax, m + n)
-    rt.debug_table(verbose, "USYMLQR", ("k", "‖rₖ‖_LS", "‖rₖ‖_LN", "‖Aᴴr‖"), m, n)
+    rt.debug_table(verbose, "USYMLQR",
+                   ("k", "βₖ₊₁", "γₖ₊₁", "‖rₖ‖_LS", "‖rₖ‖_LN"), m, n)
     hist_len = itmax + 1 if history else 0
     x0 = None if x0 is None else jnp.asarray(x0, dtype=b.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, dtype=b.dtype)

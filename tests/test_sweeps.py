@@ -189,3 +189,54 @@ def test_verbose_reference_columns(capfd):
     out = capfd.readouterr().out
     assert header(("k", "‖r‖", "‖Aᴴr‖", "β", "α", "cos", "sin", "‖A‖²",
                    "κ(A)", "‖xL‖")) in out
+
+
+def test_verbose_reference_columns_r5(capfd):
+    """Round-5 sweep closing the remaining thin tables (VERDICT r4
+    Missing #3): every method's column set now matches its reference
+    header minus the trailing timer (debug_table contract)."""
+    import fixtures as fx
+
+    def header(cols):
+        return "  ".join(f"{c:>7s}" for c in cols)
+
+    expected_sq = {
+        "cr": ("k", "‖x‖", "‖r‖", "quad"),                # src/cr.jl:225
+        "bilq": ("k", "αₖ", "‖rₖ‖"),                      # src/bilq.jl
+        "qmr": ("k", "αₖ", "‖rₖ‖"),                       # src/qmr.jl
+        "minres_qlp": ("k", "‖rₖ‖", "‖Arₖ₋₁‖", "βₖ₊₁", "Rₖ.ₖ",
+                       "Lₖ.ₖ", "‖A‖", "κ(A)", "backward"),
+    }
+    A, b = fx.symmetric_definite(n=20)
+    A = np.asarray(A)
+    for method, cols in expected_sq.items():
+        kt.krylov_solve(method, A, b, verbose=1)
+        out = capfd.readouterr().out
+        assert header(cols) in out, (method, out[:300])
+
+    A3, b3 = fx.under_consistent()
+    kt.krylov_solve("crmr", A3, b3, verbose=1)           # src/crmr.jl
+    out = capfd.readouterr().out
+    assert header(("k", "‖Aᴴr‖", "‖r‖")) in out
+
+    rng = np.random.default_rng(0)
+    n = 12
+    Ar = rng.standard_normal((n, n)) / np.sqrt(n)
+    b4 = np.ones(n)
+    c4 = -np.ones(n)
+    for method in ("tricg", "trimr"):                    # src/tricg.jl
+        kt.krylov_solve(method, Ar, b4, c4, verbose=1)
+        out = capfd.readouterr().out
+        assert header(("k", "‖rₖ‖", "βₖ₊₁", "γₖ₊₁")) in out, method
+    kt.gpmr(Ar, Ar.T, b4, c4, verbose=1)                 # src/gpmr.jl:280
+    out = capfd.readouterr().out
+    assert header(("k", "‖rₖ‖", "hₖ₊₁.ₖ", "fₖ₊₁.ₖ")) in out
+    kt.usymlqr(Ar, b4, c4, verbose=1)                    # src/usymlqr.jl:239
+    out = capfd.readouterr().out
+    assert header(("k", "βₖ₊₁", "γₖ₊₁", "‖rₖ‖_LS", "‖rₖ‖_LN")) in out
+
+    A5, b5 = fx.symmetric_definite(n=16)
+    B5 = np.stack([np.asarray(b5), 2 * np.asarray(b5)], axis=1)
+    kt.block_gmres(np.asarray(A5), B5, verbose=1)        # block_gmres.jl:181
+    out = capfd.readouterr().out
+    assert header(("pass", "k", "‖Rₖ‖")) in out
