@@ -629,12 +629,32 @@ def _block_gmres_solve(A, B, X0=None, **kwargs):
 
 
 def block_minres(A, B, X0=None, **kwargs):
-    """X, stats = block_minres(A, B; ...) — Hermitian multi-RHS, O(1) memory."""
+    """X, stats = block_minres(A, B; ...) — Hermitian multi-RHS, O(1) memory.
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    TRUE block residual B − AX to fp64-grade Frobenius accuracy from
+    f32 storage."""
+    from ._refine import block_ir_wrap
+    hit = block_ir_wrap("BLOCK-MINRES", _block_minres_solve, A, B, X0,
+                        kwargs)
+    if hit is not None:
+        return hit
     X, stats, _ = _block_minres_solve(A, B, X0, **kwargs)
     return X, stats
 
 
 def block_gmres(A, B, X0=None, **kwargs):
-    """X, stats = block_gmres(A, B; memory=5, restart, M, N, ...)."""
+    """X, stats = block_gmres(A, B; memory=5, restart, M, N, ...).
+
+    TPU extension: ``precision="double_word"`` — dw refinement of the
+    TRUE block residual B − AX to fp64-grade Frobenius accuracy from
+    f32 storage (memory/restart/M/N pass through to the inner
+    corrections)."""
+    from ._refine import block_ir_wrap
+    hit = block_ir_wrap("BLOCK-GMRES", _block_solve, A, B, X0, kwargs,
+                        forward=("M", "N", "ldiv", "memory", "restart",
+                                 "reorthogonalization"))
+    if hit is not None:
+        return hit
     X, stats, _ = _block_solve(A, B, X0, **kwargs)
     return X, stats

@@ -625,3 +625,27 @@ def test_double_word_pair_guards():
     Asq = MatrixOperator(jnp.asarray(_well_conditioned(16, 16, seed=2)))
     with pytest.raises(ValueError, match="history"):
         kt.bilqr(Asq, c, c, history=True, precision="double_word")
+
+
+@pytest.mark.parametrize("method", ["block_gmres", "block_minres"])
+def test_double_word_block_basket(method):
+    """Multi-RHS families: dw refinement certifies the TRUE Frobenius
+    block residual B − AX at the fp64 tolerance from f32 storage —
+    closes the last family of the reference's Float64 bar
+    (test/test_mp.jl:31-60) left at working precision in round 4."""
+    rng = np.random.default_rng(11)
+    n, p = 60, 3
+    R = rng.standard_normal((n, n)).astype(np.float32)
+    A32 = np.eye(n, dtype=np.float32) + 0.3 * R / np.sqrt(n)
+    if method == "block_minres":                   # Hermitian fixture
+        A32 = (A32 @ A32.T + np.eye(n, dtype=np.float32))
+    B32 = jnp.asarray(rng.standard_normal((n, p)).astype(np.float32))
+    X, st = getattr(kt, method)(MatrixOperator(jnp.asarray(A32)), B32,
+                                atol=0.0, rtol=RTOL64,
+                                precision="double_word")
+    assert st.solved, (method, st.status)
+    assert X.dtype == np.float64
+    A64 = A32.astype(np.float64)
+    B64 = np.asarray(B32, np.float64)
+    rn = np.linalg.norm(B64 - A64 @ X)
+    assert rn <= 4.0 * RTOL64 * np.linalg.norm(B64), method
