@@ -272,3 +272,14 @@ def debug_row(verbose, iter_, fmt, *values):
             iter_ % verbose == 0,
             lambda: jax.debug.print(fmt, iter_, *values),
             lambda: None)
+
+
+def debug_row_vals(verbose, gate_iter, fmt, *values):
+    """Like debug_row, but the cadence gate and the printed values are
+    independent — for tables whose leading column is not the iteration
+    counter (e.g. block_gmres prints pass first, src/block_gmres.jl:181)."""
+    if verbose > 0:
+        jax.lax.cond(
+            gate_iter % verbose == 0,
+            lambda: jax.debug.print(fmt, *values),
+            lambda: None)

@@ -232,9 +232,11 @@ def _block_core(
         s_out = s_out._replace(
             hist_r=rt.hist_write(s_out.hist_r, it, rNorm, history))
         if verbose > 0:
-            # reference column order src/block_gmres.jl:181 (pass, k, R)
-            rt.debug_row(verbose, s_out.npass, "{:5d}  {:5d}  {:7.1e}",
-                         s_out.iter, s_out.rNorm)
+            # reference column order src/block_gmres.jl:181 (pass, k, R);
+            # cadence gates on the ITERATION counter, not the pass
+            rt.debug_row_vals(verbose, s_out.iter,
+                              "{:5d}  {:5d}  {:7.1e}",
+                              s_out.npass, s_out.iter, s_out.rNorm)
         if callback is not None:
             # Mid-pass iterations only; the pass-boundary call runs in
             # the outer body on the post-epilogue state.
