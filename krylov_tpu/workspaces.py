@@ -198,6 +198,21 @@ class KrylovWorkspace:
             else:
                 pos = pos + [self._x0]
             self._x0 = self._y0 = None
+        if kw.get("precision") not in (None, "working"):
+            # precision="double_word"/"compensated" lives in the PUBLIC
+            # wrappers (the registry's private _solve entries would
+            # swallow the kwarg in **_ig and silently return a plain
+            # working-precision solve).  dw solves keep no reusable
+            # device state (x is a host f64 array).
+            import krylov_tpu as _kt
+            out = getattr(_kt, self.method)(A, b, *pos, **kw)
+            if len(out) == 3:
+                self.x, self.y, self.stats = out
+            else:
+                self.x, self.stats = out
+                self.y = None
+            self.state = None
+            return self
         out = self._solver(A, b, *pos, **kw)
         if len(out) == 4:
             self.x, self.y, self.stats, self.state = out

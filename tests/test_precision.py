@@ -649,3 +649,18 @@ def test_double_word_block_basket(method):
     B64 = np.asarray(B32, np.float64)
     rn = np.linalg.norm(B64 - A64 @ X)
     assert rn <= 4.0 * RTOL64 * np.linalg.norm(B64), method
+
+
+def test_double_word_via_generic_interface():
+    """krylov_solve must route precision= to the public wrappers — the
+    registry's private _solve entries would silently swallow it in
+    **_ig and return a plain f32 solve (regression: round-5 review)."""
+    rng = np.random.default_rng(12)
+    A32 = rng.standard_normal((40, 60)).astype(np.float32)
+    b32 = rng.standard_normal(40).astype(np.float32)
+    out = kt.krylov_solve("craig", A32, b32, atol=0.0, rtol=RTOL64,
+                          precision="double_word")
+    x, st = out[0], out[-1]
+    assert st.solved
+    r = np.asarray(b32, np.float64) - A32.astype(np.float64) @ x
+    assert np.linalg.norm(r) <= 2.0 * RTOL64 * np.linalg.norm(b32)
