@@ -401,6 +401,30 @@ def _lslq_solve(
 
 
 def lslq(A, b, **kwargs):
-    """x, stats = lslq(A, b; λ, σ, sqd, transfer_to_lsqr, etol, utol, ...)."""
+    """x, stats = lslq(A, b; λ, σ, sqd, transfer_to_lsqr, etol, utol, ...).
+
+    TPU extension: ``precision="double_word"`` runs least-squares
+    iterative refinement (Carson & Higham 2018) — the dw
+    normal-equations residual Aᴴ(b−Ax) − λ²x certifies fp64-grade LS
+    optimality from f32 device storage.  Plain configuration only
+    (λ allowed; no M/N/σ/transfer_to_lsqr/etol/utol/history/callback).
+    """
+    from ._refine import check_ir_config
+    from .lsqr import _ls_ir, _ls_ir_guard
+
+    precision = kwargs.get("precision")
+    guard = _ls_ir_guard("LSLQ", kwargs)
+    guard.update(
+        sigma=kwargs.get("sigma", 0.0),
+        transfer_to_lsqr=kwargs.get("transfer_to_lsqr", False),
+        utol=kwargs.get("utol") is not None,
+    )
+    if check_ir_config("LSLQ", precision, **guard):
+        fwd = {k: kwargs[k] for k in ("lam", "atol", "rtol", "itmax",
+                                      "timemax") if k in kwargs}
+        x, stats, _ = _ls_ir("LSLQ", _lslq_solve, A, b,
+                             stats_cls=LSLQStats, **fwd)
+        return x, stats
+    kwargs.pop("precision", None)
     x, stats, _ = _lslq_solve(A, b, **kwargs)
     return x, stats

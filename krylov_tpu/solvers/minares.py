@@ -410,7 +410,51 @@ def _minares_solve(
     return x, stats, state
 
 
-def minares(A, b, x0=None, **kwargs):
-    """x, stats = minares(A, b; λ, Artol, ...) — minimizes ‖Aᴴr‖."""
+def _minares_ir(A, b, x0, *, atol=None, rtol=None, itmax=0,
+                timemax=float("inf"), **_defaults):
+    """precision="double_word": iterative refinement to fp64-grade TRUE
+    residuals from f32 storage for Hermitian systems — inner correction
+    solves are plain working-precision MINARES (the fused
+    whole-solve-in-VMEM kernel when eligible); shared dw driver in
+    solvers/_refine.py."""
+    from ._refine import ir_solve
+
+    start = time.perf_counter()
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    T = real_dtype(b.dtype)
+    atol = rt.default_tol(atol, T)
+    rtol = rt.default_tol(rtol, T)
+    itmax = rt.resolve_itmax(itmax, 2 * b.shape[0])
+
+    def inner(rhs, rtol_i, it_left, time_left):
+        d, st, _ = _minares_solve(A, rhs, atol=0.0, rtol=rtol_i,
+                                  itmax=it_left,
+                                  timemax=time_left
+                                  if np.isfinite(time_left)
+                                  else float("inf"))
+        return d, st.niter
+
+    return ir_solve(inner, A, b, x0, atol, rtol, itmax, timemax, start)
+
+
+def minares(A, b, x0=None, *, precision=None, **kwargs):
+    """x, stats = minares(A, b; λ, Artol, ...) — minimizes ‖Aᴴr‖.
+
+    TPU extension: ``precision="double_word"`` runs double-word iterative
+    refinement around working-precision MINARES solves — fp64-grade TRUE
+    residuals (rtol down to ~√eps(Float64)) from f32 device storage.
+    Plain configuration only (no λ-shift, Artol, history, or callback).
+    """
+    from ._refine import check_ir_config
+
+    if check_ir_config("MINARES", precision,
+                       history=kwargs.get("history", False),
+                       callback=kwargs.get("callback"),
+                       lam=kwargs.get("lam", 0.0),
+                       Artol=kwargs.get("Artol") or 0.0,
+                       verbose=kwargs.get("verbose", 0)):
+        x, stats, _ = _minares_ir(A, b, x0, **kwargs)
+        return x, stats
     x, stats, _ = _minares_solve(A, b, x0, **kwargs)
     return x, stats

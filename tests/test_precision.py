@@ -316,8 +316,9 @@ def _shifted(N, shift, builder, dtype):
 
 
 SQUARE_DW_METHODS = ("cg", "cr", "car", "cg_lanczos", "minres",
-                     "minres_qlp", "symmlq", "gmres", "bicgstab", "qmr")
-SYM_DW = SQUARE_DW_METHODS[:7]
+                     "minres_qlp", "symmlq", "minares", "gmres",
+                     "bicgstab", "qmr")
+SYM_DW = SQUARE_DW_METHODS[:8]
 
 
 @pytest.mark.parametrize("method", SQUARE_DW_METHODS)
@@ -346,7 +347,7 @@ def test_double_word_square_basket(method):
 
 @pytest.mark.parametrize("method,lam", [
     ("lsqr", 0.0), ("lsqr", 0.3), ("lsmr", 0.0), ("lsmr", 0.3),
-    ("cgls", 0.0), ("cgls", 0.3),
+    ("cgls", 0.0), ("cgls", 0.3), ("lslq", 0.0), ("lslq", 0.3),
 ])
 def test_double_word_ls_basket(method, lam):
     """Carson-Higham augmented-system LS refinement: the dw
@@ -363,7 +364,7 @@ def test_double_word_ls_basket(method, lam):
     assert st.solved, (method, lam, st.status)
     assert st.status == "found approximate minimum least-squares solution"
     A64, b64 = A.astype(np.float64), b.astype(np.float64)
-    reg = lam * lam if method in ("lsqr", "lsmr") else lam
+    reg = lam * lam if method in ("lsqr", "lsmr", "lslq") else lam
     g = A64.T @ (b64 - A64 @ x) - reg * x
     assert np.linalg.norm(g) <= 2.0 * RTOL64 * np.linalg.norm(A64.T @ b64)
     # solution accuracy against the dense normal-equations oracle
