@@ -142,22 +142,63 @@ def _block_core(
         W = A.matmat(N_apply(Vk))
         W = M_apply(W)
 
-        # Block orthogonalization: CGS2 over all previous blocks.  No
-        # active-window mask: V's blocks beyond k are zero by
-        # construction (zero-initialized, written sequentially, zeroed
-        # on restart), and the mask materialized a full (mem+1, n, p)
-        # copy per iteration — measured ~50 µs of pure HBM traffic at
-        # 32³/p=4/mem=32.
-        Vm = s.V
-        Hcol = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)       # (mem+1,p,p)
-        W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol)
-        Hcol2 = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)
-        W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol2)
-        Hcol = Hcol + Hcol2
-        if reorthogonalization:
-            Hcol3 = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)
-            W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol3)
-            Hcol = Hcol + Hcol3
+        # Block orthogonalization: CGS2 over the previous blocks.  Only
+        # blocks 0..k are nonzero during the inner loop (V is
+        # zero-initialized, written sequentially at k+1 ≤ mem, zeroed on
+        # restart; block index mem is never read back before the pass
+        # ends), so the projection only needs V[:mem] — and for deep
+        # memories the dominant cost is re-reading that (mem, n, p)
+        # basis from HBM four times per iteration regardless of k.  When
+        # mem divides into 8-block chunks, loop over just the ACTIVE
+        # chunks with a dynamically bounded fori_loop: each chunk
+        # (≤ a few MB) is read once per CGS pass and both GEMMs (Hᴴ
+        # coefficients vs the ORIGINAL W, and the projection sum) reuse
+        # it from VMEM — average traffic drops ~2× at k ~ mem/2.
+        # Measured on-chip at 32³/p=4/mem=32 (VERDICT r4 ask #2):
+        # 152.9 → 127.8 µs/block-iter (tools/exp_block_chunked_tpu.py).
+        # Of the rest, ~32 µs is the V.at[k+1] commit: XLA materializes
+        # a full basis copy because the carry is also dynamically
+        # sliced in the same body — reordering the update first doesn't
+        # help, and a Pallas aliased-DMA commit is rejected by Mosaic
+        # (minor dim p=4 vs the 128-lane HBM tiling); see
+        # tools/exp_block_vset_micro.py before attempting either again.
+        CH = 8
+        chunked = mem >= 16 and mem % CH == 0
+
+        if chunked:
+            def cgs_pass(Wp):
+                def chunk_body(c, carry):
+                    Hacc, P = carry
+                    Vblk = jax.lax.dynamic_slice(
+                        s.V, (c * CH, jnp.int32(0), jnp.int32(0)),
+                        (CH, n, p))
+                    Hc = jnp.einsum("inp,nq->ipq", jnp.conj(Vblk), Wp)
+                    P = P + jnp.einsum("inp,ipq->nq", Vblk, Hc)
+                    Hacc = jax.lax.dynamic_update_slice(
+                        Hacc, Hc, (c * CH, jnp.int32(0), jnp.int32(0)))
+                    return Hacc, P
+                Hacc, P = jax.lax.fori_loop(
+                    0, k // CH + 1, chunk_body,
+                    (jnp.zeros((mem, p, p), FC), jnp.zeros_like(Wp)))
+                return Hacc, Wp - P
+
+            Hcol, W = cgs_pass(W)
+            Hcol2, W = cgs_pass(W)
+            Hcol = Hcol + Hcol2
+            if reorthogonalization:
+                Hcol3, W = cgs_pass(W)
+                Hcol = Hcol + Hcol3
+        else:
+            Vm = s.V[:mem]
+            Hcol = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)   # (mem,p,p)
+            W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol)
+            Hcol2 = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)
+            W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol2)
+            Hcol = Hcol + Hcol2
+            if reorthogonalization:
+                Hcol3 = jnp.einsum("inp,nq->ipq", jnp.conj(Vm), W)
+                W = W - jnp.einsum("inp,ipq->nq", Vm, Hcol3)
+                Hcol = Hcol + Hcol3
 
         # CholQR2 block normalization (Householder jnp.linalg.qr costs
         # 28 µs on this shape vs ~free for CholQR; the doubled pass
