@@ -23,10 +23,28 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices=None, axis="rows"):
-    """1-D device mesh over the first n_devices (default: all)."""
-    devs = jax.devices()
+def make_mesh(n_devices=None, axis="rows", devices=None):
+    """1-D device mesh over the first n_devices (default: all).
+
+    When the default backend has fewer than ``n_devices`` devices, falls
+    back to the host CPU devices (``--xla_force_host_platform_device_count``
+    meshes) so an n-way mesh request never silently degrades to a
+    smaller mesh: under the axon sitecustomize ``jax.devices()`` is the
+    single remote TPU chip even with JAX_PLATFORMS=cpu in the
+    environment, and ``devs[:8]`` of a 1-element list built a 1-device
+    mesh that made every multi-chip consistency check vacuous.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices and devices is None:
+            try:
+                devs = jax.devices("cpu")
+            except RuntimeError:
+                pass
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devs)} available (default backend + cpu)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), axis_names=(axis,))
 
