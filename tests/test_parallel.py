@@ -265,3 +265,24 @@ class TestShardedBatch:
         for i in range(nb):
             ref = np.linalg.solve(np.asarray(As[i]), np.asarray(Bs[i]))
             assert np.allclose(np.asarray(X[i]), ref, atol=1e-7)
+
+
+class TestMakeMesh:
+    def test_never_silently_shrinks(self):
+        """An n-way mesh request either yields n devices or raises —
+        round-5 fix: under the axon sitecustomize jax.devices() is one
+        remote chip even with JAX_PLATFORMS=cpu set, and devs[:n] of a
+        1-element list built a 1-device mesh that made every multi-chip
+        consistency check vacuous."""
+        nd = min(len(jax.devices()), 8)
+        m = make_mesh(nd)
+        assert m.devices.size == nd
+        with pytest.raises(ValueError, match="requested but only"):
+            make_mesh(10_000)
+
+    def test_explicit_devices(self):
+        devs = jax.devices()[:2]
+        m = make_mesh(2, devices=devs)
+        assert list(m.devices.flat) == list(devs)
+        with pytest.raises(ValueError):
+            make_mesh(4, devices=devs)
