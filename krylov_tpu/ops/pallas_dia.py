@@ -4,17 +4,20 @@ The XLA lowering of `dia_spmv` (ops/dia.py) materializes one padded
 intermediate per diagonal, reading/writing each ~8-byte-per-nnz stream
 several times (~110 GB/s observed on a v5e for the 7-point Poisson
 stencil).  This kernel makes one pass: each grid step produces one row
-tile of y from the aligned diagonal block and a 3-tile window of x, so
-HBM traffic is data once + x once (+2 halo tiles) + y once.
+tile of y from the aligned diagonal block, the current x tile, and two
+small halo blocks, so HBM traffic is data once + x·(1 + 2·hb/tr) + y
+once (round 5; the original 3-full-tile window read x ~3×, costing a
+third of the headline — see _plan_tiles).
 
-Index scheme: vectors are viewed as (rows, 128) lane matrices.  The row
-tile TR is chosen so every diagonal offset k satisfies |k| ≤ TR·128,
-which makes each shifted read a *static* row slice of the 3-tile x
-window combined with a lane rotation (`pltpu.roll`) — no dynamic
-slices, so Mosaic needs no alignment proofs.  Diagonals are pre-shifted
-once (`dia_align`) to be output-aligned: y[i] = Σ_d pd[d,i]·x[i+k_d]
-(reference SpMV semantics: Krylov.jl uses SparseArrays CSC mul!,
-src/krylov_utils.jl BLAS trampolines; the DIA formulation is ours).
+Index scheme: vectors are viewed as (rows, 128) lane matrices.  The
+halo block height hb covers every diagonal offset (|k| ≤ (hb−1)·128),
+which makes each shifted read a *static* row slice of the
+(hb + tr + hb)-row x window combined with a lane rotation
+(`pltpu.roll`) — no dynamic slices, so Mosaic needs no alignment
+proofs.  Diagonals are pre-shifted once (`dia_align`) to be
+output-aligned: y[i] = Σ_d pd[d,i]·x[i+k_d] (reference SpMV semantics:
+Krylov.jl uses SparseArrays CSC mul!, src/krylov_utils.jl BLAS
+trampolines; the DIA formulation is ours).
 """
 
 from functools import partial
@@ -61,6 +64,37 @@ def _tile_rows(offsets, n):
     return max(tr, min(512, rows_needed))
 
 
+def _plan_tiles(offsets, n, nd, pd_itemsize):
+    """(tr, hb): rows per current tile and per halo block.
+
+    Round-5 retuning: the original formulation streamed THREE full
+    (tr, LANES) x-tiles per grid step (prev/cur/next), reading x ~3×
+    when the stencil halo is only ceil(max|k|/128)+1 rows.  Fetch the
+    halo as separate power-of-two blocks (hb | tr, so halo block
+    starts are block-aligned for the index maps) and grow the current
+    tile toward the VMEM budget — x traffic drops to (1 + 2·hb/tr)·n
+    and fewer grid steps amortize the per-step overhead.  Measured
+    (S-in-one-jit differencing, v5e): 128³ Poisson f32
+    99.8 → 153.2 Gnnz/s, bf16 150.0 → 223.8; 64³ f32 62.2 → 170.6,
+    bf16 79.9 → 260.1.  The pd budget is deliberate: at ~10 MB of pd
+    per buffered step (tr=2816 f32) the kernel fell off a cliff to
+    30 Gnnz/s — keep per-step pd ≤ ~7.5 MB.
+    """
+    m = max((abs(k) for k in offsets), default=1)
+    qmax = -(-m // LANES) + 1          # halo rows incl. the roll spill
+    hb = _SUBLANES
+    while hb < qmax:
+        hb *= 2
+    rows_needed = -(-(-(-n // LANES)) // _SUBLANES) * _SUBLANES
+    # VMEM: the double-buffered pd block dominates (nd diagonals);
+    # ~10 MB of pd per buffered step keeps the full working set well
+    # under the v5e's ceiling.
+    cap = max(hb, (15 << 19) // max(nd * LANES * pd_itemsize, 1))
+    tr = min(4096, cap, max(rows_needed, 1))
+    tr = max(hb, (tr // hb) * hb)
+    return tr, hb
+
+
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def dia_spmv_pallas(pd, offsets, x, interpret=None):
     """y = A x from output-aligned diagonals `pd` (see dia_align)."""
@@ -68,7 +102,8 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         interpret = jax.default_backend() == "cpu"
     n = x.shape[0]
     nd = pd.shape[0]
-    tr = _tile_rows(offsets, n)
+    tr, hb = _plan_tiles(offsets, n, nd, jnp.dtype(pd.dtype).itemsize)
+    R = tr // hb
     tile = tr * LANES
     npad = -(-n // tile) * tile
     rows = npad // LANES
@@ -94,11 +129,11 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         for d, (q, r) in enumerate(shifts):
             w = pd_ref[d]
             if r == 0:
-                sx = xwin[tr + q: 2 * tr + q]
+                sx = xwin[hb + q: hb + q + tr]
             else:
                 # roll only the tr+1 rows the output needs, not the
-                # whole 3-tile window (VPU work, not bandwidth).
-                seg = xwin[tr + q: 2 * tr + q + 1]
+                # whole window (VPU work, not bandwidth).
+                seg = xwin[hb + q: hb + q + tr + 1]
                 # Mosaic's rotate only handles 32-bit lanes: upcast
                 # sub-32-bit inputs in-register (HBM loads stay narrow).
                 if seg.dtype.itemsize < 4:
@@ -112,14 +147,20 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         kernel,
         grid=(ntiles,),
         in_specs=[
-            # the same padded x three times: tiles t, t+1, t+2 of xw
-            pl.BlockSpec((tr, LANES), lambda t: (t, 0)),
+            # current tile t (data starts one tile in) + hb-row halo
+            # blocks just below/above it; hb | tr keeps the halo block
+            # starts aligned to the (hb, LANES) block grid
+            pl.BlockSpec((hb, LANES), lambda t: ((t + 1) * R - 1, 0)),
             pl.BlockSpec((tr, LANES), lambda t: (t + 1, 0)),
-            pl.BlockSpec((tr, LANES), lambda t: (t + 2, 0)),
+            pl.BlockSpec((hb, LANES), lambda t: ((t + 2) * R, 0)),
             pl.BlockSpec((nd, tr, LANES), lambda t: (0, t, 0)),
         ],
         out_specs=pl.BlockSpec((tr, LANES), lambda t: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+        # double-buffered pd + x window + y exceed Mosaic's 16 MB
+        # default scoped-vmem limit at the large-tile plan
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * (nd + 3) * tile * 4 + (8 << 20)),
         interpret=interpret,
     )(xw, xw, xw, pdw, )
     return y.reshape(-1)[:n]
