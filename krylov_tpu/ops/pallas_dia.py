@@ -79,6 +79,12 @@ def _plan_tiles(offsets, n, nd, pd_itemsize):
     bf16 79.9 → 260.1.  The pd budget is deliberate: at ~10 MB of pd
     per buffered step (tr=2816 f32) the kernel fell off a cliff to
     30 Gnnz/s — keep per-step pd ≤ ~7.5 MB.
+
+    Caveat for y→x CHAINED loops (the bench headline harness): each
+    in-jit pallas launch costs ~30 µs of fixed overhead, so a chained
+    128³ application floors at ~95 µs/call for old and new plans alike
+    (headline stays ~145-152 Gnnz/s); the gains above appear wherever
+    the SpMV overlaps other work or is not the serializing op.
     """
     m = max((abs(k) for k in offsets), default=1)
     qmax = -(-m // LANES) + 1          # halo rows incl. the roll spill
@@ -109,10 +115,42 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
     rows = npad // LANES
     ntiles = rows // tr
 
-    xp = jnp.zeros((npad + 2 * tile,), x.dtype).at[tile: tile + n].set(x)
-    xw = xp.reshape(-1, LANES)
-    pdp = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd)
-    pdw = pdp.reshape(nd, rows, LANES)
+    # Zero-copy fast path (round 5): when n is an exact tile multiple,
+    # x and pd reshape to the lane-matrix layout as free bitcasts and NO
+    # padded staging buffer is built — the per-call x copy cost a third
+    # of the chained-SpMV rate (bench loops y -> x) once tiles grew.
+    # Boundary halo blocks then read CLAMPED in-range rows instead of
+    # zeros; that is safe because dia_align already zeroes pd wherever
+    # x[i+k] would be out of range, so the garbage rows multiply 0.
+    exact = (npad == n)
+    if exact:
+        xw = x.reshape(rows, LANES)
+        pdw = pd.reshape(nd, rows, LANES)
+        nb = rows // hb
+
+        def prev_map(t):
+            return (jnp.maximum(t * R - 1, 0), 0)
+
+        def cur_map(t):
+            return (t, 0)
+
+        def next_map(t):
+            return (jnp.minimum((t + 1) * R, nb - 1), 0)
+    else:
+        xp = jnp.zeros((npad + 2 * tile,), x.dtype).at[tile: tile + n] \
+            .set(x)
+        xw = xp.reshape(-1, LANES)
+        pdp = jnp.zeros((nd, npad), pd.dtype).at[:, :n].set(pd)
+        pdw = pdp.reshape(nd, rows, LANES)
+
+        def prev_map(t):
+            return ((t + 1) * R - 1, 0)
+
+        def cur_map(t):
+            return (t + 1, 0)
+
+        def next_map(t):
+            return ((t + 2) * R, 0)
 
     shifts = []
     for k in offsets:
@@ -147,12 +185,12 @@ def dia_spmv_pallas(pd, offsets, x, interpret=None):
         kernel,
         grid=(ntiles,),
         in_specs=[
-            # current tile t (data starts one tile in) + hb-row halo
-            # blocks just below/above it; hb | tr keeps the halo block
-            # starts aligned to the (hb, LANES) block grid
-            pl.BlockSpec((hb, LANES), lambda t: ((t + 1) * R - 1, 0)),
-            pl.BlockSpec((tr, LANES), lambda t: (t + 1, 0)),
-            pl.BlockSpec((hb, LANES), lambda t: ((t + 2) * R, 0)),
+            # current tile + hb-row halo blocks just below/above it;
+            # hb | tr keeps the halo block starts aligned to the
+            # (hb, LANES) block grid
+            pl.BlockSpec((hb, LANES), prev_map),
+            pl.BlockSpec((tr, LANES), cur_map),
+            pl.BlockSpec((hb, LANES), next_map),
             pl.BlockSpec((nd, tr, LANES), lambda t: (0, t, 0)),
         ],
         out_specs=pl.BlockSpec((tr, LANES), lambda t: (t, 0)),
