@@ -292,22 +292,36 @@ def main():
         if K is None:
             K = (2000 if N <= 64 else 800) if on_tpu else 20
 
-        @jax.jit
-        def loop(pd_, x):
-            def body(_, v):
-                y = dia_spmv_pallas(pd_, D.offsets, v)
-                return y.astype(x.dtype)
-            return jnp.sum(jax.lax.fori_loop(0, K, body, x)
-                           .astype(jnp.float32))
+        def make_loop(k):
+            @jax.jit
+            def loop(pd_, x):
+                def body(_, v):
+                    y = dia_spmv_pallas(pd_, D.offsets, v)
+                    return y.astype(x.dtype)
+                return jnp.sum(jax.lax.fori_loop(0, k, body, x)
+                               .astype(jnp.float32))
+            return loop
 
-        float(loop(pd, b))
-        best = float("inf")
+        # Difference two chain lengths so the fixed per-dispatch cost
+        # (~28 ms tunnel RTT) drops out — dividing the raw wall time by
+        # K instead adds RTT/K of phantom per-application cost (35 µs
+        # at K=800, which understated the 128³ headline by ~35%); the
+        # solver configs' S-in-one-jit harness already differences.
+        Kq = max(K // 4, 1)
+        loopK, loopQ = make_loop(K), make_loop(Kq)
+        float(loopK(pd, b))
+        float(loopQ(pd, b))
+        bestK = bestQ = float("inf")
         for t in range(3):
             xin = jnp.full(n, 1.0 + 0.01 * t, dtype)
             t0 = time.perf_counter()
-            float(loop(pd, xin))
-            best = min(best, (time.perf_counter() - t0) / K)
-        return D.nnz / best / 1e9
+            float(loopK(pd, xin))
+            bestK = min(bestK, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(loopQ(pd, xin))
+            bestQ = min(bestQ, time.perf_counter() - t0)
+        per = max((bestK - bestQ) / (K - Kq), 1e-12)
+        return D.nnz / per / 1e9
 
     rtol = 1e-6 if on_tpu else 1e-8
     configs = EM.configs
