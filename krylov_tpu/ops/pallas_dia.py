@@ -235,9 +235,13 @@ def dia_spmv_padded(pd, offsets, xw, n, interpret=None):
     ``pd`` is the output-aligned diagonals (``dia_align``).
     The stencil masks its x window against the interior bounds, so the
     halo tiles of the layout are don't-care values and the output (whose
-    halo tiles are never written) chains directly.  All BlockSpec index
-    maps are static affine — Mosaic miscompiles (and can crash the TPU
-    worker on) clamped/dynamic index maps.
+    halo tiles are never written) chains directly.  This kernel keeps
+    all BlockSpec index maps static affine.  (Historical note, scoped:
+    an early-round Mosaic miscompiled clamped/dynamic index maps; the
+    current toolchain handles the jnp.maximum/minimum-clamped INPUT
+    maps of dia_spmv_pallas's zero-copy path — validated bit-exact on
+    chip at several exact-multiple sizes — so the constraint no longer
+    applies to input specs on this jax version.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

@@ -226,7 +226,7 @@ def _block_core(
         Vn = jnp.where(bad, jnp.zeros_like(Vn), Vn)
 
         # New column block k of H̄ (coefficients + subdiagonal block).
-        Hcol_flat = Hcol[:mem].reshape(rows - p, p)
+        Hcol_flat = Hcol.reshape(rows - p, p)
         Hfull = jnp.zeros((rows, p), FC).at[:rows - p].set(Hcol_flat)
         Hfull = jax.lax.dynamic_update_slice(Hfull, Hk1,
                                              ((k + 1) * p, jnp.int32(0)))

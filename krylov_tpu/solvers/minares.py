@@ -428,7 +428,11 @@ def _minares_ir(A, b, x0, *, atol=None, rtol=None, itmax=0,
     itmax = rt.resolve_itmax(itmax, 2 * b.shape[0])
 
     def inner(rhs, rtol_i, it_left, time_left):
+        # Artol=0: the default sqrt(eps) ‖Aᴴr‖ stop would fire before
+        # the residual reaches rtol_i on ill-conditioned systems and
+        # stall the outer dw loop into a spurious ILL_COND_MACH
         d, st, _ = _minares_solve(A, rhs, atol=0.0, rtol=rtol_i,
+                                  Artol=0.0,
                                   itmax=it_left,
                                   timemax=time_left
                                   if np.isfinite(time_left)

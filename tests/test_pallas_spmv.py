@@ -79,14 +79,18 @@ class TestPallasDia:
     def test_matches_dia_spmv(self):
         from krylov_tpu.ops.dia import poisson_dia, dia_spmv
         from krylov_tpu.ops.pallas_dia import dia_align, dia_spmv_pallas
-        for dims in ((8, 8, 8), (5, 7, 3), (16, 4, 2)):
+        # (32,32,32)=32768 is an exact tile multiple and exercises the
+        # round-5 ZERO-COPY path (clamped boundary halo blocks — safe
+        # because dia_align zeroes out-of-range pd); the other shapes
+        # take the padded-staging path
+        for dims in ((8, 8, 8), (5, 7, 3), (16, 4, 2), (32, 32, 32)):
             D = poisson_dia(*dims, dtype=np.float64)
             n = dims[0] * dims[1] * dims[2]
             x = jnp.asarray(np.random.default_rng(0).standard_normal(n))
             got = dia_spmv_pallas(dia_align(D.data, D.offsets, n),
                                   D.offsets, x)
             want = dia_spmv(D.data, D.offsets, x)
-            assert np.array_equal(np.asarray(got), np.asarray(want))
+            assert np.array_equal(np.asarray(got), np.asarray(want)), dims
 
     def test_operator_pallas_path_cg(self):
         from krylov_tpu.ops.dia import poisson_dia
